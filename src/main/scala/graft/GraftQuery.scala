@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One engine capability exposed through the driver's contract: a Spark
+  * implementation plus (where ANSI-expressible) an equivalent DuckDB SQL
+  * oracle over the same parquet tables.
+  */
+final case class GraftQuery(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Shared helpers that keep Spark and DuckDB bit-identical.
+  *
+  * Cross-engine float determinism: double SUM/AVG depend on accumulation
+  * order, which differs between engines. All money/metric columns in the
+  * test data carry exactly 2 decimals, so `CAST(x AS DECIMAL(18,2))`
+  * before aggregating is lossless; decimal aggregation is exact in both
+  * engines, and the final `CAST(... AS DOUBLE)` is correctly rounded and
+  * therefore bit-identical. Integer-ratio divisions are done in IEEE
+  * double (exact same result both sides).
+  */
+object QueryDsl {
+  /** Lossless 2-decimal fixed-point view of a double column. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  def dec(name: String): Column = dec(col(name))
+
+  /** `SUM(dec(c))` surfaced as a deterministic double. */
+  def sumDec(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** Deterministic average: exact decimal sum, then one double division. */
+  def avgDec(c: Column): Column = sum(dec(c)).cast(DoubleType) / count(lit(1))
+
+  /** `1 - discount` in exact decimals (TPC-H revenue term). */
+  def oneMinus(c: Column): Column = lit(1).cast(DecimalType(18, 2)) - dec(c)
+
+  /** Common DuckDB SQL fragments, mirrored by the helpers above. */
+  val SUM_DISC_PRICE =
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+}

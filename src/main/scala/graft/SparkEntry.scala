@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Dedup, Relational, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that has a batch-relational surface
+  * is registered here; where the semantics are ANSI-expressible the
+  * matching DuckDB oracle SQL is provided (same output column names, so
+  * the driver's sorted-column hash compare lines up). Streaming-only
+  * surfaces (Pipeline DSL, stateful intersections, sinks) are covered by
+  * ScalaTest specs instead — they have no SQL twin.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  val registry: Seq[GraftQuery] =
+    Relational.all ++ TextOps.all ++ Dedup.all ++ Similarity.all
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01.run(spark, "/root/testdata/sf0.001")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.run).toMap
+
+  /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB
+    * on the same parquet tables. Omitted for non-SQL-expressible ops
+    * (LSH/sketch/heuristic operators) → driver records rows-only. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated TPC-H-ish tables (TESTDATA.md).
+  *
+  * Plain parquet scans: Catalyst pushes predicates into the scan
+  * (`PushedFilters`) and prunes columns (`ReadSchema`), so every query in
+  * [[graft.Queries]] only reads the bytes it needs — the property that
+  * matters at 100 TB.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
+    * type for: read it as nanos-since-epoch and truncate to micros
+    * (integer `div`, no double round-trip — ns epochs exceed a double's
+    * 53-bit mantissa). Matches DuckDB's ns→us floor semantics.
+    */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+}

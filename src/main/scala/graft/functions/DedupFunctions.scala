@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lit, udf}
+
+/** MinHash / SimHash primitives for near-duplicate detection.
+  *
+  * MinHash: Broder, "On the resemblance and containment of documents"
+  * (1997) — k independent min-hashes of the shingle set estimate Jaccard;
+  * banding (Leskovec/Rajaraman/Ullman, MMDS ch.3) turns signatures into
+  * an LSH bucket join so candidate generation is a shuffle on
+  * (band, bandHash), never an O(n²) cross join.
+  *
+  * SimHash: Charikar, "Similarity estimation techniques from rounding
+  * algorithms" (STOC 2002); 64-bit fingerprints, near-dups = small
+  * Hamming distance, blocked by splitting the fingerprint into bands
+  * (pigeonhole: hamming <= bands-1 ⇒ some band matches exactly).
+  *
+  * Single-pass JVM UDFs. TODO(round 2): native Catalyst Expressions.
+  */
+object DedupFunctions {
+
+  /** k min-hashes over a token/shingle sequence. */
+  def minHashSigImpl(shingles: Seq[String], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (shingles == null) return sig
+    shingles.foreach { s =>
+      val base = Hashing.fnv1a64(s)
+      var i = 0
+      while (i < k) {
+        val h = Hashing.mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minHashUdf = udf((sh: Seq[String], k: Int) => minHashSigImpl(sh, k))
+  def minHashSig(shingles: Column, k: Int): Column = minHashUdf(shingles, lit(k))
+
+  /** Hash each signature band to a single bucket key. */
+  def bandHashesImpl(sig: Seq[Long], bands: Int): Array[Long] = {
+    val rows = sig.length / bands
+    Array.tabulate(bands) { b =>
+      var h = Hashing.FnvOffset
+      var i = b * rows
+      while (i < (b + 1) * rows) {
+        h ^= sig(i); h *= Hashing.FnvPrime
+        i += 1
+      }
+      Hashing.mix64(h ^ b.toLong)
+    }
+  }
+
+  private val bandUdf = udf((sig: Seq[Long], bands: Int) => bandHashesImpl(sig, bands))
+  def bandHashes(sig: Column, bands: Int): Column = bandUdf(sig, lit(bands))
+
+  /** 64-bit SimHash of a token sequence (token-frequency weighted). */
+  def simHash64Impl(tokens: Seq[String]): Long = {
+    if (tokens == null || tokens.isEmpty) return 0L
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = Hashing.hash64(t)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var fp = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  private val simHashUdf = udf(simHash64Impl _)
+  def simHash64(tokens: Column): Column = simHashUdf(tokens)
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming64(a: Column, b: Column): Column =
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
+
+  /** Split a 64-bit fingerprint into `bands` equal bit-chunks. */
+  def fpBandsImpl(fp: Long, bands: Int): Array[Long] = {
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    Array.tabulate(bands)(b => (fp >>> (b * width)) & mask)
+  }
+
+  private val fpBandsUdf = udf((fp: Long, bands: Int) => fpBandsImpl(fp, bands))
+  def fpBands(fp: Column, bands: Int): Column = fpBandsUdf(fp, lit(bands))
+}

@@ -1,0 +1,88 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Text-analysis functions for the training-data pipeline suite.
+  *
+  * Implemented as JVM Scala UDFs (single-pass, allocation-light); these
+  * run at executor speed with no serialization boundary. TODO(round 2):
+  * promote the hot ones to native Catalyst `Expression`s with codegen so
+  * they stay inside whole-stage codegen.
+  */
+object TextAnalysis {
+
+  /** Stopword list shared with the DuckDB oracle (q22_text_quality). */
+  val StopWords: Seq[String] = Seq("the", "a", "and", "of", "is", "to", "in")
+
+  /** DuckDB lambda-body fragment `w IN ('the', ...)`. */
+  def stopListSql(varName: String): String =
+    StopWords.map(w => s"'$w'").mkString(s"$varName IN (", ", ", ")")
+
+  // -- language identification ------------------------------------------
+  // Deterministic marker-word heuristic: score each language by the
+  // fraction of tokens that are high-frequency function words of that
+  // language; ties broken by language code order. This is the classic
+  // stopword-profile approach (Cavnar & Trenkle n-gram profiling,
+  // simplified to word level).
+  private val Profiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "a", "and", "of", "is", "to", "in", "that", "it", "for"),
+    "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "es" -> Set("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
+    "fr" -> Set("le", "les", "des", "de", "et", "est", "un", "une", "dans", "que"),
+    "zh" -> Set.empty // no latin-token markers; never predicted by this heuristic
+  )
+
+  final case class LangPred(lang: String, confidence: Double)
+
+  def langIdImpl(text: String): LangPred = {
+    if (text == null || text.isEmpty) return LangPred("und", 0.0)
+    val tokens = text.split(" ")
+    if (tokens.isEmpty) return LangPred("und", 0.0)
+    val scores = Profiles.toSeq
+      .map { case (lang, prof) => (lang, tokens.count(prof.contains).toDouble / tokens.length) }
+      .sortBy { case (lang, score) => (-score, lang) }
+    val (best, score) = scores.head
+    if (score == 0.0) LangPred("und", 0.0) else LangPred(best, score)
+  }
+
+  private val langIdUdf = udf(langIdImpl _)
+  def langId(text: Column): Column = langIdUdf(text)
+
+  // -- winnowing fingerprints ------------------------------------------
+  // Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
+  // Document Fingerprinting" (SIGMOD 2003): k-gram rolling hashes, keep
+  // the minimum of each sliding window (rightmost min on ties), dedupe
+  // consecutive picks. Guarantees any match of length >= window+k-1 is
+  // caught.
+  def winnowImpl(text: String, kGram: Int, window: Int): Array[Long] = {
+    if (text == null || text.length < kGram) return Array.empty
+    val n = text.length - kGram + 1
+    val hashes = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hashes(i) = Hashing.hash64(text.substring(i, i + kGram))
+      i += 1
+    }
+    if (n <= window) return Array(hashes.min)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPick = -1
+    i = 0
+    while (i + window <= n) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + window) {
+        if (hashes(j) <= hashes(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      if (minIdx != lastPick) { out += hashes(minIdx); lastPick = minIdx }
+      i += 1
+    }
+    out.toArray
+  }
+
+  private val winnowUdf = udf((t: String, k: Int, w: Int) => winnowImpl(t, k, w))
+  def winnow(text: Column, kGram: Int, window: Int): Column =
+    winnowUdf(text, org.apache.spark.sql.functions.lit(kGram),
+      org.apache.spark.sql.functions.lit(window))
+}

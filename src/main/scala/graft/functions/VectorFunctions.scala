@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<double>` embedding columns.
+  *
+  * Built from Spark's higher-order functions (zip_with/aggregate) so the
+  * fold order is a deterministic left-to-right pass — bit-identical to
+  * the DuckDB oracle's sequential loop, which is what lets q31/q33 be
+  * hash-checked. TODO(round 2): a codegen Catalyst Expression for the
+  * dot product (HOFs don't participate in whole-stage codegen).
+  */
+object VectorFunctions {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** cosine = dot / sqrt(|a|²·|b|²) — same formula as DuckDB's
+    * list_cosine_similarity (division by the sqrt of the product). */
+  def cosineSim(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(
+      aggregate(a, lit(0.0), (acc, x) => acc + x * x) *
+      aggregate(b, lit(0.0), (acc, x) => acc + x * x))
+
+  /** Random-hyperplane signature (Charikar LSH): bit i of the result is
+    * the sign of <v, r_i> where r_i is a deterministic pseudo-random
+    * ±1 hyperplane derived from Hashing.seeded — no stored planes, any
+    * executor recomputes them identically.
+    */
+  private val sigUdf = udf((v: Seq[Double], bits: Int) => {
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < v.length) {
+        val sign = if ((Hashing.mix64((i.toLong << 32) ^ j.toLong) & 1L) == 1L) 1.0 else -1.0
+        acc += v(j) * sign
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  })
+
+  def hyperplaneSig(v: Column, bits: Int): Column = sigUdf(v, lit(bits))
+
+  /** Split a `bits`-wide signature into `bands` chunk values for LSH
+    * bucket joins. */
+  private val bandsUdf = udf((sig: Long, bands: Int, bits: Int) => {
+    val width = bits / bands
+    val mask = (1L << width) - 1
+    Array.tabulate(bands)(b => (sig >>> (b * width)) & mask)
+  })
+
+  def sigBands(sig: Column, bands: Int, bits: Int): Column =
+    bandsUdf(sig, lit(bands), lit(bits))
+}

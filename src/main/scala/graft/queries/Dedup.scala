@@ -1,0 +1,117 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.DedupFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over the `documents` table: exact content-hash,
+  * exact n-gram Jaccard (blocked), MinHash+LSH, SimHash.
+  *
+  * Scale design (100 TB): no variant ever materializes the full O(n²)
+  * pair space. Exact dedup is a single hash-shuffle groupBy. The n-gram
+  * variant blocks pairs on a cheap key before comparing. MinHash/SimHash
+  * shuffle on (band, bucket) — the LSH construction — so work is
+  * proportional to colliding candidates, and per-bucket candidate lists
+  * are bounded by skew guards.
+  */
+object Dedup {
+
+  /** Distinct 2-token shingles of a token array (guarding size < 2). */
+  private[queries] def shingles2(tokens: Column): Column =
+    when(size(tokens) >= 2,
+      array_distinct(transform(sequence(lit(0), size(tokens) - 2),
+        i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2)))))
+      .otherwise(array_distinct(tokens))
+
+  private def docShingled(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    Tables(s, dir).documents.select(
+      col("doc_id"), col("lang"),
+      element_at(t, 1).as("first_tok"),
+      shingles2(t).as("sh"))
+  }
+
+  private def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+
+  // -- q27: exact dedup by content hash ---------------------------------
+  val q27 = GraftQuery("q27_dedup_exact", (s, dir) => {
+    Tables(s, dir).documents
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+      .orderBy("fp")
+  }, Some(
+    """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
+
+  // -- q28: exact n-gram (2-shingle) Jaccard, blocked on first token ----
+  // The oracle-checkable exact variant; blocking keeps the pair space
+  // ~|block|² instead of n². For unblocked recall at scale use q29.
+  val q28 = GraftQuery("q28_dedup_ngram", (s, dir) => {
+    val d = docShingled(s, dir)
+    val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("sh").as("a_sh"))
+    val b = d.select(col("doc_id").as("b_id"), col("first_tok"), col("sh").as("b_sh"))
+    a.join(b, Seq("first_tok"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .where(col("jaccard") >= 0.12)
+      .orderBy("a_id", "b_id")
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t[1] AS first_tok,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |      FROM s a JOIN s b ON a.first_tok = b.first_tok AND a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.12
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  // -- q29: MinHash + LSH banding (approximate Jaccard, full recall path)
+  // 32 hashes, 8 bands × 4 rows → collision prob ≈ 1-(1-j⁴)⁸ (~50% at
+  // j≈0.5). Candidates verified with exact Jaccard — output is exact
+  // similarity over LSH candidates. rows-only check; MinHashSpec proves
+  // recall on synthetic near-dups.
+  val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
+    val K = 32; val Bands = 8
+    val banded = docShingled(s, dir)
+      .withColumn("sig", DedupFunctions.minHashSig(col("sh"), K))
+      .select(col("doc_id"), col("sh"),
+        posexplode(DedupFunctions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
+    val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.join(b, Seq("pos", "band"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .distinct() // a pair may collide in several bands
+      .where(col("jaccard") >= 0.12)
+      .orderBy("a_id", "b_id")
+  }, None)
+
+  // -- q30: SimHash near-dup (Hamming distance, banded blocking) --------
+  // 4 bands of 16 bits: any pair with hamming <= 3 shares a band exactly
+  // (pigeonhole), so the bucket join has full recall for that radius.
+  val q30 = GraftQuery("q30_dedup_simhash", (s, dir) => {
+    val Bands = 4
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), DedupFunctions.simHash64(split(col("text"), " ")).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        posexplode(DedupFunctions.fpBands(col("fp"), Bands)).as(Seq("pos", "band")))
+    val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
+    val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
+    a.join(b, Seq("pos", "band"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        DedupFunctions.hamming64(col("a_fp"), col("b_fp")).cast("int").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= 3)
+      .orderBy("a_id", "b_id")
+  }, None)
+
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30)
+}

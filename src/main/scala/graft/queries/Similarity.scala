@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Scale design: brute-force top-k broadcasts the (small) query set and
+  * streams the corpus — one scan, no shuffle of the corpus, per-partition
+  * top-k then a tiny final merge. The LSH variant (random-hyperplane
+  * signatures, Charikar STOC'02) buckets the corpus so each query only
+  * scores its bucket — the 100 TB path, with recall measured against
+  * brute force in AnnSpec.
+  */
+object Similarity {
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  // -- q31: brute-force cosine top-5 for query vectors vec_id < 10 ------
+  val q31 = GraftQuery("q31_ann_brute", (s, dir) => {
+    val c = corpus(s, dir)
+    val q = c.select(col("vec_id").as("qid"), col("v").as("qv"))
+      .where(col("qid") < 10)
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }, Some(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS cid, list_cosine_similarity(qv, v) AS cos
+      |      FROM q CROSS JOIN c WHERE vec_id <> qid),
+      |r AS (SELECT qid, cid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |      FROM s)
+      |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, round(cos, 4) AS score
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+
+  // -- q32: LSH-bucketed ANN (random hyperplane signatures) -------------
+  // 16-bit signatures; candidates share >= 14 of 16 sign bits with the
+  // query (probe buckets at Hamming <= 2 via banded join on 4-bit
+  // chunks), then exact cosine within candidates. rows-only; recall
+  // vs q31 asserted in AnnSpec.
+  val q32 = GraftQuery("q32_ann_lsh", (s, dir) => {
+    val Bits = 16; val Bands = 4
+    val c = corpus(s, dir).withColumn("sig", hyperplaneSig(col("v"), Bits))
+    val bandC = c.select(col("vec_id"), col("v"), col("sig"),
+      posexplode(sigBands(col("sig"), Bands, Bits)).as(Seq("pos", "band")))
+    val q = bandC
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"),
+        col("pos"), col("band"))
+    val cand = bandC.join(q, Seq("pos", "band"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qv"), col("vec_id").as("cid"), col("v"), col("sig"), col("qsig"))
+      .distinct()
+      .where(bit_count(col("sig").bitwiseXOR(col("qsig"))) <= 2)
+      .select(col("qid"), col("cid"), cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cand.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }, None)
+
+  // -- q33: embedding near-dup pairs (cosine >= threshold) --------------
+  val q33 = GraftQuery("q33_dedup_embed", (s, dir) => {
+    val c = corpus(s, dir)
+    val a = c.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = c.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), cosineSim(col("a_v"), col("b_v")).as("cos"))
+      .where(col("cos") >= 0.42)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("score"))
+      .orderBy("a_id", "b_id")
+  }, Some(
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+      |       round(list_cosine_similarity(a.v, b.v), 4) AS score
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  // -- q34: approximate distinct counting (HLL++) -----------------------
+  // Sketch-based; engine-specific bias correction → rows-only check,
+  // exactness bounds asserted in SketchSpec.
+  val q34 = GraftQuery("q34_approx_distinct", (s, dir) => {
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+  }, None)
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34)
+}

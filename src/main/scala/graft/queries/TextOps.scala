@@ -1,0 +1,127 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextAnalysis
+
+/** Text operators: the motorway word-count topology in batch form
+  * (tokenize ≙ `tests/sample_pipeline.py:41-45`, grouped count ≙
+  * `tests/sample_pipeline.py:48-56`, dict-pivot ≙ `examples/database.py`
+  * WordToDictIntersection) plus the training-data-pipeline text suite:
+  * quality scoring, token stats, language-ID, fingerprinting.
+  *
+  * Scale: all are single-shuffle groupBys (partial+final agg) or pure
+  * map-side column work — no driver-side state, no collect().
+  */
+object TextOps {
+
+  private[queries] def toks(c: Column): Column = split(c, " ")
+
+  // -- q20: word count (tokenize + grouped count) -----------------------
+  val q20 = GraftQuery("q20_wordcount", (s, dir) => {
+    Tables(s, dir).documents
+      .select(explode(toks(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+  }, Some(
+    """SELECT word, COUNT(*) AS cnt
+      |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY word ORDER BY word""".stripMargin))
+
+  // -- q21: dict pivot (map build + explode back to rows) ---------------
+  // Exercises MapType end-to-end: per-lang word→count map, then explode.
+  val q21 = GraftQuery("q21_pivot_map", (s, dir) => {
+    val counts = Tables(s, dir).documents
+      .select(col("lang"), explode(toks(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("lang")
+      .agg(map_from_entries(collect_list(struct(col("word"), col("n")))).as("wc"))
+      .select(col("lang"), explode(col("wc")).as(Seq("word", "cnt")))
+      .orderBy("lang", "word")
+  }, Some(
+    """SELECT lang, word, COUNT(*) AS cnt
+      |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |GROUP BY lang, word ORDER BY lang, word""".stripMargin))
+
+  // -- q22: per-document quality scoring --------------------------------
+  // Ratios are int/int in IEEE double → bit-identical across engines.
+  val q22 = GraftQuery("q22_text_quality", (s, dir) => {
+    val d = Tables(s, dir).documents
+    val t = toks(col("text"))
+    val stop = array(TextAnalysis.StopWords.map(lit): _*)
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_actual"),
+      size(t).as("n_tokens"),
+      (size(filter(t, w => array_contains(stop, w))).cast("double") /
+        size(t).cast("double")).as("stop_ratio"),
+      (length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double") /
+        length(col("text")).cast("double")).as("punct_ratio"),
+      (size(array_distinct(t)).cast("double") /
+        size(t).cast("double")).as("distinct_ratio"))
+      .orderBy("doc_id")
+  }, Some(
+    s"""SELECT doc_id,
+       |  CAST(length(text) AS INTEGER) AS n_chars_actual,
+       |  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+       |  CAST(len(list_filter(string_split(text, ' '), w -> ${TextAnalysis.stopListSql("w")})) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stop_ratio,
+       |  CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+       |    / CAST(length(text) AS DOUBLE) AS punct_ratio,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+       |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS distinct_ratio
+       |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // -- q23: corpus token statistics per language ------------------------
+  val q23 = GraftQuery("q23_token_stats", (s, dir) => {
+    val d = Tables(s, dir).documents
+    d.select(col("lang"), size(toks(col("text"))).cast("long").as("nt"))
+      .groupBy("lang")
+      .agg(
+        sum(col("nt")).as("total_tokens"),
+        (sum(col("nt")).cast("double") / count(lit(1))).as("avg_tokens"),
+        count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+  }, Some(
+    """SELECT lang,
+      |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+      |  CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens,
+      |  COUNT(*) AS n_docs
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
+
+  // -- q24: language identification (stopword-profile heuristic) --------
+  // Not SQL-expressible → rows-only check; correctness covered by
+  // LangIdSpec against hand-labeled fixtures.
+  val q24 = GraftQuery("q24_langid", (s, dir) => {
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextAnalysis.langId(col("text")).as("pred"))
+      .select(col("doc_id"), col("labeled_lang"),
+        col("pred.lang").as("pred_lang"), col("pred.confidence").as("confidence"))
+      .orderBy("doc_id")
+  }, None)
+
+  // -- q25: document fingerprint (md5, content-hash identity) -----------
+  val q25 = GraftQuery("q25_fingerprint_md5", (s, dir) => {
+    Tables(s, dir).documents
+      .select(col("doc_id"), md5(col("text")).as("fp"))
+      .orderBy("doc_id")
+  }, Some(
+    "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"))
+
+  // -- q26: winnowing fingerprint (rolling hash + window minima) --------
+  // Schleimer/Wilkerson/Aiken "Winnowing" (SIGMOD'03) — the standard
+  // local-fingerprint scheme for near-dup detection at corpus scale.
+  val q26 = GraftQuery("q26_fingerprint_winnow", (s, dir) => {
+    Tables(s, dir).documents
+      .select(col("doc_id"),
+        TextAnalysis.winnow(col("text"), kGram = 8, window = 4).as("fps"))
+      .select(col("doc_id"), size(col("fps")).as("n_fps"),
+        col("fps").getItem(0).as("first_fp"))
+      .orderBy("doc_id")
+  }, None)
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
+}

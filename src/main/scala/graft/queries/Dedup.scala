@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Distinct 2-token shingles of a token array (guarding size < 2). */
-  private[queries] def shingles2(tokens: Column): Column =
+  def shingles2(tokens: Column): Column =
     when(size(tokens) >= 2,
       array_distinct(transform(sequence(lit(0), size(tokens) - 2),
         i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2)))))

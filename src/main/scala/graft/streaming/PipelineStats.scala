@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.concurrent.TrieMap
+import scala.jdk.CollectionConverters._
+
+/** Controller-stats vocabulary (`motorway/controller.py:43-60,187-199`)
+  * computed from Spark's own progress events instead of a ZMQ acker:
+  * success/failed/processed counts, average + p95 latency, and a
+  * per-minute histogram — the numbers motorway's dashboard renders
+  * (`motorway/webserver.py:105-148`).
+  */
+object PipelineStats {
+
+  /** Weighted percentile over a value→count histogram — port of
+    * `percentile_from_dict` (`motorway/utils.py:13-33`): rank =
+    * ceil(p·N) over keys in ascending order.
+    * Oracle (`tests/test_utils.py:7-9`): {0:2, 1:1, 2:1, 3:3, 4:1} at
+    * p95 → 4.0. */
+  def percentileFromCounts(counts: Map[Double, Long], p: Double): Double = {
+    require(counts.nonEmpty, "empty histogram")
+    require(p > 0 && p <= 1, s"p out of range: $p")
+    val total = counts.values.sum
+    val rank = math.ceil(p * total).toLong
+    var cum = 0L
+    for ((k, c) <- counts.toSeq.sortBy(_._1)) {
+      cum += c
+      if (cum >= rank) return k
+    }
+    counts.keys.max
+  }
+
+  final case class MinuteBucket(
+      successCount: Long = 0, errorCount: Long = 0,
+      timeoutCount: Long = 0, processedCount: Long = 0)
+
+  /** Per-query rolling stats (≙ per-process stats group). */
+  final case class QueryStats(
+      name: String,
+      processed: Long = 0,
+      success: Long = 0,
+      failed: Long = 0,
+      waiting: Long = 0,
+      batchDurationsMs: Vector[Long] = Vector.empty,
+      histogram: Map[Int, MinuteBucket] = Map.empty) {
+    def avgTimeTakenMs: Double =
+      if (batchDurationsMs.isEmpty) 0.0
+      else batchDurationsMs.sum.toDouble / batchDurationsMs.size
+    def p95TimeTakenMs: Double =
+      if (batchDurationsMs.isEmpty) 0.0
+      else percentileFromCounts(
+        batchDurationsMs.groupBy(_.toDouble).view.mapValues(_.size.toLong).toMap, 0.95)
+  }
+}
+
+/** Listener wiring: one `QueryProgressEvent` per micro-batch carries
+  * numInputRows + batch duration; exceptions surface via
+  * `QueryTerminatedEvent`. The 60-minute histogram keeps the
+  * reference's minute-bucket layout (`controller.py:55-59`). */
+final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener.wallClockMinute)
+    extends StreamingQueryListener {
+  import PipelineStats._
+
+  private val stats = TrieMap[String, QueryStats]()
+
+  def snapshot: Map[String, QueryStats] = stats.toMap
+
+  override def onQueryStarted(e: QueryStartedEvent): Unit = {
+    stats.putIfAbsent(e.name, QueryStats(e.name))
+  }
+
+  override def onQueryProgress(e: QueryProgressEvent): Unit = {
+    val p = e.progress
+    val name = Option(p.name).getOrElse(p.id.toString)
+    val rows = p.numInputRows
+    val durMs = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+    val minute = clockMinute() % 60
+    stats.updateWith(name) { prev =>
+      val s = prev.getOrElse(QueryStats(name))
+      val bucket = s.histogram.getOrElse(minute, MinuteBucket())
+      Some(s.copy(
+        processed = s.processed + rows,
+        success = s.success + rows,
+        batchDurationsMs = (s.batchDurationsMs :+ durMs).takeRight(3600),
+        histogram = s.histogram.updated(minute, bucket.copy(
+          successCount = bucket.successCount + rows,
+          processedCount = bucket.processedCount + rows))))
+    }
+  }
+
+  override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
+    e.exception.foreach { err =>
+      val minute = clockMinute() % 60
+      stats.updateWith(e.id.toString) { prev =>
+        val s = prev.getOrElse(QueryStats(e.id.toString))
+        val bucket = s.histogram.getOrElse(minute, MinuteBucket())
+        Some(s.copy(failed = s.failed + 1,
+          histogram = s.histogram.updated(minute,
+            bucket.copy(errorCount = bucket.errorCount + 1))))
+      }
+    }
+  }
+}
+
+object PipelineStatsListener {
+  def wallClockMinute(): Int =
+    java.time.LocalTime.now(java.time.ZoneOffset.UTC).getMinute
+}

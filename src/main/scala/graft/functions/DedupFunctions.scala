@@ -39,6 +39,27 @@ object DedupFunctions {
   private val minHashUdf = udf((sh: Seq[String], k: Int) => minHashSigImpl(sh, k))
   def minHashSig(shingles: Column, k: Int): Column = minHashUdf(shingles, lit(k))
 
+  /** k min-hashes over an already-hashed (long) shingle set — the hot
+    * path: elements were hashed once per document upstream, so each
+    * family member is a single mix64 per element. */
+  def minHashSigLongImpl(hashed: Seq[Long], k: Int): Array[Long] = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    if (hashed == null) return sig
+    hashed.foreach { base =>
+      var i = 0
+      while (i < k) {
+        val h = Hashing.mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  private val minHashLongUdf = udf((sh: Seq[Long], k: Int) => minHashSigLongImpl(sh, k))
+  def minHashSigLong(hashedShingles: Column, k: Int): Column =
+    minHashLongUdf(hashedShingles, lit(k))
+
   /** Hash each signature band to a single bucket key. */
   def bandHashesImpl(sig: Seq[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands

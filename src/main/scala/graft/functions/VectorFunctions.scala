@@ -13,16 +13,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Native codegen kernels (graft.functions.expr) — the hot path. */
+  def dot(a: Column, b: Column): Column = graft.functions.expr.SimilarityExpressions.dotProduct(a, b)
 
-  def norm2(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** cosine = dot / sqrt(|a|²·|b|²) — same formula and accumulation
+    * order as DuckDB's list_cosine_similarity. */
+  def cosineSim(a: Column, b: Column): Column = graft.functions.expr.SimilarityExpressions.cosineSim(a, b)
 
-  /** cosine = dot / sqrt(|a|²·|b|²) — same formula as DuckDB's
-    * list_cosine_similarity (division by the sqrt of the product). */
-  def cosineSim(a: Column, b: Column): Column =
-    dot(a, b) / sqrt(
+  /** Reference formulation via higher-order functions — kept as the
+    * cross-check twin for the native kernel (see TextAndAnnSpec). */
+  def cosineSimHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x) / sqrt(
       aggregate(a, lit(0.0), (acc, x) => acc + x * x) *
       aggregate(b, lit(0.0), (acc, x) => acc + x * x))
 

@@ -1,0 +1,150 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM kernels invoked from generated code. Scala objects emit static
+  * forwarders, so whole-stage codegen calls these directly — one virtual
+  * call per row instead of an interpreted lambda tree per element (the
+  * cost that made the higher-order-function formulation the bench
+  * hotspot: 58 s for 2M cosine pairs at sf0.1).
+  *
+  * Accumulation order is a single ascending-index pass, matching both
+  * the previous zip_with/aggregate formulation and DuckDB's
+  * list_cosine_similarity loop — bit-identical results, so the oracle
+  * hash checks are unaffected.
+  */
+object SimilarityKernels {
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i)
+      val y = b.getDouble(i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    s
+  }
+
+  /** Jaccard |A∩B| / |A∪B| over two string arrays that are already
+    * distinct (shingle sets). |∪| = |A|+|B|-|∩|, one hash probe per
+    * element — replaces array_intersect + array_union + two size() calls
+    * (four interpreted passes and two array allocations per pair). */
+  def jaccardDistinct(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    val (small, large) = if (na <= nb) (a, b) else (b, a)
+    val set = new java.util.HashSet[UTF8String](small.numElements() * 2)
+    var i = 0
+    while (i < small.numElements()) { set.add(small.getUTF8String(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < large.numElements()) {
+      if (set.contains(large.getUTF8String(i))) inter += 1
+      i += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+
+  /** Jaccard over two ascending-sorted distinct long arrays (hashed
+    * shingle sets): branchless-ish merge walk, zero allocation. The
+    * 64-bit hashing step (xxhash64 per shingle, once per document)
+    * makes set elements fixed-width, so the pair join ships ~2.5× fewer
+    * bytes than string shingles and the per-pair cost is a pure linear
+    * merge instead of a HashSet build. */
+  def jaccardSortedLong(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter).toDouble
+  }
+}
+
+abstract class BinaryKernelExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  /** Fully-qualified static call target in [[SimilarityKernels]]. */
+  protected def kernel: String
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    evalKernel(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.SimilarityKernels.$kernel($a, $b)")
+}
+
+/** cosine(a, b) over array<double> — codegen-native. */
+case class CosineSimilarity(left: Expression, right: Expression) extends BinaryKernelExpression {
+
+  override def prettyName: String = "graft_cosine"
+  protected def kernel: String = "cosine"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = SimilarityKernels.cosine(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** dot(a, b) over array<double> — codegen-native. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryKernelExpression {
+
+  override def prettyName: String = "graft_dot"
+  protected def kernel: String = "dot"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = SimilarityKernels.dot(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** jaccard(a, b) over two distinct array<string> shingle sets. */
+case class JaccardDistinct(left: Expression, right: Expression) extends BinaryKernelExpression {
+
+  override def prettyName: String = "graft_jaccard"
+  protected def kernel: String = "jaccardDistinct"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = SimilarityKernels.jaccardDistinct(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** jaccard(a, b) over two sorted distinct array<long> (hashed shingles). */
+case class JaccardSortedLong(left: Expression, right: Expression) extends BinaryKernelExpression {
+
+  override def prettyName: String = "graft_jaccard_hashed"
+  protected def kernel: String = "jaccardSortedLong"
+  protected def evalKernel(a: ArrayData, b: ArrayData): Double = SimilarityKernels.jaccardSortedLong(a, b)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Column-level entry points. */
+object SimilarityExpressions {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def cosineSim(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+  def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
+  def jaccardDistinct(a: Column, b: Column): Column = c(JaccardDistinct(e(a), e(b)))
+  def jaccardSortedLong(a: Column, b: Column): Column = c(JaccardSortedLong(e(a), e(b)))
+}

@@ -24,16 +24,31 @@ object Dedup {
         i => concat_ws(" ", element_at(tokens, i + 1), element_at(tokens, i + 2)))))
       .otherwise(array_distinct(tokens))
 
+  /** Per-doc prep, computed once before any pair join: shingle set
+    * hashed to a sorted long array (`shh`). Pairwise work then ships
+    * fixed-width longs (~2.5× smaller shuffle than string shingles) and
+    * compares via a zero-allocation merge walk. 64-bit hashing keeps
+    * exactness to within collision probability ~1e-9 per corpus. */
   private def docShingled(s: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
-    Tables(s, dir).documents.select(
-      col("doc_id"), col("lang"),
-      element_at(t, 1).as("first_tok"),
-      shingles2(t).as("sh"))
+    // The documents table arrives as few files (1 at test SFs): without
+    // an explicit round-robin repartition the whole per-doc compute
+    // (shingling, hashing, minhash signatures) runs in as many tasks as
+    // there are input splits. Shuffling the raw docs is cheap; the
+    // compute is what must be spread across the cluster.
+    Tables(s, dir).documents
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(
+        col("doc_id"), col("lang"),
+        element_at(t, 1).as("first_tok"),
+        array_sort(transform(shingles2(t), sh => xxhash64(sh))).as("shh"))
   }
 
+  /** Exact Jaccard over hashed sorted shingle arrays — native merge-walk
+    * kernel (|∪| = |A|+|B|-|∩|); replaces the 4-pass
+    * array_intersect/array_union formulation that dominated the bench. */
   private def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
+    graft.functions.expr.SimilarityExpressions.jaccardSortedLong(a, b)
 
   // -- q27: exact dedup by content hash ---------------------------------
   val q27 = GraftQuery("q27_dedup_exact", (s, dir) => {
@@ -49,10 +64,18 @@ object Dedup {
   // The oracle-checkable exact variant; blocking keeps the pair space
   // ~|block|² instead of n². For unblocked recall at scale use q29.
   val q28 = GraftQuery("q28_dedup_ngram", (s, dir) => {
+    // The block key has ~|vocab| distinct values — far fewer than the
+    // cluster's cores — so the pair-generation stage would skew onto a
+    // handful of tasks. Salt: pin each A-row to one of S sub-blocks and
+    // replicate B across all S, multiplying join keys by S while
+    // producing each (a, b) pair exactly once.
+    val S = 8
     val d = docShingled(s, dir)
-    val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("sh").as("a_sh"))
-    val b = d.select(col("doc_id").as("b_id"), col("first_tok"), col("sh").as("b_sh"))
-    a.join(b, Seq("first_tok"))
+    val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
+      .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
+    val b = d.select(col("doc_id").as("b_id"), col("first_tok"), col("shh").as("b_sh"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    a.join(b, Seq("first_tok", "salt"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
@@ -80,11 +103,11 @@ object Dedup {
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
     val K = 32; val Bands = 8
     val banded = docShingled(s, dir)
-      .withColumn("sig", DedupFunctions.minHashSig(col("sh"), K))
-      .select(col("doc_id"), col("sh"),
+      .withColumn("sig", DedupFunctions.minHashSigLong(col("shh"), K))
+      .select(col("doc_id"), col("shh"),
         posexplode(DedupFunctions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
-    val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("shh").as("a_sh"))
+    val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("shh").as("b_sh"))
     a.join(b, Seq("pos", "band"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
@@ -99,6 +122,7 @@ object Dedup {
   val q30 = GraftQuery("q30_dedup_simhash", (s, dir) => {
     val Bands = 4
     val d = Tables(s, dir).documents
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), DedupFunctions.simHash64(split(col("text"), " ")).as("fp"))
       .select(col("doc_id"), col("fp"),
         posexplode(DedupFunctions.fpBands(col("fp"), Bands)).as(Seq("pos", "band")))

@@ -18,8 +18,12 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 object Similarity {
 
+  // Round-robin repartition after the scan: the table arrives as few
+  // parquet splits, and every downstream pair/score stage streams this
+  // side — without it the whole similarity compute runs in one task.
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
 
   // -- q31: brute-force cosine top-5 for query vectors vec_id < 10 ------

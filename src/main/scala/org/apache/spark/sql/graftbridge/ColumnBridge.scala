@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Compat shim: `classic.ExpressionUtils` is `private[sql]` in Spark 4,
+  * so the Column⇄Expression bridge lives inside the sql namespace (the
+  * standard extension-library pattern). Single point of contact with
+  * semi-public API — everything else in graft uses only this. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -48,6 +48,34 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(math.abs(got - want) < 1e-12)
   }
 
+  test("native cosine kernel is bit-identical to the HOF formulation") {
+    val e = graft.Tables(spark, sfDir).embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+      .limit(50)
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("b_v"))
+    val pairs = a.join(b, col("a_id") < col("b_id"))
+    val diffs = pairs.select(
+        VectorFunctions.cosineSim(col("a_v"), col("b_v")).as("native"),
+        VectorFunctions.cosineSimHof(col("a_v"), col("b_v")).as("hof"))
+      .where(col("native") =!= col("hof"))
+      .count()
+    assert(diffs == 0, "native kernel must reproduce the HOF fold bit-for-bit")
+  }
+
+  test("native jaccard kernel matches array_intersect/array_union") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq("a b", "b c", "c d"), Seq("b c", "c d", "d e")),
+      (Seq("x"), Seq("y")),
+      (Seq("k"), Seq("k"))).toDF("a", "b")
+    val got = df.select(
+      graft.functions.expr.SimilarityExpressions.jaccardDistinct(col("a"), col("b")),
+      (size(array_intersect(col("a"), col("b"))).cast("double") /
+        size(array_union(col("a"), col("b"))).cast("double"))).collect()
+    got.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
+
   test("LSH ANN achieves reasonable top-5 recall vs brute force") {
     val brute = Similarity.q31.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet

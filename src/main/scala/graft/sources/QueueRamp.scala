@@ -1,0 +1,55 @@
+package graft.sources
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.collection.mutable.ArrayBuffer
+
+/** Driver-side message queues backing [[QueueRampProvider]] — the Ramp
+  * contract of the reference (`motorway/ramp.py:15-170`):
+  * `next()` ≙ [[enqueue]] feeding uncommitted messages,
+  * `success(_id)` ≙ the engine calling `MicroBatchStream.commit()` after
+  * the batch's sink write succeeds (which is exactly where the Kafka
+  * ramp commits the oldest uncompleted offset,
+  * `contrib/kafka/ramps.py:180-198`, and the SQS ramp deletes messages,
+  * `contrib/amazon_sqs/ramps.py:28-31`).
+  *
+  * Local/test transport: a process-global registry (valid in local[*];
+  * a production source would read the external system from the executor
+  * side — this class is the harness proving the offset/commit plumbing).
+  */
+object QueueRamp {
+  final case class Entry(id: String, content: String, groupingValue: String, eventTimeMicros: Long)
+
+  private final class Q {
+    val entries = new ArrayBuffer[Entry]()
+    val acked = new ArrayBuffer[Entry]()
+    var committed: Long = 0L
+  }
+
+  private val queues = new ConcurrentHashMap[String, Q]()
+
+  private def q(name: String): Q = queues.computeIfAbsent(name, _ => new Q)
+
+  def enqueue(name: String, msgs: Seq[Entry]): Unit = q(name).synchronized {
+    q(name).entries ++= msgs
+  }
+
+  def size(name: String): Long = q(name).synchronized(q(name).entries.size.toLong)
+
+  def slice(name: String, from: Long, until: Long): Seq[Entry] = q(name).synchronized {
+    q(name).entries.slice(from.toInt, until.toInt).toSeq
+  }
+
+  /** Engine-driven success callback: everything below `upTo` is acked —
+    * a real ramp would delete/commit in the external system here. */
+  def commitUpTo(name: String, upTo: Long): Unit = q(name).synchronized {
+    val qu = q(name)
+    if (upTo > qu.committed) {
+      qu.acked ++= qu.entries.slice(qu.committed.toInt, upTo.toInt)
+      qu.committed = upTo
+    }
+  }
+
+  def committed(name: String): Long = q(name).synchronized(q(name).committed)
+  def ackedIds(name: String): Seq[String] = q(name).synchronized(q(name).acked.map(_.id).toSeq)
+  def drop(name: String): Unit = queues.remove(name)
+}

@@ -1,0 +1,97 @@
+package graft.sources
+
+import graft.SparkSpecBase
+import graft.pipeline.{Grouping, Intersection, Message, Pipeline, StreamSink}
+import org.apache.spark.sql.functions._
+
+class QueueRampSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def entry(i: Int, content: String, g: String = null) =
+    QueueRamp.Entry(i.toString, content, g, i.toLong * 1000000L)
+
+  /** Memory-sink reads race with the continuously-cycling
+    * ProcessingTime(0) trigger; poll until the condition stabilizes
+    * (same pattern as PipelineStatsSpec for async listener events). */
+  private def eventually(timeoutMs: Long = 20000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) { Thread.sleep(200); ok = cond }
+    ok
+  }
+
+  test("DSv2 ramp: micro-batch read, partition split, commit-on-success") {
+    val qn = "ramp-basic"
+    QueueRamp.drop(qn)
+    QueueRamp.enqueue(qn, (1 to 10).map(i => entry(i, s"payload-$i")))
+
+    val df = spark.readStream
+      .format(classOf[QueueRampProvider].getName)
+      .option("queue", qn).option("partitions", "4")
+      .load()
+    val q = df.writeStream.format("memory").queryName("ramp_out").start()
+    q.processAllAvailable()
+    assert(eventually()(spark.table("ramp_out").count() == 10),
+      s"rows=${spark.table("ramp_out").count()}")
+
+    // commit(N) is delivered when batch N+1 is constructed (acks lag one
+    // batch — the Kafka-ramp oldest-uncompleted contract). Trigger the
+    // next batch, then batch 0's 10 messages must be acked.
+    QueueRamp.enqueue(qn, Seq(entry(11, "late")))
+    q.processAllAvailable()
+    assert(eventually()(spark.table("ramp_out").count() == 11))
+    assert(eventually()(QueueRamp.committed(qn) == 10),
+      s"committed=${QueueRamp.committed(qn)}")
+    assert(QueueRamp.ackedIds(qn).toSet == (1 to 10).map(_.toString).toSet)
+
+    QueueRamp.enqueue(qn, Seq(entry(12, "later")))
+    q.processAllAvailable()
+    assert(eventually()(QueueRamp.committed(qn) == 11))
+    q.stop()
+    QueueRamp.drop(qn)
+  }
+
+  test("ramp feeds the Pipeline DSL as a typed message stream") {
+    val qn = "ramp-topo"
+    QueueRamp.drop(qn)
+    QueueRamp.enqueue(qn, Seq(entry(1, "a b", "g1"), entry(2, "c", "g2")))
+
+    val raw = spark.readStream
+      .format(classOf[QueueRampProvider].getName)
+      .option("queue", qn).load()
+    val msgs = raw.select(col("id"), col("content"), col("groupingValue"))
+      .as[(String, String, Option[String])]
+      .map { case (id, c, g) => Message(id, c, g) }
+
+    val split = Intersection[String, String]("Split") { m =>
+      m.content.split(" ").iterator.map(w => m.spinOff(w, Some(w)))
+    }
+    val run = Pipeline(spark)
+      .addRamp("in", msgs)
+      .addIntersection("in", "words", split, Grouping.HashRing)
+      .addSink("words", StreamSink.Memory(), "ramp_topo_out")
+      .run()
+    run.processAllAvailable()
+    assert(eventually()(
+      spark.table("ramp_topo_out").select("content").as[String].collect().sorted.toSeq
+        == Seq("a", "b", "c")))
+    // next batch delivers the ack for batch 0's two messages
+    QueueRamp.enqueue(qn, Seq(entry(3, "d", "g3")))
+    run.processAllAvailable()
+    assert(eventually()(QueueRamp.committed(qn) == 2))
+    run.stop()
+    QueueRamp.drop(qn)
+  }
+
+  test("polling ramp enqueues per tick with stable ids") {
+    val qn = "ramp-poll"
+    QueueRamp.drop(qn)
+    val ramp = new PollingRamp(qn, periodMillis = 100000L)(tick =>
+      Seq(QueueRamp.Entry(s"t$tick", s"scan-result-$tick", null, 0L)))
+    ramp.pollNow(3)
+    assert(QueueRamp.size(qn) == 3)
+    assert(QueueRamp.slice(qn, 0, 3).map(_.id) == Seq("t0", "t1", "t2"))
+    ramp.close()
+    QueueRamp.drop(qn)
+  }
+}

@@ -67,6 +67,22 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
 
   def snapshot: Map[String, QueryStats] = stats.toMap
 
+  /** Dashboard-parity JSON (≙ webserver `/api/status/`,
+    * `motorway/webserver.py:105-148`): per-query counts, latency stats,
+    * and the `available|busy` status heuristic. */
+  def snapshotJson: String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    snapshot.toSeq.sortBy(_._1).map { case (name, s) =>
+      val status = if (s.failed > 0) "failing"
+        else if (s.batchDurationsMs.lastOption.exists(_ > 10000)) "busy"
+        else "available"
+      s"""{"name":"${esc(name)}","processed":${s.processed},"success":${s.success},""" +
+        s""""failed":${s.failed},"waiting":${s.waiting},""" +
+        f""""avg_time_taken_ms":${s.avgTimeTakenMs}%.1f,"95_percentile_ms":${s.p95TimeTakenMs}%.1f,""" +
+        s""""status":"$status"}"""
+    }.mkString("[", ",", "]")
+  }
+
   override def onQueryStarted(e: QueryStartedEvent): Unit = {
     stats.putIfAbsent(e.name, QueryStats(e.name))
   }

@@ -35,6 +35,10 @@ class PipelineStatsSpec extends SparkSpecBase {
       val s = listener.snapshot("stats_probe")
       assert(s.histogram(30).processedCount == 3)
       assert(s.avgTimeTakenMs >= 0.0 && s.p95TimeTakenMs >= 0.0)
+      val json = listener.snapshotJson
+      assert(json.contains("\"name\":\"stats_probe\""))
+      assert(json.contains("\"processed\":3"))
+      assert(json.contains("\"status\":\"available\""))
     } finally spark.streams.removeListener(listener)
   }
 }

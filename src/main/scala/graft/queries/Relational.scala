@@ -406,6 +406,19 @@ object Relational {
       .orderBy("event_id")
   }
 
+  // -- q35: CUBE (full grouping-set lattice) ----------------------------
+  val q35 = q("q35_cube",
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      |FROM lineitem
+      |GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumDec(col("l_quantity")).as("qty"))
+      .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35)
 }

@@ -123,5 +123,37 @@ object TextOps {
       .orderBy("doc_id")
   }, None)
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26)
+  // -- q36: custom typed Aggregator (dict-merge, two-phase) -------------
+  // The reference's dict-union AggregateIntersection
+  // (`examples/intersections.py:34-42`) as a real partial+final Spark
+  // aggregate: per-doc token-count maps merged per language by
+  // [[graft.functions.MapMergeAggregator]], then argmax over the merged
+  // map. Output is oracle-checkable against plain SQL.
+  val q36 = GraftQuery("q36_agg_merge_top_word", (s, dir) => {
+    import s.implicits._
+    val perDoc = Tables(s, dir).documents
+      .select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        (lang, text.split(" ").groupBy(identity).map { case (w, a) => (w, a.length.toLong) })
+      }
+    perDoc.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(new graft.functions.MapMergeAggregator().toColumn.name("merged"))
+      .map { case (lang, merged) =>
+        val (w, n) = merged.toSeq.minBy { case (word, cnt) => (-cnt, word) }
+        (lang, w, n)
+      }
+      .toDF("lang", "top_word", "top_count")
+      .orderBy("lang")
+  }, Some(
+    """WITH wc AS (SELECT lang, word, COUNT(*) AS n
+      |            FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+      |            GROUP BY 1, 2),
+      |r AS (SELECT lang, word, n,
+      |        row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rk
+      |      FROM wc)
+      |SELECT lang, word AS top_word, n AS top_count FROM r WHERE rk = 1
+      |ORDER BY lang""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q36)
 }

@@ -25,11 +25,22 @@ final class UpsertParquetSink(tablePath: String, keyCols: Seq[String]) extends S
 
   /** `foreachBatch` callback. Latest row per key within the batch wins
     * (dedup before merge), mirroring last-write-wins in the reference's
-    * UPDATE loop. */
+    * UPDATE loop.
+    *
+    * Batch-id idempotence: a replayed micro-batch (restart between sink
+    * write and offset commit) is skipped by comparing against the last
+    * applied batch id persisted next to the table — upgrading the
+    * at-least-once redelivery to an exactly-once effect. */
   def write(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
-    val deduped = batch.dropDuplicates(keyCols)
     val fs = new Path(tablePath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new Path(tablePath + "__last_batch")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val last = try new String(in.readAllBytes()).trim.toLong finally in.close()
+      if (batchId <= last) return // replayed batch — already applied
+    }
+    val deduped = batch.dropDuplicates(keyCols)
     val cur = new Path(tablePath)
     val merged =
       if (fs.exists(cur)) {
@@ -46,6 +57,8 @@ final class UpsertParquetSink(tablePath: String, keyCols: Seq[String]) extends S
     if (fs.exists(cur)) fs.rename(cur, old)
     fs.rename(tmp, cur)
     fs.delete(old, true)
+    val out = fs.create(marker, true)
+    try out.write(batchId.toString.getBytes) finally out.close()
   }
 
   def read(spark: org.apache.spark.sql.SparkSession): DataFrame =

@@ -21,6 +21,16 @@ class SinksSpec extends SparkSpecBase {
     assert(got == Map("oak" -> 1L, "cat" -> 5L, "dog" -> 1L))
   }
 
+  test("upsert sink skips replayed batch ids (exactly-once effect)") {
+    val dir = java.nio.file.Files.createTempDirectory("upsert-replay").toString + "/tbl"
+    val sink = new UpsertParquetSink(dir, Seq("word"))
+    sink.write(Seq(("oak", 1L)).toDF("word", "count"), 0L)
+    sink.write(Seq(("oak", 99L)).toDF("word", "count"), 0L) // redelivery of batch 0
+    assert(sink.read(spark).as[(String, Long)].collect().toMap == Map("oak" -> 1L))
+    sink.write(Seq(("oak", 2L)).toDF("word", "count"), 1L)  // genuine new batch
+    assert(sink.read(spark).as[(String, Long)].collect().toMap == Map("oak" -> 2L))
+  }
+
   test("upsert sink dedupes within a batch (last write wins per key)") {
     val dir = java.nio.file.Files.createTempDirectory("upsert2").toString + "/tbl"
     val sink = new UpsertParquetSink(dir, Seq("k"))

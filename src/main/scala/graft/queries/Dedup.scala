@@ -103,9 +103,9 @@ object Dedup {
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
     val K = 32; val Bands = 8
     val banded = docShingled(s, dir)
-      .withColumn("sig", DedupFunctions.minHashSigLong(col("shh"), K))
+      .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSig(col("shh"), K))
       .select(col("doc_id"), col("shh"),
-        posexplode(DedupFunctions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
+        posexplode(graft.functions.expr.DedupExpressions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
     val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("shh").as("a_sh"))
     val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("shh").as("b_sh"))
     a.join(b, Seq("pos", "band"))
@@ -123,9 +123,9 @@ object Dedup {
     val Bands = 4
     val d = Tables(s, dir).documents
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), DedupFunctions.simHash64(split(col("text"), " ")).as("fp"))
+      .select(col("doc_id"), graft.functions.expr.DedupExpressions.simHash64(split(col("text"), " ")).as("fp"))
       .select(col("doc_id"), col("fp"),
-        posexplode(DedupFunctions.fpBands(col("fp"), Bands)).as(Seq("pos", "band")))
+        posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, 64 / Bands)).as(Seq("pos", "band")))
     val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
     val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("pos", "band"))

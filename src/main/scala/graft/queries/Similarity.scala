@@ -58,9 +58,9 @@ object Similarity {
   // vs q31 asserted in AnnSpec.
   val q32 = GraftQuery("q32_ann_lsh", (s, dir) => {
     val Bits = 16; val Bands = 4
-    val c = corpus(s, dir).withColumn("sig", hyperplaneSig(col("v"), Bits))
+    val c = corpus(s, dir).withColumn("sig", graft.functions.expr.DedupExpressions.hyperplaneSig(col("v"), Bits))
     val bandC = c.select(col("vec_id"), col("v"), col("sig"),
-      posexplode(sigBands(col("sig"), Bands, Bits)).as(Seq("pos", "band")))
+      posexplode(graft.functions.expr.DedupExpressions.fpBands(col("sig"), Bands, Bits / Bands)).as(Seq("pos", "band")))
     val q = bandC
       .where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"), col("sig").as("qsig"),

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.expr._
+
+/** SQL surface for the engine's native expressions, in two forms:
+  *
+  *  - `SparkSessionExtensions` injection for cluster deployment:
+  *    `spark.sql.extensions=graft.GraftExtensions`;
+  *  - [[GraftFunctions.register]] for an existing session (used by
+  *    Verify/Bench/tests).
+  *
+  * After registration the kernels are callable from SQL:
+  * {{{
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_minhash(shingles, 32), graft_simhash(tokens) FROM ...
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+    ("graft_dot", new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_jaccard", new ExpressionInfo(classOf[JaccardDistinct].getName, "graft_jaccard"),
+      (es: Seq[Expression]) => JaccardDistinct(es(0), es(1))),
+    ("graft_jaccard_hashed", new ExpressionInfo(classOf[JaccardSortedLong].getName, "graft_jaccard_hashed"),
+      (es: Seq[Expression]) => JaccardSortedLong(es(0), es(1))),
+    ("graft_minhash", new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
+      (es: Seq[Expression]) => MinHashSigExpr(es(0), intLit(es(1), "k"))),
+    ("graft_bands", new ExpressionInfo(classOf[BandHashesExpr].getName, "graft_bands"),
+      (es: Seq[Expression]) => BandHashesExpr(es(0), intLit(es(1), "bands"))),
+    ("graft_simhash", new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),
+      (es: Seq[Expression]) => SimHash64Expr(es(0))),
+    ("graft_hyperplane_sig", new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_hyperplane_sig"),
+      (es: Seq[Expression]) => HyperplaneSigExpr(es(0), intLit(es(1), "bits"))),
+    ("graft_fp_bands", new ExpressionInfo(classOf[FpBandsExpr].getName, "graft_fp_bands"),
+      (es: Seq[Expression]) => FpBandsExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "width"))))
+
+  /** Register into an already-built session. */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, info, builder) =>
+      registry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The native kernels through the SQL front-end. */
+class GraftExtensionsSpec extends SparkSpecBase {
+
+  test("registered functions evaluate from SQL text") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_cosine(array(1.0d, 2.0d), array(2.0d, 4.0d)) AS cos,
+        |  graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dot,
+        |  graft_jaccard(array('a', 'b'), array('b', 'c')) AS jac,
+        |  graft_simhash(array('x', 'y', 'x')) AS sh,
+        |  graft_minhash(array(1L, 2L, 3L), 8) AS mh,
+        |  graft_fp_bands(255L, 4, 16) AS bands""".stripMargin).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)  // parallel vectors
+    assert(r.getDouble(1) == 11.0)
+    assert(r.getDouble(2) == 1.0 / 3.0)
+    assert(r.getLong(3) == graft.functions.DedupFunctions.simHash64Impl(Seq("x", "y", "x")))
+    assert(r.getSeq[Long](4).length == 8)
+    assert(r.getSeq[Long](5) == Seq(255L, 0L, 0L, 0L))
+  }
+
+  test("SQL queries over registered views use the kernels end-to-end") {
+    GraftFunctions.register(spark)
+    Tables(spark, sfDir).embeddings.createOrReplaceTempView("emb")
+    val top = spark.sql(
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |       graft_cosine(CAST(a.embedding AS ARRAY<DOUBLE>),
+        |                    CAST(b.embedding AS ARRAY<DOUBLE>)) AS cos
+        |FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+        |ORDER BY cos DESC LIMIT 5""".stripMargin).collect()
+    assert(top.length == 5)
+    assert(top.forall(r => r.getDouble(2) > 0.3)) // clustered embeddings
+  }
+
+  test("non-literal parameter to a literal-only arg is rejected") {
+    GraftFunctions.register(spark)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_minhash(array(1L), CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("literal"))
+  }
+}

@@ -419,6 +419,21 @@ object Relational {
       .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
   }
 
+  // -- q38: scalar subquery (orders above the global average) -----------
+  val q38 = q("q38_scalar_subquery",
+    """SELECT o_orderkey, o_totalprice
+      |FROM orders
+      |WHERE o_totalprice > 1.5 * (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |                                   / COUNT(*) FROM orders)
+      |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val avgPrice = o.agg(avgDec(col("o_totalprice")).as("avg_price"))
+    o.crossJoin(broadcast(avgPrice)) // scalar broadcast, no driver collect
+      .where(col("o_totalprice") > lit(1.5) * col("avg_price"))
+      .select("o_orderkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38)
 }

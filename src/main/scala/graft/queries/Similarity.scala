@@ -96,6 +96,46 @@ object Similarity {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.42
       |ORDER BY a_id, b_id""".stripMargin))
 
+  // -- q37: IVF ANN (inverted-file index, the 100 TB scale path) --------
+  // Coarse quantizer: nlist deterministic seed centroids (vectors with
+  // the smallest ids — a stand-in for k-means on a sample); every corpus
+  // vector is assigned to its nearest centroid (one broadcast pass);
+  // each query probes the nprobe nearest centroid lists only. Recall vs
+  // brute force asserted in TextAndAnnSpec.
+  val q37 = GraftQuery("q37_ann_ivf", (s, dir) => {
+    val NList = 16; val NProbe = 4
+    val c = corpus(s, dir)
+    val centroids = c.orderBy("vec_id").limit(NList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"))
+    // assign: argmin over broadcast centroids (one shuffle-free pass)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist").desc, col("cent_id"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosineSim(col("v"), col("cent_v")).as("dist"))
+      .withColumn("rk", row_number().over(wAssign))
+      .where(col("rk") === 1)
+      .select(col("cent_id"), col("vec_id"), col("v"))
+    // probe lists: nprobe nearest centroids per query
+    val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        cosineSim(col("qv"), col("cent_v")).as("qdist"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= NProbe)
+      .select(col("qid"), col("qv"), col("cent_id"))
+    // search only the probed lists (join on centroid id = the IVF scan)
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    probes.join(assigned, Seq("cent_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }, None)
+
   // -- q34: approximate distinct counting (HLL++) -----------------------
   // Sketch-based; engine-specific bias correction → rows-only check,
   // exactness bounds asserted in SketchSpec.
@@ -108,5 +148,5 @@ object Similarity {
       .orderBy("l_returnflag")
   }, None)
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34)
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37)
 }

@@ -90,6 +90,17 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(recall > 0.05, s"recall=$recall")
   }
 
+  test("IVF ANN achieves good recall vs brute force") {
+    val brute = Similarity.q31.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.q37.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    // 4 of 16 probed lists on clustered data: expect decent recall
+    assert(recall >= 0.3, s"IVF recall=$recall")
+    assert(ivf.nonEmpty)
+  }
+
   test("hyperplane signatures: similar vectors get close signatures") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)

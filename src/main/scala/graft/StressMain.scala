@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** 10× scale stress harness: replicates the sf0.1 tables (key-shifted,
+  * embeddings perturbed deterministically) into a multi-file layout and
+  * runs the heavy operators against it. Purpose: observe — before the
+  * cluster does — whether any operator's pair space, shuffle volume, or
+  * skew behavior degrades super-linearly between sf0.1 and 10×.
+  *
+  * `sbt "runMain graft.StressMain [gen|run|all]"` — writes to /tmp.
+  */
+object StressMain {
+  val StressDir = "/tmp/graft_stress10"
+  val Copies = 10
+  val KeyStride = 10000000L
+
+  def gen(spark: SparkSession, src: String): Unit = {
+    val t = Tables(spark, src)
+    def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
+      (0 until Copies).map { k =>
+        keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * KeyStride)))
+      }.reduce(_ unionByName _)
+
+    // multi-file layout (the realistic shape at scale — also what makes
+    // scans parallelizable, unlike the single-row-group test files)
+    replicate(t.lineitem, Seq("l_orderkey")).repartition(32)
+      .write.mode("overwrite").parquet(s"$StressDir/lineitem.parquet")
+    replicate(t.orders, Seq("o_orderkey", "o_custkey")).repartition(16)
+      .write.mode("overwrite").parquet(s"$StressDir/orders.parquet")
+    replicate(t.customer, Seq("c_custkey")).repartition(8)
+      .write.mode("overwrite").parquet(s"$StressDir/customer.parquet")
+    replicate(t.events.withColumn("event_id", col("event_id")), Seq("event_id", "user_id"))
+      .repartition(16).write.mode("overwrite").parquet(s"$StressDir/events.parquet")
+    replicate(t.documents, Seq("doc_id")).repartition(16)
+      .write.mode("overwrite").parquet(s"$StressDir/documents.parquet")
+    // embeddings: shift ids and perturb values deterministically so the
+    // copies are near-dups (exercising the dedup thresholds), not exact
+    val emb = (0 until Copies).map { k =>
+      t.embeddings
+        .withColumn("vec_id", col("vec_id") + lit(k * KeyStride))
+        .withColumn("embedding",
+          transform(col("embedding"),
+            (x, i) => x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(100)) - lit(50))
+              .cast("float") / lit(5000.0f)))
+    }.reduce(_ unionByName _)
+    emb.repartition(8).write.mode("overwrite").parquet(s"$StressDir/embeddings.parquet")
+    // small dims copied as-is
+    t.nation.write.mode("overwrite").parquet(s"$StressDir/nation.parquet")
+    t.region.write.mode("overwrite").parquet(s"$StressDir/region.parquet")
+    t.supplier.write.mode("overwrite").parquet(s"$StressDir/supplier.parquet")
+    t.part.write.mode("overwrite").parquet(s"$StressDir/part.parquet")
+  }
+
+  val HeavyQueries = Seq(
+    "q01_pricing_summary", "q03_top_revenue", "q08_running_sum",
+    "q18_sessionize", "q20_wordcount",
+    "q27_dedup_exact", "q28_dedup_ngram", "q29_dedup_minhash",
+    "q30_dedup_simhash", "q31_ann_brute", "q32_ann_lsh", "q37_ann_ivf",
+    "q33_dedup_embed")
+
+  def main(args: Array[String]): Unit = {
+    val mode = args.headOption.getOrElse("all")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if (mode == "gen" || mode == "all") {
+      val t0 = System.nanoTime()
+      gen(spark, "/root/testdata/sf0.1")
+      println(f"[stress] generated 10x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    if (mode == "run" || mode == "all") {
+      val results = HeavyQueries.map { name =>
+        val t0 = System.nanoTime()
+        val n = try SparkEntry.queries(name)(spark, StressDir).count()
+                catch { case e: Throwable => println(s"[stress] $name FAILED: ${e.getMessage}"); -1L }
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] $name%-22s ${sec}%8.2f s  rows=$n")
+        name -> sec
+      }
+      println(f"[stress] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} heavy queries at 10x sf0.1")
+    }
+    spark.stop()
+  }
+}

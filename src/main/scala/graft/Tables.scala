@@ -28,7 +28,12 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val df = t("events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df // already a timestamp (e.g. rewritten tables)
+    }
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -47,7 +47,8 @@ class QueueRampProvider extends TableProvider {
       properties: util.Map[String, String]): Table =
     new QueueRampTable(
       properties.getOrDefault("queue", "default"),
-      properties.getOrDefault("partitions", "2").toInt)
+      properties.getOrDefault("partitions", "2").toInt,
+      properties.getOrDefault("maxPerTrigger", "0").toLong)
 }
 
 object QueueRampProvider {
@@ -58,7 +59,7 @@ object QueueRampProvider {
     StructField("eventTime", TimestampType)))
 }
 
-final class QueueRampTable(queue: String, partitions: Int) extends Table with SupportsRead {
+final class QueueRampTable(queue: String, partitions: Int, maxPerTrigger: Long) extends Table with SupportsRead {
   override def name(): String = s"queue_ramp($queue)"
   override def schema(): StructType = QueueRampProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
@@ -67,7 +68,7 @@ final class QueueRampTable(queue: String, partitions: Int) extends Table with Su
     () => new Scan {
       override def readSchema(): StructType = QueueRampProvider.Schema
       override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-        new QueueRampStream(queue, partitions)
+        new QueueRampStream(queue, partitions, maxPerTrigger)
     }
 }
 
@@ -75,10 +76,28 @@ final case class QueuePosition(pos: Long) extends Offset {
   override def json(): String = pos.toString
 }
 
-final class QueueRampStream(queue: String, partitions: Int) extends MicroBatchStream {
+final class QueueRampStream(queue: String, partitions: Int, maxPerTrigger: Long)
+    extends MicroBatchStream with SupportsAdmissionControl {
   override def initialOffset(): Offset = QueuePosition(0L)
   override def latestOffset(): Offset = QueuePosition(QueueRamp.size(queue))
   override def deserializeOffset(json: String): Offset = QueuePosition(json.toLong)
+
+  // -- admission control (≙ the reference's bounded uncompleted sets:
+  // 3,000/shard Kinesis, 3,000/partition + 10,000 global Kafka —
+  // SURVEY.md §4.2 "Backpressure"): cap rows admitted per micro-batch.
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxPerTrigger > 0) ReadLimit.maxRows(maxPerTrigger) else ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val available = QueueRamp.size(queue)
+    val from = start.asInstanceOf[QueuePosition].pos
+    limit match {
+      case r: ReadMaxRows => QueuePosition(math.min(available, from + r.maxRows()))
+      case _              => QueuePosition(available)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = QueuePosition(QueueRamp.size(queue))
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[QueuePosition].pos

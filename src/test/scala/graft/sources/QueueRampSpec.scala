@@ -83,6 +83,25 @@ class QueueRampSpec extends SparkSpecBase {
     QueueRamp.drop(qn)
   }
 
+  test("admission control caps rows per micro-batch (backpressure parity)") {
+    val qn = "ramp-throttle"
+    QueueRamp.drop(qn)
+    QueueRamp.enqueue(qn, (1 to 10).map(i => entry(i, s"m$i")))
+    val df = spark.readStream
+      .format(classOf[QueueRampProvider].getName)
+      .option("queue", qn).option("maxPerTrigger", "4")
+      .load()
+    val q = df.writeStream.format("memory").queryName("throttle_out").start()
+    q.processAllAvailable()
+    assert(eventually()(spark.table("throttle_out").count() == 10))
+    // 10 rows admitted in ceil(10/4) = 3 batches, none larger than 4
+    val batchSizes = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+    assert(batchSizes.forall(_ <= 4), s"batches=$batchSizes")
+    assert(batchSizes.length >= 3)
+    q.stop()
+    QueueRamp.drop(qn)
+  }
+
   test("polling ramp enqueues per tick with stable ids") {
     val qn = "ramp-poll"
     QueueRamp.drop(qn)

@@ -434,6 +434,26 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // -- q39: cross-table date arithmetic (ship delay by priority) --------
+  val q39 = q("q39_ship_delay",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS BIGINT) AS total_delay_days,
+      |  CAST(SUM(datediff('day', o_orderdate, l_shipdate)) AS DOUBLE) / COUNT(*) AS avg_delay_days,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    t.lineitem.join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        datediff(col("l_shipdate"), col("o_orderdate")).cast("long").as("delay"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(col("delay")).as("total_delay_days"),
+        (sum(col("delay")).cast("double") / count(lit(1))).as("avg_delay_days"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39)
 }

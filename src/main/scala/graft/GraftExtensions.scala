@@ -20,10 +20,12 @@ import graft.functions.expr._
   * }}}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+  }
 }
 
 object GraftFunctions {

@@ -434,6 +434,31 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  // -- q41: as-of join through the native custom operator ---------------
+  // Same semantics and oracle as q19, but executed by the custom
+  // LogicalPlan + Strategy + BinaryExecNode (graft.plans.AsOfJoin):
+  // single-pass sort-merge per key partition instead of union + window.
+  val q41 = q("q41_asof_native",
+    """SELECT e.event_id, e.user_id,
+      |  strftime(o.o_orderdate, '%Y-%m-%d') AS last_orderdate,
+      |  o.o_totalprice AS last_totalprice
+      |FROM events e
+      |ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_totalprice) AS o_totalprice
+      |                FROM orders GROUP BY 1, 2) o
+      |  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+      |ORDER BY e.event_id""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val orders = t.orders.groupBy("o_custkey", "o_orderdate")
+      .agg(max(col("o_totalprice")).as("o_totalprice"))
+    graft.plans.AsOf.join(
+        t.events.select("event_id", "user_id", "ts"), orders,
+        "user_id", "o_custkey", "ts", "o_orderdate")
+      .select(col("event_id"), col("user_id"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("last_orderdate"),
+        col("o_totalprice").as("last_totalprice"))
+      .orderBy("event_id")
+  }
+
   // -- q39: cross-table date arithmetic (ship delay by priority) --------
   val q39 = q("q39_ship_delay",
     """SELECT o_orderpriority,
@@ -455,5 +480,5 @@ object Relational {
   }
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41)
 }

@@ -155,5 +155,27 @@ object TextOps {
       |SELECT lang, word AS top_word, n AS top_count FROM r WHERE rk = 1
       |ORDER BY lang""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q36)
+  // -- q40: BPE-ish subword token counting ------------------------------
+  // Word-boundary regex segmentation (letters / digits / punctuation
+  // runs — the GPT-2-style pre-tokenizer shape) vs whitespace tokens;
+  // the ratio is the subword-expansion factor used for token budgeting
+  // in training-data pipelines.
+  val q40 = GraftQuery("q40_bpe_tokens", (s, dir) => {
+    val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]+"
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      size(toks(col("text"))).as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("bpe_tokens"),
+      (size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("double") /
+        size(toks(col("text"))).cast("double")).as("expansion"))
+      .orderBy("doc_id")
+  }, Some(
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS INTEGER) AS bpe_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]+')) AS DOUBLE) /
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS expansion
+      |FROM documents ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q36, q40)
 }

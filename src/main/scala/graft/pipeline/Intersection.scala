@@ -69,4 +69,14 @@ trait StatefulIntersection[K, I, S, O] extends Serializable {
   def initialState: S
   def update(key: K, inputs: Seq[Message[I]], state: S): (S, Seq[Message[O]])
   def name: String = getClass.getSimpleName.stripSuffix("$")
+
+  /** Processing-time state timeout ≙ the controller's 30-minute
+    * in-flight `MESSAGE_TIMEOUT` (`motorway/controller.py:31,176-180`):
+    * a key receiving no messages for this long gets [[onTimeout]] and
+    * its state dropped. None (default) = state lives forever. */
+  def timeoutMillis: Option[Long] = None
+
+  /** Emitted when a key times out (≙ the controller failing the tree →
+    * replay/alert); default: emit nothing, just drop state. */
+  def onTimeout(key: K, state: S): Seq[Message[O]] = Seq.empty
 }

@@ -79,14 +79,23 @@ final class Pipeline(val spark: SparkSession) {
       inStream: String, outStream: String, op: StatefulIntersection[K, I, S, O])(
       implicit ke: Encoder[K], oe: Encoder[Message[O]], se: Encoder[S]): Pipeline = {
     val in = stream[I](inStream)
+    val timeoutConf =
+      if (op.timeoutMillis.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     val out = in.groupByKey(op.key)
-      .flatMapGroupsWithState[S, Message[O]](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[S, Message[O]](OutputMode.Update, timeoutConf) {
         (key: K, it: Iterator[Message[I]], gs: GroupState[S]) =>
-          val st = gs.getOption.getOrElse(op.initialState)
-          val (newState, outs) = op.update(key, it.toSeq, st)
-          gs.update(newState)
-          outs.iterator
+          if (gs.hasTimedOut) {
+            val st = gs.getOption.getOrElse(op.initialState)
+            gs.remove()
+            op.onTimeout(key, st).iterator
+          } else {
+            val st = gs.getOption.getOrElse(op.initialState)
+            val (newState, outs) = op.update(key, it.toSeq, st)
+            gs.update(newState)
+            op.timeoutMillis.foreach(gs.setTimeoutDuration)
+            outs.iterator
+          }
       }
     streams(outStream) = out
     this

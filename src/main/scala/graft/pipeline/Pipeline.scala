@@ -101,6 +101,24 @@ final class Pipeline(val spark: SparkSession) {
     this
   }
 
+  /** Keyed stateful operator over the modern `transformWithState` API
+    * (Spark 4 StatefulProcessor): typed state variables, timers, TTL —
+    * the forward-looking twin of [[addStatefulIntersection]]. The
+    * processor must require the RocksDB state store provider at scale;
+    * tests run it with the default provider. */
+  def addProcessorIntersection[K, I, O](
+      inStream: String, outStream: String,
+      keyFn: Message[I] => K,
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[K, Message[I], Message[O]])(
+      implicit ke: Encoder[K], oe: Encoder[Message[O]]): Pipeline = {
+    val in = stream[I](inStream)
+    streams(outStream) = in.groupByKey(keyFn)
+      .transformWithState(processor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+    this
+  }
+
   /** Arbitrary relational stage — full DataFrame/Dataset surface over a
     * stream (the capability motorway users hand-coded in `process()`
     * bodies; here it's just Catalyst). */

@@ -479,6 +479,25 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // -- q42: exact quantiles (interpolated percentile) -------------------
+  // Spark `percentile` and DuckDB `quantile_cont` both compute the
+  // linearly-interpolated exact quantile; interpolation arithmetic can
+  // differ in the last ulp → round(6) on both sides.
+  val q42 = q("q42_quantiles",
+    """SELECT l_returnflag,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41, q42)
 }

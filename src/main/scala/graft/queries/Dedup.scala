@@ -44,6 +44,20 @@ object Dedup {
         array_sort(transform(shingles2(t), sh => xxhash64(sh))).as("shh"))
   }
 
+  /** Skew guard for LSH bucket joins: a degenerate bucket of n docs
+    * yields n² candidate pairs on one reducer — at corpus scale a
+    * single hot bucket (e.g. boilerplate-dominated shingle sets) can
+    * stall the stage. Buckets above `maxBucket` are dropped before the
+    * pair join (documented recall trade-off; such buckets are almost
+    * always templated/boilerplate content that exact dedup catches
+    * first). No effect at test scales (buckets ≪ cap). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("pos", "band")
+    banded.withColumn("bucket_n", count(lit(1)).over(w))
+      .where(col("bucket_n") <= maxBucket)
+      .drop("bucket_n")
+  }
+
   /** Exact Jaccard over hashed sorted shingle arrays — native merge-walk
     * kernel (|∪| = |A|+|B|-|∩|); replaces the 4-pass
     * array_intersect/array_union formulation that dominated the bench. */
@@ -102,10 +116,11 @@ object Dedup {
   // recall on synthetic near-dups.
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
     val K = 32; val Bands = 8
-    val banded = docShingled(s, dir)
+    val raw = docShingled(s, dir)
       .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSig(col("shh"), K))
       .select(col("doc_id"), col("shh"),
         posexplode(graft.functions.expr.DedupExpressions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
+    val banded = capBuckets(raw, maxBucket = 1000)
     val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("shh").as("a_sh"))
     val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("shh").as("b_sh"))
     a.join(b, Seq("pos", "band"))
@@ -121,11 +136,12 @@ object Dedup {
   // (pigeonhole), so the bucket join has full recall for that radius.
   val q30 = GraftQuery("q30_dedup_simhash", (s, dir) => {
     val Bands = 4
-    val d = Tables(s, dir).documents
+    val d = capBuckets(Tables(s, dir).documents
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), graft.functions.expr.DedupExpressions.simHash64(split(col("text"), " ")).as("fp"))
       .select(col("doc_id"), col("fp"),
-        posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, 64 / Bands)).as(Seq("pos", "band")))
+        posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, 64 / Bands)).as(Seq("pos", "band"))),
+      maxBucket = 1000)
     val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
     val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("pos", "band"))

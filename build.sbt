@@ -28,3 +28,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+
+// Streaming suites share one SparkSession and memory-sink namespace;
+// run test classes sequentially for determinism.
+Test / parallelExecution := false

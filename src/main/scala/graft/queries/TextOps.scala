@@ -97,7 +97,7 @@ object TextOps {
   val q24 = GraftQuery("q24_langid", (s, dir) => {
     Tables(s, dir).documents
       .select(col("doc_id"), col("lang").as("labeled_lang"),
-        TextAnalysis.langId(col("text")).as("pred"))
+        graft.functions.expr.TextExpressions.langId(col("text")).as("pred"))
       .select(col("doc_id"), col("labeled_lang"),
         col("pred.lang").as("pred_lang"), col("pred.confidence").as("confidence"))
       .orderBy("doc_id")
@@ -117,7 +117,7 @@ object TextOps {
   val q26 = GraftQuery("q26_fingerprint_winnow", (s, dir) => {
     Tables(s, dir).documents
       .select(col("doc_id"),
-        TextAnalysis.winnow(col("text"), kGram = 8, window = 4).as("fps"))
+        graft.functions.expr.TextExpressions.winnow(col("text"), kGram = 8, window = 4).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         col("fps").getItem(0).as("first_fp"))
       .orderBy("doc_id")

@@ -39,6 +39,20 @@ class DedupExprParitySpec extends SparkSpecBase {
     assert(diffs == 0)
   }
 
+  test("langid + winnow expressions match the UDF implementations") {
+    val langDiffs = docs.select(
+        graft.functions.expr.TextExpressions.langId(col("text")).as("native"),
+        TextAnalysis.langId(col("text")).as("viaUdf"))
+      .where(col("native.lang") =!= col("viaUdf.lang") ||
+             col("native.confidence") =!= col("viaUdf.confidence")).count()
+    assert(langDiffs == 0)
+    val winnowDiffs = docs.select(
+        graft.functions.expr.TextExpressions.winnow(col("text"), 8, 4).as("native"),
+        TextAnalysis.winnow(col("text"), 8, 4).as("viaUdf"))
+      .where(col("native") =!= col("viaUdf")).count()
+    assert(winnowDiffs == 0)
+  }
+
   test("hyperplane signature + fp bands match the UDF implementations") {
     val e = graft.Tables(spark, sfDir).embeddings.limit(100)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))

@@ -498,6 +498,37 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  // -- q43: PIVOT (long → wide on a categorical) ------------------------
+  val q43 = q("q43_pivot",
+    """SELECT user_id,
+      |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "purchase", "view", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+  }
+
+  // -- q44: stratified sampling (per-stratum fractions, seeded) ---------
+  // Engine-specific RNG → rows-only check; proportions asserted in
+  // QueriesSmokeSpec-adjacent SamplingSpec.
+  val q44 = GraftQuery("q44_stratified_sample", (s, dir) => {
+    Tables(s, dir).events
+      .stat.sampleBy("event_type",
+        Map("click" -> 0.5, "purchase" -> 0.1, "view" -> 0.25,
+            "signup" -> 1.0, "error" -> 0.0),
+        seed = 42L)
+      .groupBy("event_type").agg(count(lit(1)).as("sampled_n"))
+      .orderBy("event_type")
+  }, None)
+
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41, q42)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41, q42,
+    q43, q44)
 }

@@ -20,12 +20,13 @@ object TextAnalysis {
     StopWords.map(w => s"'$w'").mkString(s"$varName IN (", ", ", ")")
 
   // -- language identification ------------------------------------------
-  // Deterministic marker-word heuristic: score each language by the
-  // fraction of tokens that are high-frequency function words of that
-  // language; ties broken by language code order. This is the classic
-  // stopword-profile approach (Cavnar & Trenkle n-gram profiling,
-  // simplified to word level).
-  private val Profiles: Map[String, Set[String]] = Map(
+  // Deterministic two-signal heuristic in the Cavnar & Trenkle n-gram
+  // profiling tradition: (a) fraction of tokens that are high-frequency
+  // function words of each language, plus (b) character-bigram profile
+  // hits (distinctive bigrams per language) normalized by text length.
+  // Word markers dominate when present; the char-n-gram signal breaks
+  // ties and handles run-together/fragmentary text.
+  private val WordProfiles: Map[String, Set[String]] = Map(
     "en" -> Set("the", "a", "and", "of", "is", "to", "in", "that", "it", "for"),
     "de" -> Set("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
     "es" -> Set("el", "la", "los", "de", "que", "y", "en", "un", "una", "es"),
@@ -33,17 +34,28 @@ object TextAnalysis {
     "zh" -> Set.empty // no latin-token markers; never predicted by this heuristic
   )
 
+  private val BigramProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("th", "he", "in", "er", "an", "ng"),
+    "de" -> Set("ch", "ei", "en", "ie", "sch".take(2), "tz"),
+    "es" -> Set("ll", "os", "as", "ci", "ón".take(2), "qu"),
+    "fr" -> Set("ou", "au", "eu", "oi", "ai", "qu"),
+    "zh" -> Set.empty)
+
   final case class LangPred(lang: String, confidence: Double)
 
   def langIdImpl(text: String): LangPred = {
     if (text == null || text.isEmpty) return LangPred("und", 0.0)
     val tokens = text.split(" ")
     if (tokens.isEmpty) return LangPred("und", 0.0)
-    val scores = Profiles.toSeq
-      .map { case (lang, prof) => (lang, tokens.count(prof.contains).toDouble / tokens.length) }
-      .sortBy { case (lang, score) => (-score, lang) }
+    val bigrams = text.sliding(2).toSeq
+    val nBigrams = math.max(1, bigrams.length)
+    val scores = WordProfiles.keys.toSeq.map { lang =>
+      val wordScore = tokens.count(WordProfiles(lang).contains).toDouble / tokens.length
+      val bigramScore = bigrams.count(BigramProfiles(lang).contains).toDouble / nBigrams
+      (lang, wordScore + 0.5 * bigramScore)
+    }.sortBy { case (lang, score) => (-score, lang) }
     val (best, score) = scores.head
-    if (score == 0.0) LangPred("und", 0.0) else LangPred(best, score)
+    if (score == 0.0) LangPred("und", 0.0) else LangPred(best, math.min(1.0, score))
   }
 
   private val langIdUdf = udf(langIdImpl _)

@@ -57,6 +57,42 @@ object Multimodal {
     feat
   }
 
+  /** STUB resize — real impl: decode → scale to (w, h) → re-encode.
+    * Deterministic fake keeps byte length proportional to the target
+    * area so size-based planning downstream stays meaningful. */
+  def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    if (payload == null) return Array.empty
+    val targetLen = math.max(1, math.min(payload.length, (w.toLong * h / 64).toInt))
+    Array.tabulate[Byte](targetLen)(i => payload(i % payload.length))
+  }
+
+  /** STUB frame sampling — real impl: demux video, decode every
+    * `stride`-th frame. Deterministic fake: slice the payload into
+    * `frames` chunks, one "frame" feature vector per chunk. */
+  def frameSampleStub(payload: Array[Byte], frames: Int, dim: Int): Array[Array[Float]] = {
+    if (payload == null || payload.isEmpty) return Array.empty
+    val chunk = math.max(1, payload.length / frames)
+    Array.tabulate(math.min(frames, payload.length)) { f =>
+      decodeStub(payload.slice(f * chunk, math.min((f + 1) * chunk, payload.length)), dim)
+    }
+  }
+
+  final case class FrameFeatures(mediaId: Long, frameIdx: Int, features: Array[Float])
+
+  /** Video path: one row per sampled frame — the explode-shaped output
+    * that feeds frame-level dedup/similarity. */
+  def sampleFrames(media: DataFrame, frames: Int = 8, dim: Int = 64): Dataset[FrameFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.where(col("modality") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        frameSampleStub(payload, frames, dim).zipWithIndex.map {
+          case (feat, i) => FrameFeatures(id, i, feat)
+        }
+      }
+  }
+
   /** Partition-batched decode + feature extraction. The decoder handle
     * is created once per partition (≙ loading a codec/model once per
     * executor task, the expensive part in real pipelines) and rows are

@@ -40,6 +40,26 @@ class MultimodalSpec extends SparkSpecBase {
       .forall { case (a, b) => a.features.sameElements(b.features) })
   }
 
+  test("frame sampling explodes videos into per-frame feature rows") {
+    val frames = Multimodal.sampleFrames(mediaDf, frames = 4, dim = 16).collect()
+    val videoIds = (1L to 20L).filter(_ % 3 == 0)
+    assert(frames.map(_.mediaId).distinct.sorted.toSeq == videoIds)
+    assert(frames.groupBy(_.mediaId).values.forall(_.length == 4))
+    assert(frames.forall(_.features.length == 16))
+    // deterministic per frame index
+    val again = Multimodal.sampleFrames(mediaDf, frames = 4, dim = 16).collect()
+    assert(frames.sortBy(f => (f.mediaId, f.frameIdx)).zip(again.sortBy(f => (f.mediaId, f.frameIdx)))
+      .forall { case (a, b) => a.features.sameElements(b.features) })
+  }
+
+  test("resize stub scales payload size with target area") {
+    val payload = Array.tabulate[Byte](1000)(_.toByte)
+    val small = Multimodal.resizeStub(payload, 64, 64)
+    val large = Multimodal.resizeStub(payload, 640, 480)
+    assert(small.length < large.length)
+    assert(Multimodal.resizeStub(payload, 64, 64).sameElements(small))
+  }
+
   test("feature table feeds the similarity operators unchanged") {
     val ft = Multimodal.featureTable(mediaDf, dim = 16)
     assert(ft.columns.toSeq == Seq("vec_id", "embedding"))

@@ -54,7 +54,11 @@ object GraftFunctions {
     ("graft_hyperplane_sig", new ExpressionInfo(classOf[HyperplaneSigExpr].getName, "graft_hyperplane_sig"),
       (es: Seq[Expression]) => HyperplaneSigExpr(es(0), intLit(es(1), "bits"))),
     ("graft_fp_bands", new ExpressionInfo(classOf[FpBandsExpr].getName, "graft_fp_bands"),
-      (es: Seq[Expression]) => FpBandsExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "width"))))
+      (es: Seq[Expression]) => FpBandsExpr(es(0), intLit(es(1), "bands"), intLit(es(2), "width"))),
+    ("graft_langid", new ExpressionInfo(classOf[LangIdExpr].getName, "graft_langid"),
+      (es: Seq[Expression]) => LangIdExpr(es(0))),
+    ("graft_winnow", new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
+      (es: Seq[Expression]) => WinnowExpr(es(0), intLit(es(1), "kGram"), intLit(es(2), "window"))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -102,6 +102,50 @@ class QueueRampSpec extends SparkSpecBase {
     QueueRamp.drop(qn)
   }
 
+  test("canonical word-count topology: every ramp id succeeds, none fail") {
+    // the reference's end-to-end fixture assertions
+    // (`tests/sample_pipeline.py:34-38`): all 10 sentence ids reach
+    // success(), zero failures — here: all acked via commit, zero dead
+    // letters.
+    val qn = "ramp-wordcount"
+    QueueRamp.drop(qn)
+    val sentences = Seq(
+      "Oak is strong and also gives shade", "Cats and dogs each hate the other",
+      "The pipe began to rust while new", "Open the crate but dont break the glass",
+      "Add the sum to the product of these three", "Thieves who rob friends deserve jail",
+      "The ripe taste of cheese improves with age", "Act on these orders with great speed",
+      "The hog crawled under the high fence", "Move the vat over the hot fire")
+    QueueRamp.enqueue(qn, sentences.zipWithIndex.map { case (s, i) => entry(i, s) })
+
+    val msgs = spark.readStream
+      .format(classOf[QueueRampProvider].getName).option("queue", qn).load()
+      .select(col("id"), col("content"), col("groupingValue"))
+      .as[(String, String, Option[String])]
+      .map { case (id, c, g) => Message(id, c, g) }
+    val split = Intersection[String, String]("Split") { m =>
+      m.content.split(" ").iterator.map(w => m.spinOff(w, Some(w)))
+    }
+    val run = Pipeline(spark)
+      .addRamp("sentence", msgs)
+      .addIntersection("sentence", "word", split, Grouping.HashRing)
+      .withDeadLetterStream()
+      .addSink("word", StreamSink.Memory(), "wc_ramp_out")
+      .addSink(Pipeline.DeadLetterStream, StreamSink.Memory(), "wc_ramp_dead")
+      .run()
+    run.processAllAvailable()
+    // trigger the next batch so batch 0's acks are delivered
+    QueueRamp.enqueue(qn, Seq(entry(10, "flush")))
+    run.processAllAvailable()
+
+    assert(eventually()(QueueRamp.ackedIds(qn).toSet == (0 to 9).map(_.toString).toSet),
+      s"acked=${QueueRamp.ackedIds(qn)}")
+    assert(spark.table("wc_ramp_dead").isEmpty) // ≙ zero failed()
+    val words = spark.table("wc_ramp_out").count()
+    assert(words >= sentences.map(_.split(" ").length).sum)
+    run.stop()
+    QueueRamp.drop(qn)
+  }
+
   test("polling ramp enqueues per tick with stable ids") {
     val qn = "ramp-poll"
     QueueRamp.drop(qn)

@@ -101,5 +101,46 @@ object Relational2 {
       .orderBy("s_suppkey")
   }
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q47, q48, q49)
+  // -- q50: GROUPING SETS with GROUPING() disambiguation ----------------
+  // Through the SQL front-end (the engine's full SQL surface; same text
+  // runs in both engines modulo the cast).
+  val q50 = q("q50_grouping_sets",
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_status,
+      |  CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_prio,
+      |  COUNT(*) AS n
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+      |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, dir) =>
+    Tables(s, dir).orders.createOrReplaceTempView("orders")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(GROUPING(o_orderpriority) AS INT) AS g_prio,
+        |  COUNT(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin)
+  }
+
+  // -- q51: interval arithmetic -----------------------------------------
+  val q51 = q("q51_interval_arith",
+    """SELECT l_orderkey, l_linenumber,
+      |  strftime(l_shipdate + INTERVAL 30 DAY, '%Y-%m-%d') AS due_date,
+      |  strftime(l_shipdate - INTERVAL 1 WEEK, '%Y-%m-%d') AS week_before,
+      |  CAST(year(l_shipdate + INTERVAL 6 MONTH) AS INTEGER) AS half_year_later
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '2001-10-01 00:00:00'
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .where(col("l_shipdate") >= lit("2001-10-01 00:00:00"))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        date_format(col("l_shipdate") + expr("INTERVAL 30 DAY"), "yyyy-MM-dd").as("due_date"),
+        date_format(col("l_shipdate") - expr("INTERVAL 1 WEEK"), "yyyy-MM-dd").as("week_before"),
+        year(col("l_shipdate") + expr("INTERVAL 6 MONTH")).as("half_year_later"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q47, q48, q49, q50, q51)
 }

@@ -142,5 +142,25 @@ object Relational2 {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
-  val all: Seq[GraftQuery] = Seq(q45, q46, q47, q48, q49, q50, q51)
+  // -- q52: statistical aggregates --------------------------------------
+  // Variance/correlation accumulate order-dependent low bits → round(6)
+  // on both sides (values are O(1e4), so this still checks 10 digits).
+  val q52 = q("q52_stat_aggs",
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 6) AS sd_qty,
+      |  round(var_samp(l_discount), 6) AS var_disc,
+      |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+      |  round(covar_samp(l_quantity, l_extendedprice), 6) AS covar_qty_price
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+        round(var_samp(col("l_discount")), 6).as("var_disc"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 6).as("covar_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q45, q46, q47, q48, q49, q50, q51, q52)
 }

@@ -177,5 +177,43 @@ object TextOps {
       |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS expansion
       |FROM documents ORDER BY doc_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q36, q40)
+  // -- q53: PII-style redaction (regex scrubbing) -----------------------
+  // The scrubbing pass every training pipeline runs before tokenizing:
+  // here numeric sequences in the semi-structured payload are masked.
+  val q53 = GraftQuery("q53_redact", (s, dir) => {
+    Tables(s, dir).events.select(
+      col("event_id"),
+      regexp_replace(col("props"), "[0-9]+", "<NUM>").as("props_redacted"),
+      (length(col("props")) - length(regexp_replace(col("props"), "[0-9]", ""))).as("digits_removed"))
+      .orderBy("event_id")
+  }, Some(
+    """SELECT event_id,
+      |  regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS props_redacted,
+      |  CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g')) AS INTEGER) AS digits_removed
+      |FROM events ORDER BY event_id""".stripMargin))
+
+  // -- q54: context chunking (token windows with overlap) ---------------
+  // Fixed-size overlapping token windows (size 20, stride 10) — the
+  // chunking step that turns documents into training contexts. One
+  // explode per window start; no per-doc driver logic.
+  val q54 = GraftQuery("q54_chunking", (s, dir) => {
+    val t = toks(col("text"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), t.as("t"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("t")), lit(10)),
+          i => array_join(slice(col("t"), i, lit(20)), " "))).as(Seq("chunk_idx", "chunk")))
+      .orderBy("doc_id", "chunk_idx")
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |c AS (SELECT doc_id,
+      |        list_transform(range(1, len(t) + 1, 10),
+      |                       i -> array_to_string(list_slice(t, i, i + 19), ' ')) AS chunks
+      |      FROM d)
+      |SELECT doc_id,
+      |  CAST(unnest(range(0, len(chunks))) AS INTEGER) AS chunk_idx,
+      |  unnest(chunks) AS chunk
+      |FROM c ORDER BY doc_id, chunk_idx""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q20, q21, q22, q23, q24, q25, q26, q36, q40, q53, q54)
 }

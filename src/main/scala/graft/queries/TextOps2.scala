@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Second text/vector batch for the training-data pipeline surface:
+  * repetition scoring (Gopher-style top-n-gram fraction), rarest-term
+  * extraction (the tf-idf join shape with a fully deterministic integer
+  * metric), and vector norms via higher-order functions.
+  *
+  * Scale notes: repetition and rare-terms are explode → two-level
+  * groupBy pipelines (all partial-aggregated); the document-frequency
+  * table is vocabulary-sized — small relative to the corpus — so its
+  * join back to per-doc terms broadcasts. No O(n²) stage anywhere.
+  */
+object TextOps2 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q72: repetition ratio (most-frequent bigram share per doc) -------
+  // The Gopher/MassiveText "repetition" quality signal: fraction of all
+  // (non-distinct) 2-grams taken by the single most frequent one.
+  // Single-token docs have no bigrams and drop out in both engines.
+  val q72 = q("q72_repetition",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b FROM d),
+      |c AS (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  max(n) AS top_n,
+      |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |  CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = split(col("text"), " ")
+    val bigrams = transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+    Tables(s, dir).documents
+      .where(size(t) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(
+        max(col("n")).as("top_n"),
+        sum(col("n")).as("n_bigrams"),
+        (max(col("n")).cast("double") / sum(col("n")).cast("double")).as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  // -- q73: rarest term per document (tf-idf join shape) ----------------
+  // Corpus document frequency joined back to per-doc distinct terms;
+  // rank by (df asc, term asc) — an integer/string total order, so the
+  // winner is engine-independent (no float idf in the ranking).
+  val q73 = q("q73_rare_terms",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, unnest(list_distinct(t)) AS word FROM d),
+      |df AS (SELECT word, COUNT(*) AS df FROM w GROUP BY 1),
+      |r AS (SELECT doc_id, word, df,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY df, word) AS rk
+      |      FROM w JOIN df USING (word))
+      |SELECT doc_id, word AS rare_word, df AS rare_df FROM r WHERE rk = 1
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val words = Tables(s, dir).documents
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val df = words.groupBy("word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("word"))
+    words.join(broadcast(df), Seq("word"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("word").as("rare_word"), col("df").as("rare_df"))
+      .orderBy("doc_id")
+  }
+
+  // -- q75: vector norms via higher-order fold (no UDF) -----------------
+  // aggregate() folds in ascending index order — the same order DuckDB's
+  // list_dot_product accumulates — so the double sum is bit-identical;
+  // sqrt is correctly rounded IEEE in both.
+  val q75 = q("q75_vector_norms",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(v) AS INTEGER) AS dim,
+      |  round(sqrt(list_dot_product(v, v)), 4) AS l2
+      |FROM e ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = col("embedding").cast(ArrayType(DoubleType))
+    Tables(s, dir).embeddings.select(
+      col("vec_id"),
+      size(v).as("dim"),
+      round(sqrt(graft.functions.expr.SimilarityExpressions.dotProduct(v, v)), 4).as("l2"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q72, q73, q75)
+}

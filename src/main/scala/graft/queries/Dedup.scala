@@ -116,17 +116,28 @@ object Dedup {
   // recall on synthetic near-dups.
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
     val K = 32; val Bands = 8
-    val raw = docShingled(s, dir)
-      .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSig(col("shh"), K))
-      .select(col("doc_id"), col("shh"),
-        posexplode(graft.functions.expr.DedupExpressions.bandHashes(col("sig"), Bands)).as(Seq("pos", "band")))
-    val banded = capBuckets(raw, maxBucket = 1000)
-    val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("shh").as("a_sh"))
-    val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("shh").as("b_sh"))
-    a.join(b, Seq("pos", "band"))
+    val d = docShingled(s, dir)
+    // The band exchange ships only (doc_id, pos, band) — never the
+    // shingle arrays. Candidate pairs are deduped (a pair can collide in
+    // several bands) while still narrow, and only the surviving pairs
+    // join the arrays back for exact-Jaccard verification. At corpus
+    // scale candidates ≪ banded rows, so the wide data rides the two
+    // small joins instead of the big LSH shuffle, and each pair is
+    // verified exactly once.
+    val banded = capBuckets(
+      d.select(col("doc_id"),
+        posexplode(graft.functions.expr.DedupExpressions.bandHashes(
+          graft.functions.expr.DedupExpressions.minHashSig(col("shh"), K), Bands)).as(Seq("pos", "band"))),
+      maxBucket = 1000)
+    val pairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"))
+      .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_id")), Seq("pos", "band"))
       .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    pairs
+      .join(d.select(col("doc_id").as("a_id"), col("shh").as("a_sh")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .distinct() // a pair may collide in several bands
       .where(col("jaccard") >= 0.12)
       .orderBy("a_id", "b_id")
   }, None)

@@ -86,13 +86,20 @@ object Relational {
     val t = Tables(s, dir)
     val c = t.customer.where(col("c_mktsegment") === "BUILDING")
     val o = t.orders.where(col("o_orderdate") < lit("1998-01-01 00:00:00"))
+    // Aggregate lineitem revenue per orderkey BEFORE the join: the fact
+    // table shrinks ~4× ahead of the shuffle, partial aggregation runs
+    // map-side, and the post-agg partitioning (l_orderkey) lines up with
+    // the join key so no extra exchange is inserted. o_orderkey is
+    // unique, so the post-join result needs no second aggregation.
     val l = t.lineitem.where(col("l_shipdate") > lit("1997-01-01 00:00:00"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec("l_extendedprice") * oneMinus(col("l_discount"))).as("rev_dec"))
     l.join(o, col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(c), col("c_custkey") === col("o_custkey"))
-      .groupBy(col("o_orderkey"),
+      .select(col("o_orderkey"),
         date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
-        col("o_orderpriority"))
-      .agg(sum(dec("l_extendedprice") * oneMinus(col("l_discount"))).cast("double").as("revenue"))
+        col("o_orderpriority"),
+        col("rev_dec").cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }

@@ -107,14 +107,19 @@ object Similarity {
     val c = corpus(s, dir)
     val centroids = c.orderBy("vec_id").limit(NList)
       .select(col("vec_id").as("cent_id"), col("v").as("cent_v"))
-    // assign: argmin over broadcast centroids (one shuffle-free pass)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("dist").desc, col("cent_id"))
+    // assign: argmax via max_by, not a row_number window — all candidate
+    // (vec, centroid) rows for a vector sit in the producing partition,
+    // so partial aggregation collapses them map-side: no sort, and the
+    // exchange carries one row per vector instead of NList rows. Ties
+    // break to the smallest cent_id ((dist, -cent_id) struct order),
+    // matching the window formulation this replaces.
     val assigned = c.crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("v"), col("cent_id"),
         cosineSim(col("v"), col("cent_v")).as("dist"))
-      .withColumn("rk", row_number().over(wAssign))
-      .where(col("rk") === 1)
-      .select(col("cent_id"), col("vec_id"), col("v"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("v")),
+        struct(col("dist"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"), col("vec_id"), col("m.v").as("v"))
     // probe lists: nprobe nearest centroids per query
     val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
     val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cent_id"))

@@ -34,18 +34,29 @@ object TextOps2 {
       |  CAST(SUM(n) AS BIGINT) AS n_bigrams,
       |  CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    // The bigram multiset never leaves its row: sort the bigrams and
+    // take the longest equal-run with a single aggregate() fold. Zero
+    // shuffles (vs. explode → groupBy(doc,bigram) → groupBy(doc), which
+    // shuffles ~tokens×docs rows twice) — at corpus scale this is the
+    // difference between a map-only stage and two wide exchanges.
     val t = split(col("text"), " ")
-    val bigrams = transform(sequence(lit(0), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))
+    val sortedBg = array_sort(transform(sequence(lit(0), size(t) - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val topRun = aggregate(
+      sortedBg,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
     Tables(s, dir).documents
       .where(size(t) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("n"))
-      .groupBy("doc_id")
-      .agg(
-        max(col("n")).as("top_n"),
-        sum(col("n")).as("n_bigrams"),
-        (max(col("n")).cast("double") / sum(col("n")).cast("double")).as("rep_ratio"))
+      .select(
+        col("doc_id"),
+        topRun.as("top_n"),
+        (size(t) - 1).cast("long").as("n_bigrams"),
+        (topRun.cast("double") / (size(t) - 1).cast("double")).as("rep_ratio"))
       .orderBy("doc_id")
   }
 

@@ -88,6 +88,26 @@ object SimilarityKernels {
     }
     inter.toDouble / (na + nb - inter).toDouble
   }
+
+  /** |A∩B| over two ascending-sorted distinct long arrays — the same
+    * merge walk as [[jaccardSortedLong]] but returning the raw count, so
+    * asymmetric measures (containment |A∩B|/|A|, overlap coefficient)
+    * stay exact integer-ratio divisions. */
+  def intersectSortedLong(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
 }
 
 abstract class BinaryKernelExpression extends BinaryExpression {
@@ -138,6 +158,19 @@ case class JaccardSortedLong(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** |A∩B| count over two sorted distinct array<long> (hashed shingles). */
+case class IntersectSortedLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_intersect_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.intersectSortedLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.SimilarityKernels.intersectSortedLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** Column-level entry points. */
 object SimilarityExpressions {
   private def c(e: Expression): Column = ColumnBridge.column(e)
@@ -147,4 +180,5 @@ object SimilarityExpressions {
   def dotProduct(a: Column, b: Column): Column = c(DotProduct(e(a), e(b)))
   def jaccardDistinct(a: Column, b: Column): Column = c(JaccardDistinct(e(a), e(b)))
   def jaccardSortedLong(a: Column, b: Column): Column = c(JaccardSortedLong(e(a), e(b)))
+  def intersectSortedLong(a: Column, b: Column): Column = c(IntersectSortedLong(e(a), e(b)))
 }

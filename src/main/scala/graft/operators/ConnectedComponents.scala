@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components by min-label propagation — the canonical way to
+  * turn near-duplicate PAIRS (MinHash/SimHash/n-gram candidates) into
+  * duplicate CLUSTERS so a corpus keeps exactly one representative per
+  * group.
+  *
+  * Execution model: a driver-side loop over fully distributed
+  * iterations (Pregel-style, like GraphX/GraphFrames). Each iteration
+  * is one shuffle: labels join the (undirected) edge list, every node
+  * takes the min of its own label and its neighbors' labels, and the
+  * loop stops when an iteration changes nothing — O(diameter)
+  * iterations, which for dedup graphs (small dense clusters) is
+  * almost always ≤3. The only driver-side value is the scalar
+  * changed-row count; labels never leave the cluster.
+  *
+  * Scale notes (100 TB): labels are persisted between iterations and
+  * the previous generation unpersisted, so lineage stays one iteration
+  * deep (no recursive recomputation). Edges are persisted once and
+  * reused every iteration. For adversarial graphs (long chains) switch
+  * to the large-star/small-star algorithm (Kiveris et al., "Connected
+  * Components in MapReduce"), which converges in O(log n) rounds; for
+  * dedup workloads the diameter bound is better.
+  */
+object ConnectedComponents {
+
+  /** @param edges  two-column DataFrame of undirected edges
+    * @return ("node", "comp") — comp is the min node id reachable;
+    *         only nodes appearing in `edges` are labeled (singletons
+    *         are their own component by definition and need no pass)
+    */
+  def minLabelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
+    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (eager) after every round: it materializes the
+    // labels AND truncates lineage, so the logical plan stays one
+    // iteration deep — without it the plan tree doubles per round
+    // (labels appears twice in each update) and planning itself blows
+    // up exponentially. On a real cluster swap in reliable
+    // checkpointing (spark.checkpoint.dir) so executor loss can't drop
+    // a generation.
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("comp", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // min label among each node's neighbors (partial-aggregated map-side)
+      val nbrMin = und.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("comp")).as("nbr_comp"))
+      val next = labels.join(nbrMin, Seq("node"), "left")
+        .select(col("node"), col("comp").as("old_comp"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val changed = next.where(col("comp") < col("old_comp")).count()
+      labels = next.select("node", "comp")
+      converged = changed == 0
+      iter += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

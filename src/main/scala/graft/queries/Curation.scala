@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.functions.expr.SimilarityExpressions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Corpus-curation suite — the operations a large-scale training-data
+  * pipeline runs between raw crawl and tokenizer: reproducible
+  * stratified sampling, cross-document span dedup (Lee et al.,
+  * "Deduplicating Training Data Makes Language Models Better"),
+  * lexical-diversity stats, Zipf head inspection, a C4/Gopher-style
+  * quality gate, containment scoring for asymmetric near-dups, and
+  * clustering of near-dup pairs into keep-one groups.
+  *
+  * Scale notes are per query; the common theme: per-document signals
+  * are computed inside the row (map-only), corpus-level structures
+  * (vocabulary, span index, components) shuffle only aggregated or
+  * candidate-sized data.
+  */
+object Curation {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  private def toks: Column = split(col("text"), " ")
+
+  // -- q77: deterministic stratified sample -----------------------------
+  // Reproducible per-stratum systematic sampling: a Knuth-style integer
+  // mix of the key modulo 1000 against a per-language per-mille rate.
+  // Unlike rand()-based sampleBy, re-runs (and both engines) select the
+  // SAME rows — at 100 TB reproducibility is what makes the sample
+  // auditable. Map-only: no shuffle at all.
+  val q77 = q("q77_stratified_sample_hash",
+    """SELECT doc_id, lang FROM documents
+      |WHERE (doc_id * 2654435761) % 1000 <
+      |      CASE WHEN lang = 'en' THEN 100 ELSE 200 END
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val rate = when(col("lang") === "en", 100).otherwise(200)
+    Tables(s, dir).documents
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < rate)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  // -- q78: cross-document span dedup (8-token exact spans) -------------
+  // The exact-substring dedup signal: every 8-token window, grouped
+  // corpus-wide; spans seen in ≥2 distinct docs are the removable
+  // boilerplate. At scale the groupBy key is the span hash (group on
+  // (xxhash64(span), span) — same shuffle width as hashing alone since
+  // the span string must survive for the report); partial aggregation
+  // collapses within-doc repeats map-side.
+  val q78 = q("q78_span_dedup",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 6),
+      |                i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS span
+      |       FROM d WHERE len(t) >= 8)
+      |SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  min(doc_id) AS first_doc
+      |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
+      |ORDER BY span""".stripMargin) { (s, dir) =>
+    val t = toks
+    val spans = transform(sequence(lit(0), size(t) - 8),
+      i => array_join(slice(t, i + 1, lit(8)), " "))
+    Tables(s, dir).documents
+      .where(size(t) >= 8)
+      .select(col("doc_id"), explode(spans).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .where(col("n_docs") >= 2)
+      .orderBy("span")
+  }
+
+  // -- q79: lexical diversity — type/token ratio + hapax count ----------
+  // Entirely per-row: sort the tokens once, then count run boundaries
+  // (types) and runs of length 1 (hapax legomena) by index probing the
+  // sorted array. Zero shuffles vs the unnest → per-doc-groupBy shape
+  // the oracle uses.
+  val q79 = q("q79_ttr",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, unnest(t) AS w FROM d),
+      |c AS (SELECT doc_id, w, COUNT(*) AS n FROM w GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_types,
+      |  CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
+      |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr
+      |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = toks
+    val sorted = array_sort(t)
+    val n = size(sorted)
+    val idx = sequence(lit(1), n)
+    def at(i: Column) = element_at(sorted, i)
+    def isNew(i: Column) = (i === 1) || (at(i) =!= at(i - 1))
+    def isLastOfRun(i: Column) = (i === n) || (at(i + 1) =!= at(i))
+    val types = size(filter(idx, i => isNew(i)))
+    val hapax = size(filter(idx, i => isNew(i) && isLastOfRun(i)))
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      types.cast("long").as("n_types"),
+      hapax.cast("long").as("n_hapax"),
+      (types.cast("double") / n.cast("double")).as("ttr"))
+      .orderBy("doc_id")
+  }
+
+  // -- q80: Zipf head — top-50 corpus tokens with cumulative share ------
+  // Token counts partial-aggregate before the vocabulary shuffle; the
+  // ranked head is vocabulary-sized (≪ corpus), so the single-partition
+  // rank/cumulative window operates on an already-tiny aggregate — the
+  // standard "aggregate first, then order the small result" shape.
+  val q80 = q("q80_zipf",
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
+      |r AS (SELECT word, n,
+      |        CAST(row_number() OVER (ORDER BY n DESC, word) AS INTEGER) AS rnk,
+      |        CAST(SUM(n) OVER (ORDER BY n DESC, word
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+      |        CAST(SUM(n) OVER () AS BIGINT) AS total
+      |      FROM c)
+      |SELECT word, n, rnk, CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS cum_share
+      |FROM r WHERE rnk <= 50 ORDER BY rnk""".stripMargin) { (s, dir) =>
+    val counts = Tables(s, dir).documents
+      .select(explode(toks).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    val ord = Window.orderBy(col("n").desc, col("word"))
+    counts
+      .withColumn("rnk", row_number().over(ord))
+      .withColumn("cum", sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
+      .where(col("rnk") <= 50)
+      .select(col("word"), col("n"), col("rnk"),
+        (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
+      .orderBy("rnk")
+  }
+
+  // -- q81: C4/Gopher-style quality gate with reasons -------------------
+  // Every signal (length, diversity, repetition) is computed inside the
+  // row — the whole gate is one map-only pass; concat_ws skips NULL
+  // reason slots in both engines. The oracle recomputes repetition via
+  // the per-doc groupBy shape, proving the per-row fold equivalent.
+  val q81 = q("q81_quality_gate",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      |       FROM d WHERE len(t) >= 2),
+      |rep AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
+      |        FROM (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |sig AS (SELECT d.doc_id,
+      |          CAST(len(t) AS BIGINT) AS n_tokens,
+      |          CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+      |          COALESCE(rep.rep_ratio, 0.0) AS rep_ratio
+      |        FROM d LEFT JOIN rep ON d.doc_id = rep.doc_id)
+      |SELECT doc_id, n_tokens,
+      |  concat_ws(',',
+      |    CASE WHEN n_tokens < 15 THEN 'too_short' END,
+      |    CASE WHEN n_tokens > 90 THEN 'too_long' END,
+      |    CASE WHEN ttr < 0.34 THEN 'low_diversity' END,
+      |    CASE WHEN rep_ratio > 0.09 THEN 'repetitive' END) AS reasons,
+      |  (n_tokens >= 15 AND n_tokens <= 90 AND ttr >= 0.34 AND rep_ratio <= 0.09) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = toks
+    val n = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
+    val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val rep = when(n >= 2,
+      TextOps2.longestRun(sortedBg).cast("double") / (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+    Tables(s, dir).documents.select(
+      col("doc_id"),
+      n.cast("long").as("n_tokens"),
+      concat_ws(",",
+        when(n < 15, "too_short"),
+        when(n > 90, "too_long"),
+        when(ttr < 0.34, "low_diversity"),
+        when(rep > 0.09, "repetitive")).as("reasons"),
+      (n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // -- q82: containment (asymmetric near-dup: is A mostly inside B?) ----
+  // Same salted block join as q28, but the native merge-walk returns the
+  // raw |A∩B| count so containment stays an exact integer ratio. Finds
+  // the quote/aggregator relationship Jaccard misses when |B| ≫ |A|.
+  val q82 = q("q82_containment",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t[1] AS first_tok,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / CAST(len(a.sh) AS DOUBLE) AS containment
+      |      FROM s a JOIN s b ON a.first_tok = b.first_tok AND a.doc_id <> b.doc_id)
+      |SELECT a_id, b_id, containment FROM p WHERE containment >= 0.2
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val S = 8
+    val d = Dedup.docShingled(s, dir)
+    val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
+      .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
+    val b = d.select(col("doc_id").as("b_id"), col("first_tok"), col("shh").as("b_sh"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    a.join(b, Seq("first_tok", "salt"))
+      .where(col("a_id") =!= col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        (SimilarityExpressions.intersectSortedLong(col("a_sh"), col("b_sh")).cast("double") /
+          size(col("a_sh")).cast("double")).as("containment"))
+      .where(col("containment") >= 0.2)
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- q83: linear-regression aggregates --------------------------------
+  // regr_* are order-dependent double accumulations (like q52's
+  // corr/covar): round(6) absorbs the reassociation difference between
+  // engines while still pinning 6 significant decimals.
+  val q83 = q("q83_regression",
+    """SELECT l_returnflag,
+      |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+      |  round(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+      |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+      |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    Tables(s, dir).lineitem
+      .groupBy("l_returnflag")
+      .agg(
+        round(regr_slope(col("l_extendedprice"), col("l_quantity")), 6).as("slope"),
+        round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 6).as("intercept"),
+        round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2"),
+        regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+      .orderBy("l_returnflag")
+  }
+
+  // -- q84: near-dup pairs → duplicate clusters (connected components) --
+  // The step after any pair-finding dedup: transitively close the pair
+  // graph so each group keeps exactly one representative. Spark side is
+  // [[graft.operators.ConnectedComponents]] (min-label propagation,
+  // O(diameter) distributed rounds); the oracle is a recursive CTE over
+  // the same q28 pair set.
+  val q84 = q("q84_dup_clusters",
+    """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, t[1] AS first_tok,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM s a JOIN s b ON a.first_tok = b.first_tok AND a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12),
+      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r AS (SELECT u AS node, u AS reach FROM e
+      |      UNION
+      |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
+      |SELECT node AS doc_id, min(reach) AS cluster_id
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val edges = Dedup.q28.run(s, dir).select(col("a_id"), col("b_id"))
+    graft.operators.ConnectedComponents.minLabelPropagation(edges)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84)
+}

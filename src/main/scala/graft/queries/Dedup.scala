@@ -29,7 +29,7 @@ object Dedup {
     * fixed-width longs (~2.5× smaller shuffle than string shingles) and
     * compares via a zero-allocation merge walk. 64-bit hashing keeps
     * exactness to within collision probability ~1e-9 per corpus. */
-  private def docShingled(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docShingled(s: SparkSession, dir: String): DataFrame = {
     val t = split(col("text"), " ")
     // The documents table arrives as few files (1 at test SFs): without
     // an explicit round-robin repartition the whole per-doc compute

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -20,6 +20,18 @@ object TextOps2 {
 
   private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
     GraftQuery(name, f, Some(oracle))
+
+  /** Longest equal-run in a sorted string array (per-row fold; equals
+    * the max multiplicity of the underlying multiset). */
+  def longestRun(sorted: Column): Column =
+    aggregate(
+      sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
 
   // -- q72: repetition ratio (most-frequent bigram share per doc) -------
   // The Gopher/MassiveText "repetition" quality signal: fraction of all
@@ -42,14 +54,7 @@ object TextOps2 {
     val t = split(col("text"), " ")
     val sortedBg = array_sort(transform(sequence(lit(0), size(t) - 2),
       i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-    val topRun = aggregate(
-      sortedBg,
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      (acc, x) => {
-        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
-        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
-      },
-      acc => acc("best"))
+    val topRun = longestRun(sortedBg)
     Tables(s, dir).documents
       .where(size(t) >= 2)
       .select(

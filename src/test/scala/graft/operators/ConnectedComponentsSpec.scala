@@ -1,0 +1,33 @@
+package graft.operators
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+class ConnectedComponentsSpec extends SparkSpecBase {
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    ConnectedComponents.minLabelPropagation(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, triangle, and isolated pair resolve to min-id components") {
+    // 1-2-3-4 chain, {10,11,12} triangle, 20-21 pair
+    val comps = cc(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(comps == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("long chain converges within the diameter bound") {
+    // 10-node path: worst case shape for min propagation (diameter 9)
+    val comps = cc((0L until 9L).map(i => (i, i + 1)))
+    assert(comps.size == 10 && comps.values.forall(_ == 0L))
+  }
+
+  test("edge direction does not matter") {
+    val comps = cc(Seq((5L, 3L), (3L, 9L)))
+    assert(comps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
+  }
+}

@@ -58,7 +58,13 @@ object GraftFunctions {
     ("graft_langid", new ExpressionInfo(classOf[LangIdExpr].getName, "graft_langid"),
       (es: Seq[Expression]) => LangIdExpr(es(0))),
     ("graft_winnow", new ExpressionInfo(classOf[WinnowExpr].getName, "graft_winnow"),
-      (es: Seq[Expression]) => WinnowExpr(es(0), intLit(es(1), "kGram"), intLit(es(2), "window"))))
+      (es: Seq[Expression]) => WinnowExpr(es(0), intLit(es(1), "kGram"), intLit(es(2), "window"))),
+    ("graft_intersect_count", new ExpressionInfo(classOf[IntersectSortedLong].getName, "graft_intersect_count"),
+      (es: Seq[Expression]) => IntersectSortedLong(es(0), es(1))),
+    ("graft_iso_duration_us", new ExpressionInfo(classOf[IsoDurationMicrosExpr].getName, "graft_iso_duration_us"),
+      (es: Seq[Expression]) => IsoDurationMicrosExpr(es(0))),
+    ("graft_iso_duration", new ExpressionInfo(classOf[IsoDurationFormatExpr].getName, "graft_iso_duration"),
+      (es: Seq[Expression]) => IsoDurationFormatExpr(es(0))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -43,4 +43,17 @@ class GraftExtensionsSpec extends SparkSpecBase {
     }
     assert(err.getMessage.toLowerCase.contains("literal"))
   }
+
+  test("ISO-8601 duration codec round-trips envelope payloads") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_iso_duration_us('P1DT2H3M4.5S') AS us,
+        |  graft_iso_duration(graft_iso_duration_us('PT2H30M')) AS rt,
+        |  graft_iso_duration_us(graft_iso_duration(93784500000L)) AS us2,
+        |  graft_intersect_count(array(1L,3L,5L,9L), array(3L,4L,5L)) AS inter""".stripMargin).head()
+    assert(r.getLong(0) == ((26 * 3600L + 3 * 60L + 4) * 1000000L + 500000L))
+    assert(r.getString(1) == "PT2H30M")
+    assert(r.getLong(2) == 93784500000L)  // format(parse(x)) is lossless
+    assert(r.getLong(3) == 2L)
+  }
 }

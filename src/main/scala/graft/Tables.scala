@@ -12,7 +12,8 @@ import org.apache.spark.sql.functions._
   */
 final case class Tables(spark: SparkSession, dir: String) {
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.resolved.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -37,4 +38,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** Resolved-relation cache, keyed per (session, dir, table): parquet
+    * resolution (file listing + footer schema read) costs tens of ms
+    * per call and the result — an analyzed immutable plan — is fully
+    * reusable. This is what a catalog/metastore provides on a real
+    * cluster; the test dirs are immutable, so no invalidation is
+    * needed. Caches the PLAN, not data: every query still scans. */
+  private val resolved =
+    new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
 }

@@ -64,7 +64,9 @@ object GraftFunctions {
     ("graft_iso_duration_us", new ExpressionInfo(classOf[IsoDurationMicrosExpr].getName, "graft_iso_duration_us"),
       (es: Seq[Expression]) => IsoDurationMicrosExpr(es(0))),
     ("graft_iso_duration", new ExpressionInfo(classOf[IsoDurationFormatExpr].getName, "graft_iso_duration"),
-      (es: Seq[Expression]) => IsoDurationFormatExpr(es(0))))
+      (es: Seq[Expression]) => IsoDurationFormatExpr(es(0))),
+    ("graft_jaro_winkler", new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -89,6 +89,60 @@ object SimilarityKernels {
     inter.toDouble / (na + nb - inter).toDouble
   }
 
+  /** Jaro-Winkler similarity over two strings — classic formulation
+    * (match window ⌊max/2⌋−1, half-transpositions, Winkler prefix boost
+    * p=0.1 · ℓ≤4 applied only when jaro > 0.7), matching DuckDB's
+    * `jaro_winkler_similarity` including its empty-string → 0 edge.
+    * Spark has no built-in; this is the fuzzy-match primitive for
+    * record linkage over short strings (names, titles). Operates on
+    * UTF-16 code units — identical across engines for BMP text. */
+  def jaroWinkler(sa: UTF8String, sb: UTF8String): Double = {
+    val a = sa.toString
+    val b = sb.toString
+    val la = a.length
+    val lb = b.length
+    if (la == 0 || lb == 0) return 0.0
+    if (a == b) return 1.0
+    val window = math.max(math.max(la, lb) / 2 - 1, 0)
+    val aFlags = new Array[Boolean](la)
+    val bFlags = new Array[Boolean](lb)
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val hi = math.min(lb - 1, i + window)
+      var j = math.max(0, i - window)
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlags(j) && b.charAt(j) == a.charAt(i)) {
+          bFlags(j) = true; aFlags(i) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (aFlags(i)) {
+        while (!bFlags(k)) k += 1
+        if (a.charAt(i) != b.charAt(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val md = m.toDouble
+    val jaro = (md / la + md / lb + (md - t / 2.0) / md) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      val maxL = math.min(4, math.min(la, lb))
+      var l = 0
+      while (l < maxL && a.charAt(l) == b.charAt(l)) l += 1
+      jaro + l * 0.1 * (1.0 - jaro)
+    }
+  }
+
   /** |A∩B| over two ascending-sorted distinct long arrays — the same
     * merge walk as [[jaccardSortedLong]] but returning the raw count, so
     * asymmetric measures (containment |A∩B|/|A|, overlap coefficient)
@@ -158,6 +212,19 @@ case class JaccardSortedLong(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** jaro_winkler(a, b) over two strings — codegen-native. */
+case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_jaro_winkler"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.jaroWinkler(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.SimilarityKernels.jaroWinkler($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** |A∩B| count over two sorted distinct array<long> (hashed shingles). */
 case class IntersectSortedLong(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -181,4 +248,5 @@ object SimilarityExpressions {
   def jaccardDistinct(a: Column, b: Column): Column = c(JaccardDistinct(e(a), e(b)))
   def jaccardSortedLong(a: Column, b: Column): Column = c(JaccardSortedLong(e(a), e(b)))
   def intersectSortedLong(a: Column, b: Column): Column = c(IntersectSortedLong(e(a), e(b)))
+  def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
 }

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
+import graft.QueryDsl.sumDec
 import graft.functions.expr.SimilarityExpressions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -261,5 +262,105 @@ object Curation {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84)
+  // -- q85: fuzzy record linkage (Jaro-Winkler over blocked pairs) ------
+  // The native kernel against DuckDB's jaro_winkler_similarity — a
+  // cross-engine check of the whole algorithm (match window,
+  // half-transpositions, 0.7-gated prefix boost). Pairs are blocked on
+  // (brand, type) so the pair space stays |block|²-bounded; round(6)
+  // absorbs any final-arithmetic ULP difference between engines.
+  val q85 = q("q85_fuzzy_linkage",
+    """SELECT a.p_partkey AS a_key, b.p_partkey AS b_key,
+      |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type AND a.p_partkey < b.p_partkey
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+      |ORDER BY a_key, b_key""".stripMargin) { (s, dir) =>
+    val p = Tables(s, dir).part
+    val a = p.select(col("p_partkey").as("a_key"), col("p_brand"), col("p_type"), col("p_name").as("a_name"))
+    val b = p.select(col("p_partkey").as("b_key"), col("p_brand"), col("p_type"), col("p_name").as("b_name"))
+    val jw = SimilarityExpressions.jaroWinkler(col("a_name"), col("b_name"))
+    a.join(b, Seq("p_brand", "p_type"))
+      .where(col("a_key") < col("b_key") && jw >= 0.88)
+      .select(col("a_key"), col("b_key"), round(jw, 6).as("jw"))
+      .orderBy("a_key", "b_key")
+  }
+
+  // -- q86: hopping (sliding) windows over event time -------------------
+  // Spark's window(ts, 1h, 30m) assigns each event to its two
+  // overlapping hops; the oracle unnests the same two aligned starts
+  // per event. Streaming twin: identical groupBy(window(...)) under
+  // readStream with a watermark (EventTimeSpec).
+  val q86 = q("q86_hopping_window",
+    """WITH e AS (SELECT ts, value,
+      |    unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+      |            time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES]) AS wstart
+      |  FROM events)
+      |SELECT strftime(wstart, '%Y-%m-%d %H:%M') AS window_start,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM e GROUP BY wstart ORDER BY window_start""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("total_value"))
+      .select(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm").as("window_start"),
+        col("n_events"), col("total_value"))
+      .orderBy("window_start")
+  }
+
+  // -- q87: percentile gate — top-decile docs by length per language ----
+  // percent_rank over a TOTAL order (n_tokens, doc_id) is an exact
+  // integer ratio, so the decile boundary is engine-independent. The
+  // quantile-based selection shape for curation ("keep the longest 10%
+  // per language").
+  val q87 = q("q87_percentile_gate",
+    """WITH d AS (SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |r AS (SELECT doc_id, lang, n_tokens,
+      |        percent_rank() OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS pr
+      |      FROM d)
+      |SELECT doc_id, lang, n_tokens FROM r WHERE pr >= 0.9
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("lang").orderBy(col("n_tokens"), col("doc_id"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), size(toks).cast("long").as("n_tokens"))
+      .withColumn("pr", percent_rank().over(w))
+      .where(col("pr") >= 0.9)
+      .select(col("doc_id"), col("lang"), col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  // -- q88: bigram language-model counts with conditional probability ---
+  // Corpus-wide bigram statistics (the n-gram-LM shape): counts partial-
+  // aggregate map-side; p(w2|w1) is an integer-ratio division joined
+  // from the unigram-context count — broadcast, since contexts are
+  // vocabulary-sized.
+  val q88 = q("q88_bigram_lm",
+    """WITH d AS (SELECT string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |              unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |       FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS ctx_n FROM bc GROUP BY 1)
+      |SELECT w1, w2, n, ctx_n,
+      |  CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p_cond
+      |FROM bc JOIN uc USING (w1)
+      |WHERE n >= 2 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+    val t = toks
+    val pairs = transform(sequence(lit(0), size(t) - 2),
+      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val bc = Tables(s, dir).documents
+      .where(size(t) >= 2)
+      .select(explode(pairs).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n"))
+    val uc = bc.groupBy("w1").agg(sum(col("n")).as("ctx_n"))
+    bc.join(broadcast(uc), Seq("w1"))
+      .where(col("n") >= 2)
+      .select(col("w1"), col("w2"), col("n"), col("ctx_n"),
+        (col("n").cast("double") / col("ctx_n").cast("double")).as("p_cond"))
+      .orderBy("w1", "w2")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
 }

@@ -56,4 +56,23 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getLong(2) == 93784500000L)  // format(parse(x)) is lossless
     assert(r.getLong(3) == 2L)
   }
+
+  test("jaro-winkler kernel matches the published fixture values") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT round(graft_jaro_winkler('martha', 'marhta'), 10),
+        |  round(graft_jaro_winkler('dixon', 'dicksonx'), 10),
+        |  round(graft_jaro_winkler('duane', 'dwayne'), 10),
+        |  graft_jaro_winkler('kitten', 'sitting'),
+        |  graft_jaro_winkler('abc', 'abc'),
+        |  graft_jaro_winkler('', 'abc'),
+        |  graft_jaro_winkler('ab', 'ba')""".stripMargin).head()
+    assert(r.getDouble(0) == 0.9611111111)  // boost: l=3
+    assert(r.getDouble(1) == 0.8133333333)  // boost: l=2
+    assert(r.getDouble(2) == 0.84)          // boost: l=1
+    assert(math.abs(r.getDouble(3) - 0.746031746031746) < 1e-15)  // no common prefix
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 0.0)           // empty edge matches DuckDB
+    assert(r.getDouble(6) == 0.0)           // zero match window
+  }
 }

@@ -349,13 +349,16 @@ object Curation {
     val t = toks
     val pairs = transform(sequence(lit(0), size(t) - 2),
       i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
-    val bc = Tables(s, dir).documents
+    // ctx_n via a window over w1 rather than a self-join: the bigram
+    // aggregation subtree is computed once (a self-join would execute
+    // it twice), and the context sum reuses the vocabulary-sized
+    // aggregate with one narrow exchange.
+    Tables(s, dir).documents
       .where(size(t) >= 2)
       .select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("n"))
-    val uc = bc.groupBy("w1").agg(sum(col("n")).as("ctx_n"))
-    bc.join(broadcast(uc), Seq("w1"))
+      .withColumn("ctx_n", sum(col("n")).over(Window.partitionBy("w1")))
       .where(col("n") >= 2)
       .select(col("w1"), col("w2"), col("n"), col("ctx_n"),
         (col("n").cast("double") / col("ctx_n").cast("double")).as("p_cond"))

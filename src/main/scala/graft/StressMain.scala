@@ -58,7 +58,11 @@ object StressMain {
     "q18_sessionize", "q20_wordcount",
     "q27_dedup_exact", "q28_dedup_ngram", "q29_dedup_minhash",
     "q30_dedup_simhash", "q31_ann_brute", "q32_ann_lsh", "q37_ann_ivf",
-    "q33_dedup_embed")
+    "q33_dedup_embed",
+    // curation suite: span index, per-row signal pass, vocab window,
+    // pair clustering, fuzzy linkage, bigram LM
+    "q72_repetition", "q78_span_dedup", "q79_ttr", "q80_zipf",
+    "q84_dup_clusters", "q85_fuzzy_linkage", "q88_bigram_lm")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

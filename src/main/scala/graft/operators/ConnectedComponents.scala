@@ -57,11 +57,15 @@ object ConnectedComponents {
       val nbrMin = und.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
+      // convergence metric rides the checkpoint's materialization job
+      // via observe() — one job per round instead of materialize+count
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
       val next = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .observe(obs, sum(when(col("comp") < col("old_comp"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
-      val changed = next.where(col("comp") < col("old_comp")).count()
+      val changed = obs.get("changed").asInstanceOf[Long]
       labels = next.select("node", "comp")
       converged = changed == 0
       iter += 1

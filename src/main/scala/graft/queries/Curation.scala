@@ -365,5 +365,64 @@ object Curation {
       .orderBy("w1", "w2")
   }
 
-  val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85, q86, q87, q88)
+  // -- q89: the end-to-end curation pipeline ----------------------------
+  // Quality gate (per-row signals) ∩ exact-dedup keeper (min doc_id per
+  // content hash) ∩ not a near-dup loser (larger id of any strong
+  // Jaccard pair) — the kept corpus a training run would read. Three
+  // independent predicates, so the result is order-insensitive and
+  // exactly reproducible. Plan shape: one map-only signal pass, one
+  // hash-shuffle groupBy (exact groups), one blocked pair join (near
+  // dups) — the full funnel costs two shuffles beyond its parts.
+  val q89 = q("q89_curation_pipeline",
+    """WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      |       FROM d WHERE len(t) >= 2),
+      |rep AS (SELECT doc_id, CAST(max(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS rep_ratio
+      |        FROM (SELECT doc_id, b, COUNT(*) AS n FROM bg GROUP BY 1, 2) GROUP BY 1),
+      |sig AS (SELECT d.doc_id, d.lang,
+      |          CAST(len(t) AS BIGINT) AS n_tokens,
+      |          CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+      |          COALESCE(rep.rep_ratio, 0.0) AS rep_ratio
+      |        FROM d LEFT JOIN rep ON d.doc_id = rep.doc_id),
+      |gate AS (SELECT doc_id, lang, n_tokens FROM sig
+      |         WHERE n_tokens BETWEEN 15 AND 90 AND ttr >= 0.34 AND rep_ratio <= 0.09),
+      |ek AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
+      |sh AS (SELECT doc_id, t[1] AS ft,
+      |         CASE WHEN len(t) >= 2
+      |              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |              ELSE list_distinct(t) END AS sh
+      |       FROM d),
+      |losers AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
+      |           ON a.ft = b.ft AND a.doc_id < b.doc_id
+      |           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5)
+      |SELECT doc_id, lang, n_tokens
+      |FROM gate JOIN ek USING (doc_id)
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val t = toks
+    val n = size(t)
+    val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
+    val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
+      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val rep = when(n >= 2,
+      TextOps2.longestRun(sortedBg).cast("double") / (n - 1).cast("double"))
+      .otherwise(lit(0.0))
+    val gated = docs
+      .where(n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09)
+      .select(col("doc_id"), col("lang"), n.cast("long").as("n_tokens"))
+    val exactKeepers = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
+    val nearDupLosers = Dedup.q28.run(s, dir)
+      .where(col("jaccard") >= 0.5)
+      .select(col("b_id").as("doc_id"))
+      .distinct()
+    gated
+      .join(exactKeepers, Seq("doc_id"), "left_semi")
+      .join(nearDupLosers, Seq("doc_id"), "left_anti")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85,
+    q86, q87, q88, q89)
 }

@@ -92,8 +92,11 @@ object TextOps {
       |FROM documents GROUP BY lang ORDER BY lang""".stripMargin))
 
   // -- q24: language identification (stopword-profile heuristic) --------
-  // Not SQL-expressible → rows-only check; correctness covered by
-  // LangIdSpec against hand-labeled fixtures.
+  // The native kernel's scoring (token hits in per-language function-word
+  // profiles + 0.5 × char-bigram profile hits, argmax with (score desc,
+  // lang) tie-break) is mirrored literally in the oracle: both sides are
+  // integer-ratio divisions and one multiply-add in the same IEEE order,
+  // so scores — and hence the argmax — are bit-identical.
   val q24 = GraftQuery("q24_langid", (s, dir) => {
     Tables(s, dir).documents
       .select(col("doc_id"), col("lang").as("labeled_lang"),
@@ -101,7 +104,34 @@ object TextOps {
       .select(col("doc_id"), col("labeled_lang"),
         col("pred.lang").as("pred_lang"), col("pred.confidence").as("confidence"))
       .orderBy("doc_id")
-  }, None)
+  }, Some(
+    """WITH profiles(plang, words, bgl) AS (VALUES
+      |  ('en', ['the','a','and','of','is','to','in','that','it','for'],
+      |         ['th','he','in','er','an','ng']),
+      |  ('de', ['der','die','das','und','ist','nicht','ein','zu','mit','von'],
+      |         ['ch','ei','en','ie','sc','tz']),
+      |  ('es', ['el','la','los','de','que','y','en','un','una','es'],
+      |         ['ll','os','as','ci','ón','qu']),
+      |  ('fr', ['le','les','des','de','et','est','un','une','dans','que'],
+      |         ['ou','au','eu','oi','ai','qu']),
+      |  ('zh', [], [])),
+      |d AS (SELECT doc_id, lang AS labeled_lang, text, string_split(text, ' ') AS t,
+      |        CASE WHEN length(text) >= 2
+      |             THEN list_transform(range(1, length(text)), i -> text[i:i+1])
+      |             ELSE [text] END AS bg
+      |      FROM documents),
+      |sc AS (SELECT doc_id, labeled_lang, plang,
+      |         CAST(len(list_filter(t, w -> list_contains(words, w))) AS DOUBLE) / len(t)
+      |         + 0.5 * (CAST(len(list_filter(bg, x -> list_contains(bgl, x))) AS DOUBLE)
+      |                  / greatest(1, len(bg))) AS score
+      |       FROM d CROSS JOIN profiles),
+      |r AS (SELECT doc_id, labeled_lang, plang, score,
+      |        row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, plang) AS rk
+      |      FROM sc)
+      |SELECT doc_id, labeled_lang,
+      |  CASE WHEN score = 0.0 THEN 'und' ELSE plang END AS pred_lang,
+      |  CASE WHEN score = 0.0 THEN 0.0 ELSE least(1.0, score) END AS confidence
+      |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin))
 
   // -- q25: document fingerprint (md5, content-hash identity) -----------
   val q25 = GraftQuery("q25_fingerprint_md5", (s, dir) => {

@@ -119,6 +119,22 @@ class PropertySpec extends AnyFunSuite {
       graft.sources.QueueRamp.drop(qn)
     }
   }
+
+  // -- jaro-winkler: metric-style invariants over random strings --------
+  test("jaro-winkler is symmetric, bounded, and 1 iff equal (non-empty)") {
+    import graft.functions.expr.SimilarityKernels.jaroWinkler
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double =
+      jaroWinkler(UTF8String.fromString(a), UTF8String.fromString(b))
+    val word = Gen.chooseNum(0, 8).flatMap(n => Gen.stringOfN(n, Gen.alphaLowerChar))
+    forAll(Gen.zip(word, word)) { case (a, b) =>
+      val s = jw(a, b)
+      assert(s >= 0.0 && s <= 1.0, s"out of range: jw($a, $b) = $s")
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      if (a.nonEmpty && a == b) assert(s == 1.0)
+      if (a.isEmpty || b.isEmpty) assert(s == 0.0)
+    }
+  }
 }
 
 object QueueRampTestAccess {

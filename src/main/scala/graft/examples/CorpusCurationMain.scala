@@ -62,7 +62,10 @@ object CorpusCurationMain {
     stamp("exact dedup", exactDeduped.count())
 
     // 4. near-dup removal: MinHash LSH candidates -> exact jaccard >=
-    //    0.8 -> drop the larger doc_id of each pair
+    //    0.8 -> connected components -> keep each cluster's min doc_id.
+    //    Clustering (not pairwise drops) makes keep-one transitive: in a
+    //    chain a~b~c where (a,c) never collides, pairwise logic would
+    //    keep both a and b; component labels keep exactly a.
     val shingled = exactDeduped.withColumn("shh",
       array_sort(transform(Dedup.shingles2(toks), sh => xxhash64(sh))))
     val banded = shingled
@@ -71,9 +74,12 @@ object CorpusCurationMain {
         posexplode(DedupExpressions.bandHashes(col("sig"), 8)).as(Seq("pos", "band")))
     val a = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("shh").as("a_sh"))
     val b = banded.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("shh").as("b_sh"))
-    val dropIds = a.join(b, Seq("pos", "band")).where(col("a_id") < col("b_id"))
+    val pairs = a.join(b, Seq("pos", "band")).where(col("a_id") < col("b_id"))
       .where(graft.functions.expr.SimilarityExpressions.jaccardSortedLong(col("a_sh"), col("b_sh")) >= 0.8)
-      .select(col("b_id").as("doc_id")).distinct()
+      .select(col("a_id").as("src"), col("b_id").as("dst")).distinct()
+    val dropIds = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
+      .where(col("node") =!= col("comp"))
+      .select(col("node").as("doc_id"))
     val nearDeduped = shingled.join(dropIds, Seq("doc_id"), "left_anti").drop("shh")
     stamp("near-dup removal", nearDeduped.count())
 

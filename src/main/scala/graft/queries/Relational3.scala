@@ -407,6 +407,38 @@ object Relational3 {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  // -- q90: range join (interval containment) via day-bucket equi-join --
+  // "All activity within 2h of each incident": a pure inequality join,
+  // which vanilla Spark would plan as BroadcastNestedLoop — O(|a|·|e|).
+  // Recipe: bucket events by day, replicate each interval to every day
+  // it covers (≤2 here), equi-join on the bucket, then apply the range
+  // residual. An event matches an interval in exactly one bucket (its
+  // own day), so no post-join dedup is needed. At 100 TB this is one
+  // shuffle on the day key with interval replication ∝ window/bucket
+  // ratio — the standard interval-join decomposition; the oracle is
+  // the plain inequality join.
+  val q90 = q("q90_range_join",
+    """WITH a AS (SELECT event_id AS win_id, ts AS w_start, ts + INTERVAL 2 HOURS AS w_end
+      |           FROM events WHERE event_id % 97 = 0)
+      |SELECT win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM a JOIN events e ON e.ts >= a.w_start AND e.ts < a.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val e = t.events.select(col("ts"), col("value"), unix_date(to_date(col("ts"))).as("bucket"))
+    val anchors = t.events
+      .where(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+      .withColumn("bucket",
+        explode(sequence(unix_date(to_date(col("w_start"))), unix_date(to_date(col("w_end"))))))
+    anchors.join(e, Seq("bucket"))
+      .where(col("ts") >= col("w_start") && col("ts") < col("w_end"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("total_value"))
+      .orderBy("win_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q74, q76)
+    q64, q65, q66, q67, q68, q69, q70, q74, q76, q90)
 }

@@ -439,6 +439,38 @@ object Relational3 {
       .orderBy("win_id")
   }
 
+  // -- q91: interval OVERLAP self-join (replicate + dedup-by-bucket) ----
+  // Overlapping incident windows. Both sides replicate across their
+  // covered day buckets, so an overlapping pair can meet in several
+  // buckets; the classic dedup rule — count the pair only in the bucket
+  // of max(start1, start2), the day the overlap begins — keeps each
+  // pair exactly once with no post-join distinct. The oracle is the
+  // plain quadratic self-join.
+  val q91 = q("q91_interval_overlap",
+    """WITH a AS (SELECT event_id AS win_id, ts AS s, ts + INTERVAL 2 HOURS AS e
+      |           FROM events WHERE event_id < 200)
+      |SELECT x.win_id AS a_id, y.win_id AS b_id,
+      |  CAST(date_diff('microseconds', greatest(x.s, y.s), least(x.e, y.e)) AS BIGINT) AS overlap_us
+      |FROM a x JOIN a y ON x.win_id < y.win_id AND x.s < y.e AND y.s < x.e
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val anchors = Tables(s, dir).events
+      .where(col("event_id") < 200)
+      .select(col("event_id").as("win_id"), col("ts").as("s"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("e"))
+    def repl(side: String) = anchors
+      .select(col("win_id").as(s"${side}_id"), col("s").as(s"${side}_s"), col("e").as(s"${side}_e"))
+      .withColumn("bucket",
+        explode(sequence(unix_date(to_date(col(s"${side}_s"))), unix_date(to_date(col(s"${side}_e"))))))
+    repl("a").join(repl("b"), Seq("bucket"))
+      .where(col("a_id") < col("b_id") &&
+        col("a_s") < col("b_e") && col("b_s") < col("a_e") &&
+        col("bucket") === unix_date(to_date(greatest(col("a_s"), col("b_s")))))
+      .select(col("a_id"), col("b_id"),
+        (unix_micros(least(col("a_e"), col("b_e"))) -
+          unix_micros(greatest(col("a_s"), col("b_s")))).as("overlap_us"))
+      .orderBy("a_id", "b_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q74, q76, q90)
+    q64, q65, q66, q67, q68, q69, q70, q74, q76, q90, q91)
 }

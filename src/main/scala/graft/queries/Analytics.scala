@@ -1,0 +1,121 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.sumDec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product-analytics suite — the KPI shapes the reference's users
+  * (motorway powers a metrics/dashboard product) compute from event
+  * streams: conversion funnels, cohort retention, and per-entity
+  * engagement. All integer/timestamp arithmetic — bit-exact oracles.
+  *
+  * Scale notes: every query here is one shuffle on user_id (or day),
+  * then per-partition windows/aggregates; funnel stage times chain
+  * inside a single exchange (consecutive Window nodes share the
+  * partitioning), and the retention matrix aggregates (cohort, offset)
+  * pairs — output is calendar-sized, never event-sized.
+  */
+object Analytics {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q92: conversion funnel (view → click → purchase, ordered) --------
+  // Stage timestamps chain: first view, first click AFTER that view,
+  // first purchase AFTER that click — order-sensitive (a click before
+  // the first view doesn't count). Three Window nodes over ONE
+  // user-shuffle; the funnel counts aggregate the per-user booleans.
+  val q92 = q("q92_funnel",
+    """WITH u AS (
+      |  SELECT user_id,
+      |    min(ts) FILTER (event_type = 'view') AS t_view
+      |  FROM events GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, u.t_view,
+      |    min(e.ts) FILTER (e.event_type = 'click' AND e.ts > u.t_view) AS t_click
+      |  FROM events e JOIN u USING (user_id) GROUP BY 1, 2),
+      |p AS (
+      |  SELECT e.user_id, c.t_view, c.t_click,
+      |    min(e.ts) FILTER (e.event_type = 'purchase' AND e.ts > c.t_click) AS t_purchase
+      |  FROM events e JOIN c USING (user_id) GROUP BY 1, 2, 3)
+      |SELECT
+      |  COUNT(*) AS n_users,
+      |  CAST(COUNT(t_view) AS BIGINT) AS n_view,
+      |  CAST(COUNT(t_click) AS BIGINT) AS n_view_click,
+      |  CAST(COUNT(t_purchase) AS BIGINT) AS n_full_funnel,
+      |  CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view) AS view_to_click,
+      |  CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click) AS click_to_purchase
+      |FROM p""".stripMargin) { (s, dir) =>
+    val w = Window.partitionBy("user_id")
+    val staged = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .withColumn("t_view", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts") > col("t_view"), col("ts"))).over(w))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t_click"), col("ts"))).over(w))
+      .groupBy("user_id")
+      .agg(first("t_view").as("t_view"), first("t_click").as("t_click"),
+        first("t_purchase").as("t_purchase"))
+    staged.agg(
+      count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_view"),
+      count(col("t_click")).as("n_view_click"),
+      count(col("t_purchase")).as("n_full_funnel"),
+      (count(col("t_click")).cast("double") / count(col("t_view"))).as("view_to_click"),
+      (count(col("t_purchase")).cast("double") / count(col("t_click"))).as("click_to_purchase"))
+  }
+
+  // -- q93: cohort retention matrix -------------------------------------
+  // Users cohorted by first-active day; activity counted per day offset
+  // since the cohort day. Two aggregations (first-seen, then
+  // cohort×offset distinct users) — the output is calendar², not
+  // event-sized, at any scale.
+  val q93 = q("q93_retention",
+    """WITH f AS (SELECT user_id, CAST(min(CAST(ts AS DATE)) AS DATE) AS cohort_day
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+      |        date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset
+      |      FROM events e JOIN f USING (user_id))
+      |SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST(day_offset AS INTEGER) AS day_offset,
+      |  CAST(COUNT(*) AS BIGINT) AS active_users
+      |FROM a WHERE day_offset <= 7 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val e = Tables(s, dir).events.select(col("user_id"), to_date(col("ts")).as("day"))
+    val first = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    e.join(first, Seq("user_id"))
+      .select(col("user_id"), col("cohort_day"), datediff(col("day"), col("cohort_day")).as("day_offset"))
+      .where(col("day_offset") <= 7)
+      .distinct()
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("active_users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
+  // -- q94: per-entity engagement summary (top users by value) ----------
+  // The per-dashboard-widget aggregate: activity breadth (distinct
+  // days, types) and monetary total per user, top-k. Single shuffle +
+  // TakeOrderedAndProject.
+  val q94 = q("q94_engagement",
+    """SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS active_days,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1
+      |ORDER BY total_value DESC, user_id LIMIT 25""".stripMargin) { (s, dir) =>
+    Tables(s, dir).events
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(to_date(col("ts"))).as("active_days"),
+        countDistinct(col("event_type")).as("n_types"),
+        sumDec(col("value")).as("total_value"))
+      .orderBy(col("total_value").desc, col("user_id"))
+      .limit(25)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q92, q93, q94)
+}

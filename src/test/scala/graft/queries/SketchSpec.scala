@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches (DataSketches HLL via Spark's
+  * hll_sketch_agg / hll_union_agg / hll_sketch_estimate): the sketch is
+  * a persistable binary column, so at 100 TB per-partition / per-day
+  * sketches are computed once, stored, and UNIONED later — distinct
+  * counts over any date range without rescanning events (the pattern a
+  * metrics product needs for "uniques this week/month" widgets). */
+class SketchSpec extends SparkSpecBase {
+
+  test("per-day sketches union to the global distinct count (within HLL error)") {
+    val e = Tables(spark, sfDir).events
+    val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
+
+    // one sketch per day (what would be persisted), then merged
+    val perDay = e.groupBy(to_date(col("ts")).as("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    assert(perDay.schema("sk").dataType.typeName == "binary") // persistable
+
+    val merged = perDay.agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err < 0.05, s"merged HLL estimate $merged vs exact $exact (err $err)")
+  }
+
+  test("sketch round-trips through parquet storage") {
+    val e = Tables(spark, sfDir).events
+    val out = s"/tmp/graft_sketch_${System.nanoTime()}"
+    e.groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id")).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val est = spark.read.parquet(out)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .head().getLong(0)
+    val exact = e.select(countDistinct(col("user_id"))).head().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05)
+  }
+}

@@ -57,12 +57,23 @@ object ConnectedComponents {
       val nbrMin = und.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
-      // convergence metric rides the checkpoint's materialization job
-      // via observe() — one job per round instead of materialize+count
-      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
-      val next = labels.join(nbrMin, Seq("node"), "left")
+      val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      // path halving: follow the label pointer one level (comp :=
+      // comp(comp)) — labels double their hop distance per round, so
+      // convergence needs O(log diameter) rounds instead of O(diameter).
+      // Correct because comp(x) is reachable from x and labels only
+      // decrease toward the component min. prop is checkpointed above,
+      // so the self-join reuses the materialized round, not the plan.
+      val ptr = prop.select(col("node").as("p_node"), col("comp").as("p_comp"))
+      // convergence metric rides the checkpoint's materialization job
+      // via observe() — one job, no separate count
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$iter")
+      val next = prop.join(ptr, prop("comp") === ptr("p_node"), "left")
+        .select(prop("node"), prop("old_comp"),
+          least(prop("comp"), coalesce(col("p_comp"), prop("comp"))).as("comp"))
         .observe(obs, sum(when(col("comp") < col("old_comp"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
       val changed = obs.get("changed").asInstanceOf[Long]

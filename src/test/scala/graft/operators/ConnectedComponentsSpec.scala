@@ -20,10 +20,11 @@ class ConnectedComponentsSpec extends SparkSpecBase {
       20L -> 20L, 21L -> 20L))
   }
 
-  test("long chain converges within the diameter bound") {
-    // 10-node path: worst case shape for min propagation (diameter 9)
-    val comps = cc((0L until 9L).map(i => (i, i + 1)))
-    assert(comps.size == 10 && comps.values.forall(_ == 0L))
+  test("long chain converges in O(log diameter) rounds (path halving)") {
+    // 60-node path, maxIter 20: plain min propagation would need 59
+    // rounds — only the pointer-jumping variant converges in time
+    val comps = cc((0L until 59L).map(i => (i, i + 1)))
+    assert(comps.size == 60 && comps.values.forall(_ == 0L))
   }
 
   test("edge direction does not matter") {

@@ -117,5 +117,26 @@ object Analytics {
       .limit(25)
   }
 
-  val all: Seq[GraftQuery] = Seq(q92, q93, q94)
+  // -- q95: dynamic JSON payloads through VariantType -------------------
+  // The schemaless escape hatch for envelope payloads (SURVEY.md §1.2):
+  // parse once into Spark 4's VARIANT (binary-encoded, typed access
+  // without re-parsing per field), extract with variant_get. The same
+  // shape the reference's `recv_json` bodies imply — minus the
+  // per-operator re-parse.
+  val q95 = q("q95_variant_json",
+    """SELECT event_id,
+      |  CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+      |  CAST(CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_mod
+      |FROM events WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 90
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    val v = parse_json(col("props"))
+    Tables(s, dir).events
+      .select(col("event_id"),
+        variant_get(v, "$.k", "bigint").as("k"))
+      .where(col("k") >= 90)
+      .withColumn("k_mod", col("k") % 10)
+      .orderBy("event_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q92, q93, q94, q95)
 }

@@ -31,4 +31,33 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     val comps = cc(Seq((5L, 3L), (3L, 9L)))
     assert(comps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
+
+  test("random graphs match a union-find reference") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.chooseNum(2, 24)
+      m <- Gen.chooseNum(1, 30)
+      edges <- Gen.listOfN(m, Gen.zip(Gen.chooseNum(0L, n - 1L), Gen.chooseNum(0L, n - 1L)))
+    } yield edges.filter(e => e._1 != e._2)
+
+    def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      parent.keys.map(k => k -> find(k)).toMap
+    }
+
+    (0 until 8).foreach { i =>
+      gen.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { edges =>
+        if (edges.nonEmpty) assert(cc(edges) == unionFind(edges), s"seed $i: $edges")
+      }
+    }
+  }
 }

@@ -72,4 +72,27 @@ class EventTimeSpec extends SparkSpecBase {
     assert(sessions == Seq(2L, 3L))
     q.stop()
   }
+
+  test("hopping window assigns each event to both overlapping hops (q86 twin)") {
+    val input = MemoryStream[(Timestamp, Double)](spark, 2)
+    val agg = input.toDS().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .select(col("window.start").as("wstart"), col("n"), col("v"))
+    val q = agg.writeStream.format("memory").queryName("hop_out")
+      .outputMode(OutputMode.Update).start()
+
+    // one event at 10:07 -> hops [10:00,10:10) and [10:05,10:15)
+    input.addData(Seq((ts(7, 0), 3.0)))
+    q.processAllAvailable()
+
+    val rows = spark.table("hop_out")
+      .groupBy("wstart").agg(max("n").as("n"), max("v").as("v"))
+      .collect().map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(
+      ("2024-01-01 10:00:00.0", 1L, 3.0),
+      ("2024-01-01 10:05:00.0", 1L, 3.0)))
+    q.stop()
+  }
 }

@@ -138,5 +138,36 @@ object Analytics {
       .orderBy("event_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q92, q93, q94, q95)
+  // -- q96: FULL OUTER join (both-sided null extension) -----------------
+  // Building-segment customers ⟗ high-spend customers: rows surviving
+  // from only one side carry nulls on the other — the join breadth
+  // complement to inner/semi/anti/as-of elsewhere in the registry. Both
+  // sides are aggregates, so the outer join runs on key-sized inputs.
+  val q96 = q("q96_full_outer",
+    """WITH c AS (SELECT c_custkey, c_name FROM customer WHERE c_mktsegment = 'BUILDING'),
+      |o AS (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |      FROM orders GROUP BY 1
+      |      HAVING CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) > 300000)
+      |SELECT COALESCE(c.c_custkey, o.o_custkey) AS custkey,
+      |  c.c_name AS name, o.total AS total,
+      |  (c.c_custkey IS NOT NULL) AS is_building,
+      |  (o.o_custkey IS NOT NULL) AS has_big_orders
+      |FROM c FULL OUTER JOIN o ON c.c_custkey = o.o_custkey
+      |ORDER BY custkey""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val c = t.customer.where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"), col("c_name"))
+    val o = t.orders.groupBy(col("o_custkey"))
+      .agg(sumDec(col("o_totalprice")).as("total"))
+      .where(col("total") > 300000)
+    c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        col("c_name").as("name"), col("total"),
+        col("c_custkey").isNotNull.as("is_building"),
+        col("o_custkey").isNotNull.as("has_big_orders"))
+      .orderBy("custkey")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q92, q93, q94, q95, q96)
 }

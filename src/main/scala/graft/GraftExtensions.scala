@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.RangeJoinStrategy)
     e.injectOptimizerRule(_ => graft.plans.JaccardSizeBound)
   }
 }

@@ -471,6 +471,30 @@ object Relational3 {
       .orderBy("a_id", "b_id")
   }
 
+  // -- q97: range join through the NATIVE operator ----------------------
+  // Same semantics as q90, executed by graft.plans.RangeJoinExec
+  // (broadcast interval index, O(log m + matches) probes) instead of
+  // the day-bucket decomposition — the custom-exec tier for interval
+  // sides small enough to broadcast. Oracle identical to q90's.
+  val q97 = q("q97_range_join_native",
+    """WITH a AS (SELECT event_id AS win_id, ts AS w_start, ts + INTERVAL 2 HOURS AS w_end
+      |           FROM events WHERE event_id % 97 = 0)
+      |SELECT win_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM a JOIN events e ON e.ts >= a.w_start AND e.ts < a.w_end
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val t = Tables(s, dir)
+    val e = t.events.select(col("ts"), col("value"))
+    val anchors = t.events
+      .where(pmod(col("event_id"), lit(97)) === 0)
+      .select(col("event_id").as("win_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 2 HOURS")).as("w_end"))
+    graft.plans.RangeJoinApi.join(e, anchors, "ts", "w_start", "w_end")
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_events"), sumDec(col("value")).as("total_value"))
+      .orderBy("win_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(q55, q56, q57, q58, q59, q60, q61, q62, q63,
-    q64, q65, q66, q67, q68, q69, q70, q74, q76, q90, q91)
+    q64, q65, q66, q67, q68, q69, q70, q74, q76, q90, q91, q97)
 }

@@ -256,7 +256,7 @@ object Curation {
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
       |SELECT node AS doc_id, min(reach) AS cluster_id
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val edges = Dedup.q28.run(s, dir).select(col("a_id"), col("b_id"))
+    val edges = Dedup.ngramPairs(s, dir, 0.12).select(col("a_id"), col("b_id"))
     graft.operators.ConnectedComponents.minLabelPropagation(edges)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
@@ -413,8 +413,7 @@ object Curation {
       .where(n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09)
       .select(col("doc_id"), col("lang"), n.cast("long").as("n_tokens"))
     val exactKeepers = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-    val nearDupLosers = Dedup.q28.run(s, dir)
-      .where(col("jaccard") >= 0.5)
+    val nearDupLosers = Dedup.ngramPairs(s, dir, 0.5)
       .select(col("b_id").as("doc_id"))
       .distinct()
     gated

@@ -74,15 +74,16 @@ object Dedup {
     """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
 
-  // -- q28: exact n-gram (2-shingle) Jaccard, blocked on first token ----
-  // The oracle-checkable exact variant; blocking keeps the pair space
-  // ~|block|² instead of n². For unblocked recall at scale use q29.
-  val q28 = GraftQuery("q28_dedup_ngram", (s, dir) => {
-    // The block key has ~|vocab| distinct values — far fewer than the
-    // cluster's cores — so the pair-generation stage would skew onto a
-    // handful of tasks. Salt: pin each A-row to one of S sub-blocks and
-    // replicate B across all S, multiplying join keys by S while
-    // producing each (a, b) pair exactly once.
+  /** Blocked exact-Jaccard pairs (the q28 computation, unsorted) —
+    * shared by q28 and the downstream consumers that don't need the
+    * presentation sort (q84 clustering, q89 pipeline).
+    *
+    * The block key has ~|vocab| distinct values — far fewer than the
+    * cluster's cores — so the pair-generation stage would skew onto a
+    * handful of tasks. Salt: pin each A-row to one of S sub-blocks and
+    * replicate B across all S, multiplying join keys by S while
+    * producing each (a, b) pair exactly once. */
+  private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val S = 8
     val d = docShingled(s, dir)
     val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
@@ -93,9 +94,14 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
-      .where(col("jaccard") >= 0.12)
-      .orderBy("a_id", "b_id")
-  }, Some(
+      .where(col("jaccard") >= threshold)
+  }
+
+  // -- q28: exact n-gram (2-shingle) Jaccard, blocked on first token ----
+  // The oracle-checkable exact variant; blocking keeps the pair space
+  // ~|block|² instead of n². For unblocked recall at scale use q29.
+  val q28 = GraftQuery("q28_dedup_ngram", (s, dir) =>
+    ngramPairs(s, dir, 0.12).orderBy("a_id", "b_id"), Some(
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |s AS (SELECT doc_id, t[1] AS first_tok,
       |        CASE WHEN len(t) >= 2

@@ -107,5 +107,42 @@ object TextOps2 {
       .orderBy("vec_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q72, q73, q75)
+  // -- q98: int8 embedding quantization + reconstruction error ----------
+  // Symmetric scalar quantization (the storage-compression step before
+  // shipping vectors at corpus scale): scale by max-abs to [-127, 127],
+  // floor(x + 0.5) so rounding is engine-identical (no round-half-even
+  // ambiguity), and report the L2 reconstruction error. Map-only; both
+  // engines fold element sums in ascending index order.
+  val q98 = q("q98_embed_quantize",
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |m AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS mx FROM e),
+      |qz AS (SELECT vec_id, v, mx,
+      |         list_transform(v, x -> floor(x / mx * 127 + 0.5)) AS q
+      |       FROM m WHERE mx > 0)
+      |SELECT vec_id,
+      |  round(mx, 6) AS max_abs,
+      |  CAST(list_max(q) AS BIGINT) AS q_max,
+      |  CAST(list_min(q) AS BIGINT) AS q_min,
+      |  round(sqrt(list_sum(list_transform(range(1, len(v) + 1),
+      |        i -> (v[i] - (q[i] * mx) / 127) * (v[i] - (q[i] * mx) / 127)))), 6) AS l2_err
+      |FROM qz ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    val v = col("embedding").cast(org.apache.spark.sql.types.ArrayType(DoubleType))
+    val mx = array_max(transform(v, x => abs(x)))
+    Tables(s, dir).embeddings
+      .select(col("vec_id"), v.as("v"), mx.as("mx"))
+      .where(col("mx") > 0)
+      .select(col("vec_id"), col("v"), col("mx"),
+        transform(col("v"), x => floor(x / col("mx") * 127 + 0.5)).as("q"))
+      .select(
+        col("vec_id"),
+        round(col("mx"), 6).as("max_abs"),
+        array_max(col("q")).cast("long").as("q_max"),
+        array_min(col("q")).cast("long").as("q_min"),
+        round(sqrt(aggregate(
+          zip_with(col("v"), col("q"), (x, qi) => (x - (qi * col("mx")) / 127) * (x - (qi * col("mx")) / 127)),
+          lit(0.0), (acc, e) => acc + e)), 6).as("l2_err"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q72, q73, q75, q98)
 }

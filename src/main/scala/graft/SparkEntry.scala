@@ -18,9 +18,12 @@ object SparkEntry {
     Relational.all ++ Relational2.all ++ Relational3.all ++
       TextOps.all ++ TextOps2.all ++ Dedup.all ++ Similarity.all ++ Curation.all ++ Analytics.all
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
+    * end-to-end curation pipeline (quality gate ∩ exact-dedup keeper ∩
+    * near-dup exclusion, q89) — one query exercising per-row signals,
+    * hash aggregation, and the blocked pair join. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q01.run(spark, "/root/testdata/sf0.001")
+    Curation.q89.run(spark, "/root/testdata/sf0.001")
 
   /** One per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -422,6 +422,30 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -- q99: quality-weighted subsampling (importance resampling) --------
+  // Each document's acceptance probability is proportional to a quality
+  // signal (here: lexical diversity), realized deterministically by
+  // comparing a per-doc hash draw against the weight — the auditable
+  // form of importance sampling for data mixing: same corpus + same
+  // weights ⇒ same sample, on any cluster, in any engine. Map-only.
+  val q99 = q("q99_weighted_sample",
+    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, lang,
+      |        least(1.0, CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS wt
+      |      FROM d)
+      |SELECT doc_id, lang, round(wt, 6) AS weight
+      |FROM w
+      |WHERE (doc_id * 2654435761) % 10000 < wt * 10000
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = toks
+    val wt = least(lit(1.0), size(array_distinct(t)).cast("double") / size(t).cast("double"))
+    Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"), wt.as("wt"))
+      .where(pmod(col("doc_id") * lit(2654435761L), lit(10000)) < col("wt") * 10000)
+      .select(col("doc_id"), col("lang"), round(col("wt"), 6).as("weight"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89)
+    q86, q87, q88, q89, q99)
 }

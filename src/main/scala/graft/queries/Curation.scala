@@ -235,19 +235,22 @@ object Curation {
 
   // -- q84: near-dup pairs → duplicate clusters (connected components) --
   // The step after any pair-finding dedup: transitively close the pair
-  // graph so each group keeps exactly one representative. Spark side is
-  // [[graft.operators.ConnectedComponents]] (min-label propagation,
-  // O(diameter) distributed rounds); the oracle is a recursive CTE over
-  // the same q28 pair set.
+  // graph so each group keeps exactly one representative. Edges come
+  // from the UNBLOCKED exact prefix-filtered all-pairs join
+  // ([[Dedup.allPairsJaccard]]) — full recall with no Zipf natural-key
+  // block — then [[graft.operators.ConnectedComponents]] (min-label
+  // propagation, O(diameter) distributed rounds). The oracle is a
+  // recursive CTE over the brute-force pair set (equivalent by the
+  // prefix-filter completeness theorem; O(n²) is fine at oracle SF).
   val q84 = q("q84_dup_clusters",
     """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |s AS (SELECT doc_id, t[1] AS first_tok,
+      |s AS (SELECT doc_id,
       |        CASE WHEN len(t) >= 2
       |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
       |             ELSE list_distinct(t) END AS sh
       |      FROM d),
       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
-      |      FROM s a JOIN s b ON a.first_tok = b.first_tok AND a.doc_id < b.doc_id
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12),
       |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
@@ -256,7 +259,7 @@ object Curation {
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
       |SELECT node AS doc_id, min(reach) AS cluster_id
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val edges = Dedup.ngramPairs(s, dir, 0.12).select(col("a_id"), col("b_id"))
+    val edges = Dedup.allPairsJaccard(s, dir, 0.12).select(col("a_id"), col("b_id"))
     graft.operators.ConnectedComponents.minLabelPropagation(edges)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
@@ -371,8 +374,9 @@ object Curation {
   // Jaccard pair) — the kept corpus a training run would read. Three
   // independent predicates, so the result is order-insensitive and
   // exactly reproducible. Plan shape: one map-only signal pass, one
-  // hash-shuffle groupBy (exact groups), one blocked pair join (near
-  // dups) — the full funnel costs two shuffles beyond its parts.
+  // hash-shuffle groupBy (exact groups), one prefix-filtered pair join
+  // (near dups, exact and unblocked) — the funnel's extra cost over its
+  // parts is two narrow shuffles.
   val q89 = q("q89_curation_pipeline",
     """WITH d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS t FROM documents),
       |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
@@ -387,13 +391,13 @@ object Curation {
       |gate AS (SELECT doc_id, lang, n_tokens FROM sig
       |         WHERE n_tokens BETWEEN 15 AND 90 AND ttr >= 0.34 AND rep_ratio <= 0.09),
       |ek AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
-      |sh AS (SELECT doc_id, t[1] AS ft,
+      |sh AS (SELECT doc_id,
       |         CASE WHEN len(t) >= 2
       |              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
       |              ELSE list_distinct(t) END AS sh
       |       FROM d),
       |losers AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b
-      |           ON a.ft = b.ft AND a.doc_id < b.doc_id
+      |           ON a.doc_id < b.doc_id
       |           WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |                 CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5)
       |SELECT doc_id, lang, n_tokens
@@ -413,7 +417,12 @@ object Curation {
       .where(n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09)
       .select(col("doc_id"), col("lang"), n.cast("long").as("n_tokens"))
     val exactKeepers = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
-    val nearDupLosers = Dedup.ngramPairs(s, dir, 0.5)
+    // Near-dup losers via the UNBLOCKED prefix-filtered exact join
+    // (Dedup.allPairsJaccard) — full recall, no Zipf first-token block;
+    // at t=0.5 the prefix is only ~half of each shingle set, so the
+    // candidate index is small. This is the stage that must survive a
+    // 100 TB corpus, and it is now the same exact algorithm at every SF.
+    val nearDupLosers = Dedup.allPairsJaccard(s, dir, 0.5)
       .select(col("b_id").as("doc_id"))
       .distinct()
     gated

@@ -74,26 +74,84 @@ object Dedup {
     """SELECT md5(text) AS fp, min(doc_id) AS keep_id, COUNT(*) AS n_dups
       |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin))
 
-  /** Blocked exact-Jaccard pairs (the q28 computation, unsorted) —
-    * shared by q28 and the downstream consumers that don't need the
-    * presentation sort (q84 clustering, q89 pipeline).
+  /** Blocked exact-Jaccard pairs (the q28 computation, unsorted).
     *
     * The block key has ~|vocab| distinct values — far fewer than the
     * cluster's cores — so the pair-generation stage would skew onto a
     * handful of tasks. Salt: pin each A-row to one of S sub-blocks and
     * replicate B across all S, multiplying join keys by S while
-    * producing each (a, b) pair exactly once. */
+    * producing each (a, b) pair exactly once.
+    *
+    * Blocks are additionally capped at `MaxBlock` docs: a first-token
+    * block is a Zipf-distributed natural key ("The…" at web scale is
+    * millions of docs → 10¹²⁺ candidate pairs in one block), so blocks
+    * beyond the cap are dropped from the *blocked* comparison — the
+    * documented recall trade-off of this variant. Consumers that need
+    * full recall at scale use [[allPairsJaccard]] (exact, prefix-
+    * filtered) instead. No effect at test SFs (blocks ≪ cap). */
   private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
     val S = 8
+    val MaxBlock = 10000
     val d = docShingled(s, dir)
-    val a = d.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
+    val blockN = d.groupBy("first_tok").agg(count(lit(1)).as("block_n"))
+    val capped = d.join(broadcast(blockN.where(col("block_n") <= MaxBlock)), Seq("first_tok"))
+    val a = capped.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
       .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
-    val b = d.select(col("doc_id").as("b_id"), col("first_tok"), col("shh").as("b_sh"))
+    val b = capped.select(col("doc_id").as("b_id"), col("first_tok"), col("shh").as("b_sh"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
     a.join(b, Seq("first_tok", "salt"))
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** Exact all-pairs Jaccard ≥ `threshold` over the whole corpus — no
+    * natural-key blocking — via document-frequency-ordered prefix
+    * filtering (Bayardo/Ma/Srikant, "Scaling Up All Pairs Similarity
+    * Search", WWW'07; the PPJoin family).
+    *
+    * Under any global total order on shingles, if J(A,B) ≥ t then the
+    * prefixes of length |x| − ⌈t·|x|⌉ + 1 of A and B share at least one
+    * shingle — so an inverted index over prefix shingles has FULL
+    * recall for the threshold (this is an exact algorithm, unlike
+    * MinHash-LSH). Ordering the prefix by ascending document frequency
+    * puts each document's *rarest* shingles in its prefix, so inverted
+    * lists are short and the candidate pair space stays near the true
+    * result size instead of O(block²) on a Zipf natural key.
+    *
+    * Plan shape at scale: one vocabulary-sized aggregate (df), one
+    * shuffle by doc_id for the prefix rank, a self-join on single
+    * shingle hashes (narrow: ids + sizes only), a candidate length
+    * filter (J ≥ t ⇒ min|x| ≥ t·max|x|), then the verify join ships
+    * shingle arrays only for surviving candidate pairs. */
+  private[queries] def allPairsJaccard(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    allPairsJaccardOn(docShingled(s, dir).select(col("doc_id"), col("shh")), threshold)
+
+  /** Core of [[allPairsJaccard]] over any (doc_id, shh) frame —
+    * separated so specs can assert brute-force equivalence on planted
+    * corpora. */
+  private[graft] def allPairsJaccardOn(d: DataFrame, threshold: Double): DataFrame = {
+    val dfreq = d.select(explode(col("shh")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = d.select(col("doc_id"), size(col("shh")).as("sz"), explode(col("shh")).as("sh"))
+      .join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("sh"), col("doc_id"), col("sz"))
+    val cand = prefix.select(col("sh"), col("doc_id").as("a_id"), col("sz").as("a_sz"))
+      .join(prefix.select(col("sh"), col("doc_id").as("b_id"), col("sz").as("b_sz")), Seq("sh"))
+      .where(col("a_id") < col("b_id") &&
+        least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(threshold) * greatest(col("a_sz"), col("b_sz")).cast("double"))
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(d.select(col("doc_id").as("a_id"), col("shh").as("a_sh")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
   }
 
@@ -170,5 +228,25 @@ object Dedup {
       .orderBy("a_id", "b_id")
   }, None)
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30)
+  // -- q100: exact UNBLOCKED all-pairs Jaccard (prefix-filtered) --------
+  // The scale-safe exact near-dup join: same semantics as a full O(n²)
+  // pair scan (which the oracle runs — fine at sf0.01), computed via
+  // prefix filtering. This is the candidate generator q84/q89 route
+  // through, oracle-gated directly.
+  val q100 = GraftQuery("q100_allpairs_jaccard", (s, dir) =>
+    allPairsJaccard(s, dir, 0.12).orderBy("a_id", "b_id"), Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id)
+      |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.12
+      |ORDER BY a_id, b_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q100)
 }

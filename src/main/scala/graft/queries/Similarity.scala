@@ -79,12 +79,38 @@ object Similarity {
   }, None)
 
   // -- q33: embedding near-dup pairs (cosine >= threshold) --------------
+  // Exact all-pairs cosine is Θ(n²) comparisons by definition; the scale
+  // question is DISTRIBUTION, not asymptotics. A `a_id < b_id` join
+  // plans as BroadcastNestedLoopJoin — one copy of the whole corpus on
+  // every executor and no key-partitioned parallelism. Instead: triangle
+  // block decomposition — assign each vector to one of G groups by id
+  // hash, materialize the G(G+1)/2 unordered group pairs as equi-join
+  // keys, and compare only within each block pair. Every unordered
+  // vector pair appears in exactly one block pair (cross blocks once by
+  // construction; the diagonal filtered by id). Work is spread evenly
+  // over G(G+1)/2 keys with ~ (n/G)² comparisons each, replication is
+  // G+1 copies per row — a shuffled equi-join, no broadcast of the
+  // corpus. An explicit guard caps corpus size: beyond it, exact
+  // all-pairs is the wrong tool and the caller should use the LSH (q32)
+  // / IVF (q37) candidate paths.
   val q33 = GraftQuery("q33_dedup_embed", (s, dir) => {
+    val G = 16
+    val MaxExactCorpus = 2000000L
     val c = corpus(s, dir)
-    val a = c.select(col("vec_id").as("a_id"), col("v").as("a_v"))
-    val b = c.select(col("vec_id").as("b_id"), col("v").as("b_v"))
-    a.join(b, col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), cosineSim(col("a_v"), col("b_v")).as("cos"))
+    val n = c.count()
+    require(n <= MaxExactCorpus,
+      s"q33 exact all-pairs is O(n^2): corpus $n > $MaxExactCorpus; use LSH/IVF candidates")
+    val g = c.withColumn("g", pmod(hash(col("vec_id")), lit(G)))
+    val a = g.withColumn("gj", explode(sequence(col("g"), lit(G - 1))))
+      .select(col("g").as("gi"), col("gj"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = g.withColumn("gi", explode(sequence(lit(0), col("g"))))
+      .select(col("gi"), col("g").as("gj"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("gi", "gj"))
+      .where(col("gi") =!= col("gj") || col("a_id") < col("b_id"))
+      .select(
+        least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        cosineSim(col("a_v"), col("b_v")).as("cos"))
       .where(col("cos") >= 0.42)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("score"))
       .orderBy("a_id", "b_id")

@@ -56,6 +56,45 @@ class DedupSpec extends SparkSpecBase {
     assert(rebuilt == fp)
   }
 
+  test("prefix-filtered all-pairs Jaccard == brute force (planted + random corpora)") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    // Planted: near-dup pair + unrelated doc, plus 60 random docs over a
+    // small vocabulary (seeded → deterministic) so blocks of shared
+    // shingles actually occur across unrelated docs.
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta",
+      "theta", "iota", "kappa", "the", "of", "and", "run", "fast")
+    val randomDocs = (10L until 70L).map { id =>
+      val len = 5 + rnd.nextInt(25)
+      (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val docs = (Seq((1L, base.mkString(" ")), (2L, nearDup.mkString(" ")),
+      (3L, unrelated.mkString(" "))) ++ randomDocs).toDF("doc_id", "text")
+    val shingled = docs.select(col("doc_id"),
+      array_sort(transform(graft.queries.Dedup.shingles2(split(col("text"), " ")),
+        sh => xxhash64(sh))).as("shh"))
+    def pairsOf(df: DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        BigDecimal(r.getDouble(2)).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+    for (t <- Seq(0.12, 0.3, 0.5, 0.8)) {
+      val a = shingled.select(col("doc_id").as("a_id"), col("shh").as("a_sh"))
+      val b = shingled.select(col("doc_id").as("b_id"), col("shh").as("b_sh"))
+      val brute = a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          graft.functions.expr.SimilarityExpressions.jaccardSortedLong(
+            col("a_sh"), col("b_sh")).as("j"))
+        .where(col("j") >= t)
+      val fast = graft.queries.Dedup.allPairsJaccardOn(shingled, t)
+      assert(pairsOf(fast) == pairsOf(brute),
+        s"prefix filter diverged from brute force at t=$t")
+    }
+    // the planted near-dup must be found (sanity that thresholds bite)
+    val found = graft.queries.Dedup.allPairsJaccardOn(shingled, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(found.contains((1L, 2L)))
+  }
+
   test("q29 minhash query finds a planted near-duplicate") {
     import spark.implicits._
     val docs = Seq(

@@ -40,4 +40,19 @@ object QueryDsl {
   /** Common DuckDB SQL fragments, mirrored by the helpers above. */
   val SUM_DISC_PRICE =
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** Cross-engine deterministic 60-bit hash: the first 15 hex chars of
+    * md5(input string), parsed as an integer. Always positive, < 2^60
+    * (so products with small constants never overflow a signed 64-bit
+    * integer in EITHER engine — the wrap-on-overflow vs error-on-
+    * overflow divergence is what breaks naive `id * bigPrime` mixes at
+    * 100 TB id ranges), and computable bit-identically in DuckDB. Use
+    * this — not xxhash64 (absent in DuckDB) and not raw integer
+    * multiplies — wherever hashed values must match the oracle. */
+  def crossHash60(c: Column): Column =
+    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+
+  /** DuckDB twin of [[crossHash60]] over a SQL expression string. */
+  def crossHash60Sql(expr: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
 }

@@ -76,6 +76,34 @@ object DedupKernels {
     fp
   }
 
+  /** SimHash over an ALREADY-HASHED token array (frequency-weighted
+    * bit votes on the low `bits` bits). Split from the hashing so the
+    * hash can be the cross-engine QueryDsl.crossHash60 — making the
+    * whole fingerprint mirrorable in a DuckDB oracle — while the vote
+    * loop stays a native kernel. */
+  def simHashFromHashes(hashes: ArrayData, bits: Int): Long = {
+    val n = hashes.numElements()
+    if (n == 0) return 0L
+    val acc = new Array[Int](bits)
+    var e = 0
+    while (e < n) {
+      val h = hashes.getLong(e)
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+      e += 1
+    }
+    var fp = 0L
+    var b = 0
+    while (b < bits) {
+      if (acc(b) > 0) fp |= (1L << b)
+      b += 1
+    }
+    fp
+  }
+
   /** FNV-1a over UTF8String bytes without materializing a String —
     * byte-identical to Hashing.fnv1a64(s.toString) for valid UTF-8. */
   private def fnv1a64Utf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
@@ -156,6 +184,16 @@ case class SimHash64Expr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class SimHashFromHashesExpr(child: Expression, bits: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash_from_hashes"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.simHashFromHashes(a.asInstanceOf[ArrayData], bits)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.simHashFromHashes($c, $bits)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HyperplaneSigExpr(child: Expression, bits: Int) extends UnaryKernelExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_sig"
@@ -183,6 +221,7 @@ object DedupExpressions {
   def minHashSig(hashedShingles: Column, k: Int): Column = c(MinHashSigExpr(e(hashedShingles), k))
   def bandHashes(sig: Column, bands: Int): Column = c(BandHashesExpr(e(sig), bands))
   def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
+  def simHashFromHashes(hashes: Column, bits: Int): Column = c(SimHashFromHashesExpr(e(hashes), bits))
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSigExpr(e(v), bits))
   /** width = total signature bits / bands (16 for 64-bit simhash in 4
     * bands; 4 for 16-bit hyperplane signatures in 4 bands). */

@@ -22,6 +22,38 @@ object TextKernels {
   def winnow(text: UTF8String, k: Int, w: Int): ArrayData =
     new GenericArrayData(
       TextAnalysis.winnowImpl(if (text == null) null else text.toString, k, w))
+
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
+    * already-computed k-gram hash sequence: sliding window of `w`
+    * hashes, keep the rightmost minimum of each window, dedupe
+    * consecutive picks. Split from the hashing so the hash can be a
+    * cross-engine one (QueryDsl.crossHash60) and the whole fingerprint
+    * becomes oracle-checkable; the selection itself is pure integer
+    * logic, identical in any engine. */
+  def winnowSelect(hashes: ArrayData, w: Int): ArrayData = {
+    val n = hashes.numElements()
+    if (n == 0) return new GenericArrayData(Array.empty[Long])
+    if (n <= w) {
+      var m = Long.MaxValue
+      var i = 0
+      while (i < n) { val h = hashes.getLong(i); if (h < m) m = h; i += 1 }
+      return new GenericArrayData(Array(m))
+    }
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var lastPick = -1
+    var i = 0
+    while (i + w <= n) {
+      var minIdx = i
+      var j = i + 1
+      while (j < i + w) {
+        if (hashes.getLong(j) <= hashes.getLong(minIdx)) minIdx = j // rightmost min
+        j += 1
+      }
+      if (minIdx != lastPick) { out += hashes.getLong(minIdx); lastPick = minIdx }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
 }
 
 case class LangIdExpr(child: Expression) extends UnaryKernelExpression {
@@ -46,9 +78,21 @@ case class WinnowExpr(child: Expression, kGram: Int, window: Int) extends UnaryK
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class WinnowSelectExpr(child: Expression, window: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_winnow_select"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.winnowSelect(a.asInstanceOf[ArrayData], window)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.winnowSelect($c, $window)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
   def winnow(text: Column, kGram: Int, window: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), kGram, window))
+  def winnowSelect(hashes: Column, window: Int): Column =
+    ColumnBridge.column(WinnowSelectExpr(ColumnBridge.expression(hashes), window))
 }

@@ -28,19 +28,23 @@ object Curation {
   private def toks: Column = split(col("text"), " ")
 
   // -- q77: deterministic stratified sample -----------------------------
-  // Reproducible per-stratum systematic sampling: a Knuth-style integer
-  // mix of the key modulo 1000 against a per-language per-mille rate.
-  // Unlike rand()-based sampleBy, re-runs (and both engines) select the
-  // SAME rows — at 100 TB reproducibility is what makes the sample
-  // auditable. Map-only: no shuffle at all.
+  // Reproducible per-stratum systematic sampling: a cross-engine hash
+  // draw on the key against a per-language per-mille rate. Unlike
+  // rand()-based sampleBy, re-runs (and both engines) select the SAME
+  // rows — at 100 TB reproducibility is what makes the sample auditable.
+  // The draw is QueryDsl.crossHash60, not an integer multiply: a
+  // `doc_id * bigPrime` mix silently wraps negative in Spark past
+  // doc_id ≈ 3.5e9 while DuckDB errors — exactly the scale where
+  // reproducibility matters. Map-only: no shuffle at all.
   val q77 = q("q77_stratified_sample_hash",
-    """SELECT doc_id, lang FROM documents
-      |WHERE (doc_id * 2654435761) % 1000 <
+    s"""SELECT doc_id, lang FROM documents
+      |WHERE ${graft.QueryDsl.crossHash60Sql("doc_id")} % 1000 <
       |      CASE WHEN lang = 'en' THEN 100 ELSE 200 END
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
     val rate = when(col("lang") === "en", 100).otherwise(200)
     Tables(s, dir).documents
-      .where(pmod(col("doc_id") * lit(2654435761L), lit(1000)) < rate)
+      .where(pmod(crossHash60(col("doc_id")), lit(1000)) < rate)
       .select(col("doc_id"), col("lang"))
       .orderBy("doc_id")
   }
@@ -434,23 +438,26 @@ object Curation {
   // -- q99: quality-weighted subsampling (importance resampling) --------
   // Each document's acceptance probability is proportional to a quality
   // signal (here: lexical diversity), realized deterministically by
-  // comparing a per-doc hash draw against the weight — the auditable
-  // form of importance sampling for data mixing: same corpus + same
-  // weights ⇒ same sample, on any cluster, in any engine. Map-only.
+  // comparing a per-doc hash draw (QueryDsl.crossHash60 — overflow-free
+  // at any id range, unlike an integer-multiply mix) against the
+  // weight — the auditable form of importance sampling for data mixing:
+  // same corpus + same weights ⇒ same sample, on any cluster, in any
+  // engine. Map-only.
   val q99 = q("q99_weighted_sample",
-    """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
+    s"""WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents),
       |w AS (SELECT doc_id, lang,
       |        least(1.0, CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) AS wt
       |      FROM d)
       |SELECT doc_id, lang, round(wt, 6) AS weight
       |FROM w
-      |WHERE (doc_id * 2654435761) % 10000 < wt * 10000
+      |WHERE ${graft.QueryDsl.crossHash60Sql("doc_id")} % 10000 < wt * 10000
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
     val t = toks
     val wt = least(lit(1.0), size(array_distinct(t)).cast("double") / size(t).cast("double"))
     Tables(s, dir).documents
       .select(col("doc_id"), col("lang"), wt.as("wt"))
-      .where(pmod(col("doc_id") * lit(2654435761L), lit(10000)) < col("wt") * 10000)
+      .where(pmod(crossHash60(col("doc_id")), lit(10000)) < col("wt") * 10000)
       .select(col("doc_id"), col("lang"), round(col("wt"), 6).as("weight"))
       .orderBy("doc_id")
   }

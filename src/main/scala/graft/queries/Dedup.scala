@@ -176,22 +176,34 @@ object Dedup {
   // -- q29: MinHash + LSH banding (approximate Jaccard, full recall path)
   // 32 hashes, 8 bands × 4 rows → collision prob ≈ 1-(1-j⁴)⁸ (~50% at
   // j≈0.5). Candidates verified with exact Jaccard — output is exact
-  // similarity over LSH candidates. rows-only check; MinHashSpec proves
-  // recall on synthetic near-dups.
+  // similarity over LSH candidates. The permutations are universal
+  // hashes (aᵢ·h + bᵢ mod P, P = 2³¹−1) over QueryDsl.crossHash60
+  // shingle hashes, all arithmetic < 2⁶² — so the ENTIRE construction
+  // (signatures, band collisions, verification) is mirrored in the
+  // DuckDB oracle: an oracle-checked LSH, not a rows-only one.
+  // MinHashSpec additionally proves recall on synthetic near-dups.
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
-    val K = 32; val Bands = 8
-    val d = docShingled(s, dir)
-    // The band exchange ships only (doc_id, pos, band) — never the
-    // shingle arrays. Candidate pairs are deduped (a pair can collide in
-    // several bands) while still narrow, and only the surviving pairs
-    // join the arrays back for exact-Jaccard verification. At corpus
-    // scale candidates ≪ banded rows, so the wide data rides the two
-    // small joins instead of the big LSH shuffle, and each pair is
-    // verified exactly once.
+    import graft.QueryDsl.crossHash60
+    val K = 32; val Bands = 8; val R = K / Bands
+    val P = 2147483647L // 2^31 - 1, prime
+    val t = split(col("text"), " ")
+    val d = Tables(s, dir).documents
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"),
+        array_sort(transform(shingles2(t), sh => crossHash60(sh))).as("shc"))
+    val sig = transform(sequence(lit(0), lit(K - 1)), i =>
+      array_min(transform(col("shc"), h =>
+        ((i * lit(40503L) + lit(11L)) * (h % lit(P)) + (i * lit(2654435761L)) % lit(P)) % lit(P))))
+    // The band exchange ships only (doc_id, pos, band-slice) — never
+    // the shingle arrays. Candidate pairs are deduped (a pair can
+    // collide in several bands) while still narrow, and only surviving
+    // pairs join the arrays back for exact-Jaccard verification. The
+    // join key is the 4-value band slice itself (arrays are comparable
+    // join keys), exactly the oracle's band-equality predicate.
+    val withSig = d.withColumn("sig", sig)
+    val bandsArr = array((0 until Bands).map(b => slice(col("sig"), b * R + 1, R)): _*)
     val banded = capBuckets(
-      d.select(col("doc_id"),
-        posexplode(graft.functions.expr.DedupExpressions.bandHashes(
-          graft.functions.expr.DedupExpressions.minHashSig(col("shh"), K), Bands)).as(Seq("pos", "band"))),
+      withSig.select(col("doc_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
       maxBucket = 1000)
     val pairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"))
       .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_id")), Seq("pos", "band"))
@@ -199,23 +211,54 @@ object Dedup {
       .select(col("a_id"), col("b_id"))
       .distinct()
     pairs
-      .join(d.select(col("doc_id").as("a_id"), col("shh").as("a_sh")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
+      .join(d.select(col("doc_id").as("a_id"), col("shc").as("a_sh")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("shc").as("b_sh")), Seq("b_id"))
       .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .where(col("jaccard") >= 0.12)
       .orderBy("a_id", "b_id")
-  }, None)
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |hc AS (SELECT doc_id,
+      |         list_sort(list_transform(sh, x ->
+      |           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))) AS shc
+      |       FROM s),
+      |sg AS (SELECT doc_id, shc,
+      |         list_transform(range(0, 32), i ->
+      |           list_min(list_transform(shc, h ->
+      |             ((i*40503 + 11) * (h % 2147483647) + (i*2654435761) % 2147483647) % 2147483647))) AS sig
+      |       FROM hc),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shc AS ashc, b.shc AS bshc
+      |      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      |      WHERE len(list_filter(range(0, 8), bb ->
+      |              a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) >= 1),
+      |j AS (SELECT a_id, b_id,
+      |        CAST(len(list_intersect(ashc, bshc)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(ashc, bshc))) AS DOUBLE) AS jaccard
+      |      FROM p)
+      |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.12
+      |ORDER BY a_id, b_id""".stripMargin))
 
   // -- q30: SimHash near-dup (Hamming distance, banded blocking) --------
-  // 4 bands of 16 bits: any pair with hamming <= 3 shares a band exactly
-  // (pigeonhole), so the bucket join has full recall for that radius.
+  // 60-bit simhash over cross-engine token hashes, 4 bands of 15 bits:
+  // any pair with hamming <= 3 shares a band exactly (pigeonhole), so
+  // the bucket join has FULL recall for the radius — which is what
+  // makes the banded Spark plan provably equal to the oracle's
+  // brute-force O(n²) hamming scan.
   val q30 = GraftQuery("q30_dedup_simhash", (s, dir) => {
-    val Bands = 4
+    import graft.QueryDsl.crossHash60
+    val Bands = 4; val Bits = 60
+    val fp = graft.functions.expr.DedupExpressions.simHashFromHashes(
+      transform(split(col("text"), " "), w => crossHash60(w)), Bits)
     val d = capBuckets(Tables(s, dir).documents
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"), graft.functions.expr.DedupExpressions.simHash64(split(col("text"), " ")).as("fp"))
+      .select(col("doc_id"), fp.as("fp"))
       .select(col("doc_id"), col("fp"),
-        posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, 64 / Bands)).as(Seq("pos", "band"))),
+        posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, Bits / Bands)).as(Seq("pos", "band"))),
       maxBucket = 1000)
     val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
     val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
@@ -226,7 +269,22 @@ object Dedup {
       .distinct()
       .where(col("hamming") <= 3)
       .orderBy("a_id", "b_id")
-  }, None)
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
+      |       FROM (SELECT doc_id, unnest(t) AS w FROM d)),
+      |bitv AS (SELECT doc_id, bb.b AS b,
+      |           CASE WHEN SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+      |                THEN 1 ELSE 0 END AS bit
+      |         FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b) bb
+      |         GROUP BY doc_id, bb.b),
+      |fp AS (SELECT doc_id, CAST(SUM(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS fp
+      |       FROM bitv GROUP BY doc_id)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY a_id, b_id""".stripMargin))
 
   // -- q100: exact UNBLOCKED all-pairs Jaccard (prefix-filtered) --------
   // The scale-safe exact near-dup join: same semantics as a full O(n²)

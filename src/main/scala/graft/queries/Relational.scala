@@ -522,18 +522,29 @@ object Relational {
       .orderBy("user_id")
   }
 
-  // -- q44: stratified sampling (per-stratum fractions, seeded) ---------
-  // Engine-specific RNG → rows-only check; proportions asserted in
-  // QueriesSmokeSpec-adjacent SamplingSpec.
+  // -- q44: stratified sampling (per-stratum fractions, deterministic) --
+  // Bernoulli-per-stratum realized as a hash draw on the row key instead
+  // of an engine-RNG (`sampleBy`): the same rows are selected on every
+  // run, every engine, every cluster size — which is what makes a 100 TB
+  // sample auditable — and the query becomes oracle-checkable. Map-only
+  // before the stratum-count aggregate.
   val q44 = GraftQuery("q44_stratified_sample", (s, dir) => {
+    import graft.QueryDsl.crossHash60
+    val per10k = when(col("event_type") === "click", 5000)
+      .when(col("event_type") === "purchase", 1000)
+      .when(col("event_type") === "view", 2500)
+      .when(col("event_type") === "signup", 10000)
+      .otherwise(0)
     Tables(s, dir).events
-      .stat.sampleBy("event_type",
-        Map("click" -> 0.5, "purchase" -> 0.1, "view" -> 0.25,
-            "signup" -> 1.0, "error" -> 0.0),
-        seed = 42L)
+      .where(pmod(crossHash60(col("event_id")), lit(10000)) < per10k)
       .groupBy("event_type").agg(count(lit(1)).as("sampled_n"))
       .orderBy("event_type")
-  }, None)
+  }, Some(
+    s"""SELECT event_type, COUNT(*) AS sampled_n FROM events
+      |WHERE ${graft.QueryDsl.crossHash60Sql("event_id")} % 10000 <
+      |  CASE event_type WHEN 'click' THEN 5000 WHEN 'purchase' THEN 1000
+      |       WHEN 'view' THEN 2500 WHEN 'signup' THEN 10000 ELSE 0 END
+      |GROUP BY 1 ORDER BY 1""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q35, q38, q39, q41, q42,

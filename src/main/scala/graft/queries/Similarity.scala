@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{GraftQuery, Tables}
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -25,6 +25,28 @@ object Similarity {
     Tables(s, dir).embeddings
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  /** Random-hyperplane signature with ±1 Rademacher components drawn
+    * from an integer parity mix — cross-engine deterministic (the mix
+    * is exact integer arithmetic < 2⁴⁰ in both engines) and summed in
+    * ascending index order so the dot products, hence the sign bits,
+    * are bit-identical to the DuckDB oracle's. sign(i,j) = +1 iff
+    * ((i·1315423911 + j·2654435761) mod 1000003) is odd. */
+  private def rademacherSig(v: Column, bits: Int, dims: Int): Column = {
+    val pows = array((0 until bits).map(b => lit(1L << b)): _*)
+    aggregate(
+      sequence(lit(0), lit(bits - 1)),
+      lit(0L),
+      (acc, i) => {
+        val dot = aggregate(
+          sequence(lit(0), lit(dims - 1)),
+          lit(0.0),
+          (a, j) => a + element_at(v, j + 1) *
+            when(((i * lit(1315423911L) + j * lit(2654435761L)) % lit(1000003L)) % 2 === 1, lit(1.0))
+              .otherwise(lit(-1.0)))
+        acc.bitwiseOR(when(dot > 0, element_at(pows, i + 1)).otherwise(lit(0L)))
+      })
+  }
 
   // -- q31: brute-force cosine top-5 for query vectors vec_id < 10 ------
   val q31 = GraftQuery("q31_ann_brute", (s, dir) => {
@@ -54,11 +76,15 @@ object Similarity {
   // -- q32: LSH-bucketed ANN (random hyperplane signatures) -------------
   // 16-bit signatures; candidates share >= 14 of 16 sign bits with the
   // query (probe buckets at Hamming <= 2 via banded join on 4-bit
-  // chunks), then exact cosine within candidates. rows-only; recall
-  // vs q31 asserted in AnnSpec.
+  // chunks), then exact cosine within candidates. Hamming <= 2 over 4
+  // bands → pigeonhole guarantees a shared band, so the banded plan
+  // equals a brute-force hamming scan — which is what the oracle runs.
+  // The hyperplanes are ±1 Rademacher planes from an integer parity
+  // mix (exact in both engines), and the sign dot-products accumulate
+  // in index order, so signatures are bit-identical cross-engine.
   val q32 = GraftQuery("q32_ann_lsh", (s, dir) => {
     val Bits = 16; val Bands = 4
-    val c = corpus(s, dir).withColumn("sig", graft.functions.expr.DedupExpressions.hyperplaneSig(col("v"), Bits))
+    val c = corpus(s, dir).withColumn("sig", rademacherSig(col("v"), Bits, dims = 64))
     val bandC = c.select(col("vec_id"), col("v"), col("sig"),
       posexplode(graft.functions.expr.DedupExpressions.fpBands(col("sig"), Bands, Bits / Bands)).as(Seq("pos", "band")))
     val q = bandC
@@ -76,7 +102,25 @@ object Similarity {
       .where(col("rk") <= 5)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
       .orderBy("qid", "rk")
-  }, None)
+  }, Some(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |sig AS (SELECT vec_id, v,
+      |          CAST(list_sum(list_transform(range(0, 16), i ->
+      |            CASE WHEN list_sum(list_transform(range(0, 64), j ->
+      |                   v[CAST(j + 1 AS INTEGER)] *
+      |                   CASE WHEN ((i*1315423911 + j*2654435761) % 1000003) % 2 = 1
+      |                        THEN 1.0 ELSE -1.0 END)) > 0
+      |                 THEN 1 << i ELSE 0 END)) AS BIGINT) AS sg
+      |        FROM c),
+      |q AS (SELECT vec_id AS qid, v AS qv, sg AS qsg FROM sig WHERE vec_id < 10),
+      |cand AS (SELECT qid, s.vec_id AS cid, list_cosine_similarity(qv, s.v) AS cos
+      |         FROM q JOIN sig s ON s.vec_id <> qid
+      |         WHERE bit_count(xor(s.sg, qsg)) <= 2),
+      |r AS (SELECT qid, cid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk
+      |      FROM cand)
+      |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, round(cos, 4) AS score
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
   // -- q33: embedding near-dup pairs (cosine >= threshold) --------------
   // Exact all-pairs cosine is Θ(n²) comparisons by definition; the scale
@@ -165,7 +209,31 @@ object Similarity {
       .where(col("rk") <= 5)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
       .orderBy("qid", "rk")
-  }, None)
+  }, Some(
+    // The whole IVF construction is deterministic (seed centroids,
+    // argmax assignment with id tie-break, fixed probe count), so the
+    // oracle replays it exactly: an oracle-checked ANN index, relying
+    // on the q31-proven bit-equality of cosine across engines.
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT c.vec_id, c.v, cent_id,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |        FROM c CROSS JOIN cent),
+      |assigned AS (SELECT cent_id, vec_id, v FROM asn WHERE rk = 1),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+      |pr AS (SELECT qid, qv, cent_id,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY list_cosine_similarity(qv, cent_v) DESC, cent_id) AS rk
+      |       FROM q CROSS JOIN cent),
+      |probes AS (SELECT qid, qv, cent_id FROM pr WHERE rk <= 4),
+      |sc AS (SELECT p.qid, a.vec_id AS cid, list_cosine_similarity(p.qv, a.v) AS cos
+      |       FROM probes p JOIN assigned a USING (cent_id)
+      |       WHERE a.vec_id <> p.qid),
+      |r AS (SELECT qid, cid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+      |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, round(cos, 4) AS score
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
   // -- q34: approximate distinct counting (HLL++) -----------------------
   // Sketch-based; engine-specific bias correction → rows-only check,

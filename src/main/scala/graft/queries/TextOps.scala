@@ -141,17 +141,46 @@ object TextOps {
   }, Some(
     "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"))
 
-  // -- q26: winnowing fingerprint (rolling hash + window minima) --------
+  // -- q26: winnowing fingerprint (k-gram hashes + window minima) -------
   // Schleimer/Wilkerson/Aiken "Winnowing" (SIGMOD'03) — the standard
   // local-fingerprint scheme for near-dup detection at corpus scale.
+  // The k-gram hash is QueryDsl.crossHash60 and the window selection a
+  // native kernel (winnowSelect), so the ENTIRE fingerprint — hash
+  // values included — is mirrored in the DuckDB oracle: the selection
+  // logic (rightmost window minima, consecutive-pick dedupe) is proved
+  // cross-engine, not just row counts. Per-row, zero shuffles.
   val q26 = GraftQuery("q26_fingerprint_winnow", (s, dir) => {
+    import graft.QueryDsl.crossHash60
+    val n = length(col("text")) - 7
+    val grams = when(n >= 1,
+      transform(sequence(lit(1), n), i => crossHash60(col("text").substr(i, lit(8)))))
+      .otherwise(array().cast("array<bigint>"))
     Tables(s, dir).documents
       .select(col("doc_id"),
-        graft.functions.expr.TextExpressions.winnow(col("text"), kGram = 8, window = 4).as("fps"))
+        graft.functions.expr.TextExpressions.winnowSelect(grams, window = 4).as("fps"))
       .select(col("doc_id"), size(col("fps")).as("n_fps"),
         col("fps").getItem(0).as("first_fp"))
       .orderBy("doc_id")
-  }, None)
+  }, Some(
+    """WITH d AS (SELECT doc_id, text, length(text) - 7 AS n FROM documents),
+      |h AS (SELECT doc_id, n,
+      |        CASE WHEN n >= 1 THEN list_transform(range(1, n + 1),
+      |               i -> CAST(concat('0x', substr(md5(substr(text, CAST(i AS INTEGER), 8)), 1, 15)) AS BIGINT))
+      |             ELSE CAST([] AS BIGINT[]) END AS H
+      |      FROM d),
+      |sel AS (SELECT doc_id, n, H,
+      |         CASE
+      |           WHEN n < 1 THEN CAST([] AS BIGINT[])
+      |           WHEN n <= 4 THEN [list_min(H)]
+      |           ELSE list_transform(
+      |                  list_sort(list_distinct(list_transform(range(0, n - 3),
+      |                    i -> list_max(list_transform(range(i + 1, i + 5),
+      |                           j -> CASE WHEN H[j] = list_min(H[i+1:i+4]) THEN j END))))),
+      |                  p -> H[p])
+      |         END AS fps
+      |       FROM h)
+      |SELECT doc_id, CAST(len(fps) AS INTEGER) AS n_fps, fps[1] AS first_fp
+      |FROM sel ORDER BY doc_id""".stripMargin))
 
   // -- q36: custom typed Aggregator (dict-merge, two-phase) -------------
   // The reference's dict-union AggregateIntersection

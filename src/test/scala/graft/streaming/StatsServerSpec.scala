@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import graft.pipeline.{Message, Pipeline, StreamSink}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** End-to-end dashboard check: run a real pipeline, GET the status
+  * endpoint over HTTP, assert the reference-shaped JSON payload
+  * (`motorway/webserver.py:110-125` status heuristic). */
+class StatsServerSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  test("status endpoint serves pipeline stats over HTTP") {
+    val listener = new PipelineStatsListener(() => 15)
+    spark.streams.addListener(listener)
+    val server = new StatsServer(listener)
+    try {
+      val input = MemoryStream[Message[String]](spark, 2)
+      val run = Pipeline(spark)
+        .addRamp("s", input.toDS())
+        .addSink("s", StreamSink.Memory(), "http_probe")
+        .run()
+      input.addData(Seq(Message("1", "a"), Message("2", "b")))
+      run.processAllAvailable()
+      run.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      def processed = listener.snapshot.get("http_probe").map(_.processed).getOrElse(0L)
+      while (processed < 2 && System.currentTimeMillis() < deadline) Thread.sleep(100)
+
+      val url = new java.net.URI(s"http://127.0.0.1:${server.boundPort}/api/status/").toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("application/json"))
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(body.startsWith("[") && body.endsWith("]"))
+      assert(body.contains("\"name\":\"http_probe\""))
+      assert(body.contains("\"processed\":2"))
+      assert(body.contains("\"avg_time_taken_ms\""))
+      assert(body.contains("\"95_percentile_ms\""))
+      assert(body.contains("\"status\":\"available\""))
+    } finally {
+      server.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+}

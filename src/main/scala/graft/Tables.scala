@@ -11,9 +11,11 @@ import org.apache.spark.sql.functions._
   * matters at 100 TB.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
+  private def t(name: String): DataFrame = {
+    Tables.evictStopped()
     Tables.resolved.getOrElseUpdate((spark, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -49,4 +51,14 @@ object Tables {
     * needed. Caches the PLAN, not data: every query still scans. */
   private val resolved =
     new scala.collection.concurrent.TrieMap[(SparkSession, String, String), DataFrame]
+
+  /** Drop entries whose session has been stopped: keeps long-lived
+    * multi-session processes (test harnesses, notebook servers) from
+    * retaining dead sessions and their analyzed plans forever, and
+    * guarantees a stopped session's plans are never handed back. The
+    * map is catalog-sized, so the sweep is O(cached tables). */
+  private def evictStopped(): Unit =
+    resolved.keysIterator.foreach { k =>
+      if (k._1.sparkContext.isStopped) resolved.remove(k)
+    }
 }

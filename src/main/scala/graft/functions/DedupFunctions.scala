@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions.{lit, udf}
   * Hamming distance, blocked by splitting the fingerprint into bands
   * (pigeonhole: hamming <= bands-1 ⇒ some band matches exactly).
   *
-  * Single-pass JVM UDFs. TODO(round 2): native Catalyst Expressions.
+  * Single-pass JVM UDFs. The hot paths use the native codegen kernels
+  * in [[graft.functions.expr.DedupExpressions]]; these UDF twins are
+  * kept as the independent reference implementations the parity spec
+  * (DedupExprParitySpec) checks the kernels against.
   */
 object DedupFunctions {
 

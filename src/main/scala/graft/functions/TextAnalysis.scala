@@ -5,10 +5,10 @@ import org.apache.spark.sql.functions.udf
 
 /** Text-analysis functions for the training-data pipeline suite.
   *
-  * Implemented as JVM Scala UDFs (single-pass, allocation-light); these
-  * run at executor speed with no serialization boundary. TODO(round 2):
-  * promote the hot ones to native Catalyst `Expression`s with codegen so
-  * they stay inside whole-stage codegen.
+  * Implemented as JVM Scala UDFs (single-pass, allocation-light). The
+  * hot paths use the native codegen twins in
+  * [[graft.functions.expr.TextExpressions]]; the UDF forms stay as the
+  * independent reference implementations for the parity spec.
   */
 object TextAnalysis {
 

@@ -8,8 +8,9 @@ import org.apache.spark.sql.functions._
   * Built from Spark's higher-order functions (zip_with/aggregate) so the
   * fold order is a deterministic left-to-right pass — bit-identical to
   * the DuckDB oracle's sequential loop, which is what lets q31/q33 be
-  * hash-checked. TODO(round 2): a codegen Catalyst Expression for the
-  * dot product (HOFs don't participate in whole-stage codegen).
+  * hash-checked. The hot paths are the codegen kernels in
+  * [[graft.functions.expr.SimilarityExpressions]]; the HOF forms stay
+  * as cross-check twins (TextAndAnnSpec).
   */
 object VectorFunctions {
 

@@ -18,10 +18,13 @@ import org.apache.spark.storage.StorageLevel
   * almost always ≤3. The only driver-side value is the scalar
   * changed-row count; labels never leave the cluster.
   *
-  * Scale notes (100 TB): labels are persisted between iterations and
-  * the previous generation unpersisted, so lineage stays one iteration
-  * deep (no recursive recomputation). Edges are persisted once and
-  * reused every iteration. For adversarial graphs (long chains) switch
+  * Scale notes (100 TB): each round's labels are localCheckpoint()ed
+  * (eager) so lineage stays one iteration deep, and the previous
+  * generation's checkpoint blocks are explicitly released once the new
+  * round is materialized (via the LogicalRDD — Dataset.unpersist cannot
+  * reach checkpoint storage), so peak storage is two generations
+  * regardless of round count. Edges are persisted once and reused every
+  * iteration. For adversarial graphs (long chains) switch
   * to the large-star/small-star algorithm (Kiveris et al., "Connected
   * Components in MapReduce"), which converges in O(log n) rounds; for
   * dedup workloads the diameter bound is better.
@@ -57,10 +60,15 @@ object ConnectedComponents {
       val nbrMin = und.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min(col("comp")).as("nbr_comp"))
+      val prevLabels = labels
       val prop = labels.join(nbrMin, Seq("node"), "left")
         .select(col("node"), col("comp").as("old_comp"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
         .localCheckpoint()
+      // prop is materialized (localCheckpoint is eager), so the previous
+      // generation's blocks can be released — without this the job
+      // accumulates one persisted generation per round
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(prevLabels)
       // path halving: follow the label pointer one level (comp :=
       // comp(comp)) — labels double their hop distance per round, so
       // convergence needs O(log diameter) rounds instead of O(diameter).
@@ -77,6 +85,10 @@ object ConnectedComponents {
         .observe(obs, sum(when(col("comp") < col("old_comp"), 1L).otherwise(0L)).as("changed"))
         .localCheckpoint()
       val changed = obs.get("changed").asInstanceOf[Long]
+      // next is materialized; the intermediate prop generation (its
+      // only consumer) can be released. The final labels stay persisted
+      // for the caller.
+      org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(prop)
       labels = next.select("node", "comp")
       converged = changed == 0
       iter += 1

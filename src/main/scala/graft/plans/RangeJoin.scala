@@ -62,6 +62,8 @@ case class RangeJoinExec(
   private def toL(v: Any): Long = v match {
     case l: java.lang.Long => l
     case i: java.lang.Integer => i.toLong
+    case null => throw new IllegalArgumentException(
+      "null range bound reached the index (null-bounded intervals are filtered before build)")
     case other => throw new IllegalArgumentException(
       s"range-join bound must be integral-backed (timestamp/long/int/date), got $other")
   }
@@ -74,8 +76,11 @@ case class RangeJoinExec(
     val schema = output
 
     left.execute().mapPartitions { lIter =>
-      // build the sorted index once per partition from the broadcast
-      val rows = bc.value
+      // build the sorted index once per partition from the broadcast;
+      // null-bounded intervals can never satisfy lo <= t < hi (SQL
+      // comparison semantics — the equi-join twin drops them too), so
+      // they are excluded rather than crashing the index build
+      val rows = bc.value.filter(r => loB.eval(r) != null && hiB.eval(r) != null)
       val m = rows.length
       val order = Array.range(0, m).sortBy(i => toL(loB.eval(rows(i))))
       val loV = order.map(i => toL(loB.eval(rows(i))))
@@ -130,10 +135,10 @@ case class RangeJoinExec(
 
 /** User API + strategy registration. */
 object RangeJoinApi {
-  private def resolve(df: DataFrame, name: String): Attribute =
-    df.queryExecution.analyzed.output.find(_.name == name).getOrElse(
+  private def resolve(out: Seq[Attribute], name: String): Attribute =
+    out.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(
-        s"column '$name' not in [${df.queryExecution.analyzed.output.map(_.name).mkString(", ")}]"))
+        s"column '$name' not in [${out.map(_.name).mkString(", ")}]"))
 
   def register(spark: SparkSession): Unit =
     if (!spark.experimental.extraStrategies.contains(RangeJoinStrategy))
@@ -146,8 +151,21 @@ object RangeJoinApi {
       leftTime: String, lo: String, hi: String): DataFrame = {
     val spark = left.sparkSession
     register(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rAnalyzed = right.queryExecution.analyzed
+    // The node is built from two already-analyzed plans, skipping the
+    // attribute dedup a normal join gets in analysis. If both sides
+    // derive from the same DataFrame they share exprIds, and the output
+    // projection would bind right columns to the LEFT occurrence —
+    // silently wrong values. Re-alias the right side to fresh exprIds
+    // whenever any overlap exists.
+    val rPlan: LogicalPlan =
+      if (rAnalyzed.output.exists(lPlan.outputSet.contains))
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          rAnalyzed.output.map(a => Alias(a, a.name)()), rAnalyzed)
+      else rAnalyzed
     ColumnBridge.ofRows(spark, RangeJoin(
-      left.queryExecution.analyzed, right.queryExecution.analyzed,
-      resolve(left, leftTime), resolve(right, lo), resolve(right, hi)))
+      lPlan, rPlan,
+      resolve(lPlan.output, leftTime), resolve(rPlan.output, lo), resolve(rPlan.output, hi)))
   }
 }

@@ -235,6 +235,85 @@ object Similarity {
       |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, round(cos, 4) AS score
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
+  // -- q37b: IVF with a TRAINED coarse quantizer (spherical k-means) ----
+  // Same probe/search shape as q37, but the centroids are learned: a
+  // deterministic sample is drawn to the driver and Lloyd-iterated with
+  // cosine assignment and renormalized means (spherical k-means) — the
+  // FAISS-style training path, where training cost depends on the
+  // sample (driver-sized even at 100 TB), never the corpus. Float means
+  // are order-sensitive, so this variant is checked by recall (must
+  // beat the q37 seed-centroid quantizer at equal nprobe), not a
+  // value-hash oracle.
+  private[graft] def kmeansCentroids(
+      c: DataFrame, k: Int, iters: Int, sampleN: Int): Array[Array[Double]] = {
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val sample = c.orderBy("vec_id").limit(sampleN).collect()
+      .map(r => normalize(r.getSeq[Double](1).toArray))
+    var cents = sample.take(k).map(_.clone())
+    val dim = if (sample.nonEmpty) sample(0).length else 0
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var ci = 0
+        while (ci < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { d += v(j) * cents(ci)(j); j += 1 }
+          if (d > bestDot) { bestDot = d; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { ci =>
+        if (counts(ci) == 0) cents(ci) // empty cluster keeps its centroid
+        else normalize(sums(ci).map(_ / counts(ci)))
+      }
+    }
+    cents
+  }
+
+  val q37b = GraftQuery("q37b_ann_ivf_kmeans", (s, dir) => {
+    import s.implicits._
+    val NList = 16; val NProbe = 4
+    val c = corpus(s, dir)
+    val trained = kmeansCentroids(c, NList, iters = 8, sampleN = 2000)
+    val centroids = trained.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cent_id", "cent_v")
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosineSim(col("v"), col("cent_v")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("v")),
+        struct(col("dist"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"), col("vec_id"), col("m.v").as("v"))
+    val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cent_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qv"), col("cent_id"),
+        cosineSim(col("qv"), col("cent_v")).as("qdist"))
+      .withColumn("rk", row_number().over(wProbe))
+      .where(col("rk") <= NProbe)
+      .select(col("qid"), col("qv"), col("cent_id"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    probes.join(assigned, Seq("cent_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosineSim(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }, None)
+
   // -- q34: approximate distinct counting (HLL++) -----------------------
   // Sketch-based; engine-specific bias correction → rows-only check,
   // exactness bounds asserted in SketchSpec.
@@ -247,5 +326,5 @@ object Similarity {
       .orderBy("l_returnflag")
   }, None)
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37)
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b)
 }

@@ -18,4 +18,16 @@ object ColumnBridge {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Free the storage of a `localCheckpoint()`ed DataFrame. The blocks
+    * live on the backing checkpointed RDD (not in the cache manager),
+    * so `Dataset.unpersist()` cannot reach them; iterative drivers that
+    * checkpoint per round must release prior generations through the
+    * LogicalRDD node or leak one generation per iteration. No-op for
+    * non-checkpoint plans. */
+  def unpersistCheckpoint(df: org.apache.spark.sql.DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(blocking = false)
+      case _ =>
+    }
 }

@@ -101,6 +101,50 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(ivf.nonEmpty)
   }
 
+  test("trained (k-means) IVF quantizer improves the quantization objective; recall stays competitive") {
+    // larger corpus so quantizer quality actually shows up
+    val dir = "/root/testdata/sf0.01"
+    val c = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    // mean max-cosine of each vector to its nearest centroid — the
+    // spherical k-means objective. Lloyd starts from exactly the seed
+    // centroids (smallest ids), so training must not degrade it; a
+    // strict improvement shows the quantizer actually learned.
+    def objective(cents: Array[Array[Double]]): Double = {
+      import spark.implicits._
+      val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq.toDF("cent_id", "cent_v")
+      c.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), VectorFunctions.cosineSim(col("v"), col("cent_v")).as("d"))
+        .groupBy("vec_id").agg(max(col("d")).as("m"))
+        .agg(avg(col("m"))).collect()(0).getDouble(0)
+    }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val seedCents = c.orderBy("vec_id").limit(16).collect()
+      .map(r => normalize(r.getSeq[Double](1).toArray))
+    val trainedCents = graft.queries.Similarity.kmeansCentroids(c, k = 16, iters = 8, sampleN = 2000)
+    val seedObj = objective(seedCents)
+    val trainedObj = objective(trainedCents)
+    assert(trainedObj > seedObj + 1e-6,
+      s"k-means objective $trainedObj did not improve on seed $seedObj")
+
+    // recall@5 vs brute force: trained quantizer must stay in the same
+    // band as the seed one (boundary effects make ±1 pair noise at this
+    // corpus size) and clear an absolute floor
+    val brute = graft.queries.Similarity.q31.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(q: graft.GraftQuery): Double = {
+      val got = q.run(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      brute.intersect(got).size.toDouble / brute.size
+    }
+    val seedRecall = recallOf(graft.queries.Similarity.q37)
+    val trainedRecall = recallOf(graft.queries.Similarity.q37b)
+    assert(trainedRecall >= seedRecall - 0.1,
+      s"k-means recall $trainedRecall fell off the seed recall $seedRecall")
+    assert(trainedRecall >= 0.5, s"k-means IVF recall=$trainedRecall")
+  }
+
   test("hyperplane signatures: similar vectors get close signatures") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)

@@ -36,6 +36,34 @@ class RangeJoinSpec extends SparkSpecBase {
     assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastQueryStage"), plan)
   }
 
+  test("null-bounded intervals are skipped, not fatal (SQL join semantics)") {
+    val events = (0L until 20L).map(t => (t, s"e$t")).toDF("t", "tag")
+    val intervals = Seq(
+      (1L, Some(5L), Some(10L)),
+      (2L, None, Some(10L)),      // null lo — can never match
+      (3L, Some(5L), None)        // null hi — can never match
+    ).toDF("iid", "lo", "hi")
+    val got = RangeJoinApi.join(events, intervals, "t", "lo", "hi")
+      .select("t", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ref = events.crossJoin(intervals)
+      .where(col("lo") <= col("t") && col("t") < col("hi"))
+      .select("t", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == ref)
+    assert(got.forall(_._2 == 1L))
+  }
+
+  test("self-derived sides (shared exprIds) return correct right-side values") {
+    // both sides come from the same DataFrame, so without dedup the
+    // output projection would bind the right columns to the left ones
+    val base = Seq((0L, 5L, 10L), (1L, 20L, 30L)).toDF("t", "lo", "hi")
+    val events = base.select(col("t") + 7 as "t")            // 7, 8
+    val intervals = base.select(col("lo"), col("hi"), col("t").as("iid"))
+    val rows = RangeJoinApi.join(events, intervals, "t", "lo", "hi")
+      .select("t", "iid", "lo", "hi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rows == Set((7L, 0L, 5L, 10L), (8L, 0L, 5L, 10L)))
+  }
+
   test("timestamp bounds work (micros-backed)") {
     val events = Seq(
       (1L, java.sql.Timestamp.valueOf("2024-01-01 10:07:00")),

@@ -137,6 +137,31 @@ object DedupKernels {
     sig
   }
 
+  /** Rademacher-hyperplane signature over an integer parity mix —
+    * arithmetic and summation order exactly match the SQL/DuckDB
+    * formulation (sign(i,j) = +1 iff (i·1315423911 + j·2654435761)
+    * mod 1000003 is odd; dot accumulated in ascending j), so the
+    * kernel's bits are bit-identical to the q32 oracle's while running
+    * inside codegen instead of an interpreted higher-order aggregate. */
+  def rademacherSig(v: ArrayData, bits: Int): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var i = 0
+    while (i < bits) {
+      var acc = 0.0
+      var j = 0
+      while (j < n) {
+        val mix = (i.toLong * 1315423911L + j.toLong * 2654435761L) % 1000003L
+        val x = v.getDouble(j)
+        acc += (if ((mix & 1L) == 1L) x else -x)
+        j += 1
+      }
+      if (acc > 0) sig |= (1L << i)
+      i += 1
+    }
+    sig
+  }
+
   /** Split a `bands*width`-bit fingerprint into `bands` bit-chunks. */
   def fpBands(fp: Long, bands: Int, width: Int): ArrayData = {
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -194,6 +219,16 @@ case class SimHashFromHashesExpr(child: Expression, bits: Int) extends UnaryKern
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class RademacherSigExpr(child: Expression, bits: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_rademacher_sig"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.rademacherSig(a.asInstanceOf[ArrayData], bits)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.rademacherSig($c, $bits)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class HyperplaneSigExpr(child: Expression, bits: Int) extends UnaryKernelExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_hyperplane_sig"
@@ -222,6 +257,7 @@ object DedupExpressions {
   def bandHashes(sig: Column, bands: Int): Column = c(BandHashesExpr(e(sig), bands))
   def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
   def simHashFromHashes(hashes: Column, bits: Int): Column = c(SimHashFromHashesExpr(e(hashes), bits))
+  def rademacherSig(v: Column, bits: Int): Column = c(RademacherSigExpr(e(v), bits))
   def hyperplaneSig(v: Column, bits: Int): Column = c(HyperplaneSigExpr(e(v), bits))
   /** width = total signature bits / bands (16 for 64-bit simhash in 4
     * bands; 4 for 16-bit hyperplane signatures in 4 bands). */

@@ -241,29 +241,31 @@ object Curation {
   // The step after any pair-finding dedup: transitively close the pair
   // graph so each group keeps exactly one representative. Edges come
   // from the UNBLOCKED exact prefix-filtered all-pairs join
-  // ([[Dedup.allPairsJaccard]]) — full recall with no Zipf natural-key
-  // block — then [[graft.operators.ConnectedComponents]] (min-label
-  // propagation, O(diameter) distributed rounds). The oracle is a
-  // recursive CTE over the brute-force pair set (equivalent by the
-  // prefix-filter completeness theorem; O(n²) is fine at oracle SF).
+  // ([[Dedup.allPairsJaccard]]: 4-token shingles, near-dup threshold
+  // 0.5) — full recall with no Zipf natural-key block — then
+  // [[graft.operators.ConnectedComponents]] (min-label propagation,
+  // O(diameter) distributed rounds). The oracle is a recursive CTE over
+  // the brute-force pair set (equivalent by the prefix-filter
+  // completeness theorem; O(n²) is fine at oracle SF).
   val q84 = q("q84_dup_clusters",
     """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |s AS (SELECT doc_id,
-      |        CASE WHEN len(t) >= 2
-      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |        CASE WHEN len(t) >= 4
+      |             THEN list_distinct(list_transform(range(1, len(t) - 2),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
       |             ELSE list_distinct(t) END AS sh
       |      FROM d),
       |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
-      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.12),
+      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
       |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
       |r AS (SELECT u AS node, u AS reach FROM e
       |      UNION
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)
       |SELECT node AS doc_id, min(reach) AS cluster_id
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val edges = Dedup.allPairsJaccard(s, dir, 0.12).select(col("a_id"), col("b_id"))
+    val edges = Dedup.allPairsJaccard(s, dir, 0.5).select(col("a_id"), col("b_id"))
     graft.operators.ConnectedComponents.minLabelPropagation(edges)
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
       .orderBy("doc_id")
@@ -396,8 +398,9 @@ object Curation {
       |         WHERE n_tokens BETWEEN 15 AND 90 AND ttr >= 0.34 AND rep_ratio <= 0.09),
       |ek AS (SELECT min(doc_id) AS doc_id FROM d GROUP BY md5(text)),
       |sh AS (SELECT doc_id,
-      |         CASE WHEN len(t) >= 2
-      |              THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |         CASE WHEN len(t) >= 4
+      |              THEN list_distinct(list_transform(range(1, len(t) - 2),
+      |                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
       |              ELSE list_distinct(t) END AS sh
       |       FROM d),
       |losers AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b

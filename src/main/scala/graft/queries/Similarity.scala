@@ -31,22 +31,11 @@ object Similarity {
     * is exact integer arithmetic < 2⁴⁰ in both engines) and summed in
     * ascending index order so the dot products, hence the sign bits,
     * are bit-identical to the DuckDB oracle's. sign(i,j) = +1 iff
-    * ((i·1315423911 + j·2654435761) mod 1000003) is odd. */
-  private def rademacherSig(v: Column, bits: Int, dims: Int): Column = {
-    val pows = array((0 until bits).map(b => lit(1L << b)): _*)
-    aggregate(
-      sequence(lit(0), lit(bits - 1)),
-      lit(0L),
-      (acc, i) => {
-        val dot = aggregate(
-          sequence(lit(0), lit(dims - 1)),
-          lit(0.0),
-          (a, j) => a + element_at(v, j + 1) *
-            when(((i * lit(1315423911L) + j * lit(2654435761L)) % lit(1000003L)) % 2 === 1, lit(1.0))
-              .otherwise(lit(-1.0)))
-        acc.bitwiseOR(when(dot > 0, element_at(pows, i + 1)).otherwise(lit(0L)))
-      })
-  }
+    * ((i·1315423911 + j·2654435761) mod 1000003) is odd. Runs as a
+    * codegen kernel (an interpreted higher-order aggregate was ~4× the
+    * whole query's cost at bench scale). */
+  private def rademacherSig(v: Column, bits: Int, dims: Int): Column =
+    graft.functions.expr.DedupExpressions.rademacherSig(v, bits)
 
   // -- q31: brute-force cosine top-5 for query vectors vec_id < 10 ------
   val q31 = GraftQuery("q31_ann_brute", (s, dir) => {

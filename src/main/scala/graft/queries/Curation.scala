@@ -465,6 +465,53 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -- q101: per-document fluency under the corpus bigram LM ------------
+  // The CCNet/perplexity-filter shape: score every document by how
+  // predictable its bigrams are under the corpus-wide language model,
+  // then gate or mix on the score. Scoring avoids transcendentals on
+  // purpose — avg/min of conditional probabilities p(w2|w1) = n/ctx_n,
+  // each an exact int/int IEEE division identical in both engines;
+  // per-term round(9) → exact decimal sum → one double division keeps
+  // the aggregate order-independent, so the whole signal hash-matches
+  // the oracle (a ln()-based perplexity would differ in final ulps
+  // between libm implementations). Plan: one bigram aggregate (map-side
+  // partial), context sums via a window over the vocabulary-sized
+  // aggregate, a broadcast-sized join back to doc bigrams, one per-doc
+  // aggregate.
+  val q101 = q("q101_bigram_fluency",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |       FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM bc),
+      |term AS (SELECT doc_id, CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
+      |         FROM bg JOIN uc USING (w1, w2))
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_p,
+      |  min(p) AS min_p
+      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val t = toks
+    val pairs = transform(sequence(lit(0), size(t) - 2),
+      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    val bg = Tables(s, dir).documents
+      .where(size(t) >= 2)
+      .select(col("doc_id"), explode(pairs).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val uc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .withColumn("ctx_n", sum(col("n")).over(Window.partitionBy("w1")))
+    bg.join(uc, Seq("w1", "w2"))
+      .select(col("doc_id"), (col("n").cast("double") / col("ctx_n").cast("double")).as("p"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        (sum(round(col("p"), 9).cast("decimal(18,9)")).cast("double") / count(lit(1))).as("avg_p"),
+        min(col("p")).as("min_p"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q99)
+    q86, q87, q88, q89, q99, q101)
 }

@@ -303,6 +303,93 @@ object Similarity {
       .orderBy("qid", "rk")
   }, None)
 
+  // -- q102: product-quantization ANN (ADC + exact re-rank) -------------
+  // The memory-bound 100 TB ANN technique (Jégou/Douze/Schmid, "Product
+  // Quantization for Nearest Neighbor Search", TPAMI 2011): split each
+  // vector into M subvectors, k-means each subspace into K codewords,
+  // store vectors as M small codes (here 8×4 bits — 32× smaller than
+  // the float vector). Queries never touch raw corpus vectors until
+  // re-rank: a per-query distance table (M×K entries, broadcast) scores
+  // candidates by Asymmetric Distance Computation — sum over segments
+  // of table[seg, code] — then only the ADC top-50 are re-ranked with
+  // exact cosine. Codebook training is driver-side Lloyd on a
+  // deterministic sample (cost independent of corpus size). Float
+  // k-means → rows-only check; PqAnnSpec asserts recall vs q31.
+  private def lloydL2(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val dim = points(0).length
+    var cents = points.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < cents.length) {
+          var d = 0.0; var j = 0
+          while (j < dim) { val t = p(j) - cents(ci)(j); d += t * t; j += 1 }
+          if (d < bestD) { bestD = d; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { ci =>
+        if (counts(ci) == 0) cents(ci) else sums(ci).map(_ / counts(ci))
+      }
+    }
+    cents
+  }
+
+  val q102 = GraftQuery("q102_ann_pq", (s, dir) => {
+    import s.implicits._
+    val M = 8; val SubDim = 8; val K = 16; val TopCand = 50
+    val c = corpus(s, dir)
+    val sample = c.orderBy("vec_id").limit(2000).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val codebooks = (0 until M).flatMap { seg =>
+      val sub = sample.map(v => v.slice(seg * SubDim, (seg + 1) * SubDim))
+      lloydL2(sub, K, iters = 8).zipWithIndex.map { case (cw, k) =>
+        (seg, k, cw, cw.map(x => x * x).sum)
+      }
+    }
+    val cb = codebooks.toDF("seg", "code", "cw", "cw_n2")
+    def segments(v: Column): Column =
+      array((0 until M).map(m => slice(v, m * SubDim + 1, SubDim)): _*)
+    // encode: nearest codeword per (vector, segment). argmin L2 =
+    // argmax 2·dot − |cw|² (the |sub|² term is constant per group);
+    // max_by keeps it a partial-aggregable argmax, ties to smaller code
+    val codes = c.select(col("vec_id"), posexplode(segments(col("v"))).as(Seq("seg", "sub")))
+      .join(broadcast(cb), Seq("seg"))
+      .select(col("vec_id"), col("seg"), col("code"),
+        (lit(2.0) * dot(col("sub"), col("cw")) - col("cw_n2")).as("sc"))
+      .groupBy("vec_id", "seg")
+      .agg(max_by(col("code"), struct(col("sc"), (-col("code")).as("tb"))).as("code"))
+    // per-query distance tables: M×K partial distances (constant |qsub|²
+    // omitted — it shifts every candidate's total equally)
+    val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val dt = q.select(col("qid"), posexplode(segments(col("qv"))).as(Seq("seg", "qsub")))
+      .join(broadcast(cb), Seq("seg"))
+      .select(col("qid"), col("seg"), col("code"),
+        (col("cw_n2") - lit(2.0) * dot(col("qsub"), col("cw"))).as("pd"))
+    val adc = codes.join(broadcast(dt), Seq("seg", "code"))
+      .where(col("vec_id") =!= col("qid"))
+      .groupBy(col("qid"), col("vec_id"))
+      .agg(sum(col("pd")).as("adc"))
+    val wCand = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
+    val cand = adc.withColumn("ck", row_number().over(wCand))
+      .where(col("ck") <= TopCand)
+      .select(col("qid"), col("vec_id"))
+    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    cand.join(c, Seq("vec_id")).join(q, Seq("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), cosineSim(col("qv"), col("v")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .orderBy("qid", "rk")
+  }, None)
+
   // -- q34: approximate distinct counting (HLL++) -----------------------
   // Sketch-based; engine-specific bias correction → rows-only check,
   // exactness bounds asserted in SketchSpec.
@@ -315,5 +402,5 @@ object Similarity {
       .orderBy("l_returnflag")
   }, None)
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b)
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102)
 }

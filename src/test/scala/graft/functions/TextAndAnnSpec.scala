@@ -145,6 +145,18 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(trainedRecall >= 0.5, s"k-means IVF recall=$trainedRecall")
   }
 
+  test("PQ ANN (ADC + re-rank) recalls brute-force top-5") {
+    val dir = "/root/testdata/sf0.01"
+    val brute = graft.queries.Similarity.q31.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = graft.queries.Similarity.q102.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    // 8x4-bit codes (32x compression) + top-50 exact re-rank over a
+    // 500-vector corpus: the ADC shortlist must keep most true tops
+    assert(recall >= 0.5, s"PQ recall=$recall")
+  }
+
   test("hyperplane signatures: similar vectors get close signatures") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)

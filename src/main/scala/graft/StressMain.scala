@@ -62,7 +62,11 @@ object StressMain {
     // curation suite: span index, per-row signal pass, vocab window,
     // pair clustering, fuzzy linkage, bigram LM
     "q72_repetition", "q78_span_dedup", "q79_ttr", "q80_zipf",
-    "q84_dup_clusters", "q85_fuzzy_linkage", "q88_bigram_lm")
+    "q84_dup_clusters", "q85_fuzzy_linkage", "q88_bigram_lm",
+    // round 3: exact prefix-filtered all-pairs, decontamination (span
+    // broadcast), fluency join, shard manifest
+    "q100_allpairs_jaccard", "q101_bigram_fluency", "q103_decontamination",
+    "q104_shard_pack")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

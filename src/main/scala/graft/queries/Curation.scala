@@ -512,6 +512,124 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  // -- q103: benchmark decontamination (n-gram overlap) -----------------
+  // The GPT-3/PaLM eval-hygiene pass: drop training documents sharing
+  // any n-gram with an evaluation benchmark (Brown et al. 2020 §C used
+  // 13-grams; 8 tokens here to match q78's span unit on this corpus).
+  // The benchmark split is a deterministic hash slice so both engines
+  // (and re-runs) agree on it. Scale shape: eval suites are MBs while
+  // the corpus is TBs — benchmark spans deduplicate to a tiny set that
+  // BROADCASTS, so the corpus-side span explode is map-only with no
+  // corpus shuffle; only contaminated (doc, span) hits reach the final
+  // per-doc aggregate.
+  val q103 = q("q103_decontamination",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t) - 6),
+      |                i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS span
+      |       FROM d WHERE len(t) >= 8),
+      |b AS (SELECT DISTINCT span, doc_id AS bench_doc FROM sp
+      |      WHERE ${graft.QueryDsl.crossHash60Sql("doc_id")} % 20 = 0),
+      |tr AS (SELECT doc_id, span FROM sp
+      |       WHERE ${graft.QueryDsl.crossHash60Sql("doc_id")} % 20 <> 0)
+      |SELECT doc_id,
+      |  CAST(COUNT(DISTINCT span) AS BIGINT) AS n_shared_spans,
+      |  CAST(COUNT(DISTINCT bench_doc) AS BIGINT) AS n_bench_docs,
+      |  min(span) AS sample_span
+      |FROM tr JOIN b USING (span)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
+    val t = toks
+    val spans = transform(sequence(lit(0), size(t) - 8),
+      i => array_join(slice(t, i + 1, lit(8)), " "))
+    val sp = Tables(s, dir).documents
+      .where(size(t) >= 8)
+      .select(col("doc_id"), pmod(crossHash60(col("doc_id")), lit(20)).as("slice"),
+        explode(spans).as("span"))
+    val bench = sp.where(col("slice") === 0)
+      .select(col("span"), col("doc_id").as("bench_doc")).distinct()
+    sp.where(col("slice") =!= 0)
+      .join(broadcast(bench), Seq("span"))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(col("span")).as("n_shared_spans"),
+        countDistinct(col("bench_doc")).as("n_bench_docs"),
+        min(col("span")).as("sample_span"))
+      .orderBy("doc_id")
+  }
+
+  // -- q104: deterministic training-shard packing manifest --------------
+  // The last mile before the tokenizer: assign every document to a
+  // fixed shard by content-independent hash — a reproducible global
+  // shuffle that breaks source/temporal correlation (consecutive crawl
+  // pages land in different shards) without a sort, and a per-shard
+  // manifest (docs, tokens, bytes) that training-side loaders consume.
+  // Map-only assignment + one partial-aggregated groupBy on the shard
+  // id; balance is hash-uniform regardless of corpus skew (asserted in
+  // SamplingSpec). The physical write is `PartitionedTableSink` with
+  // shard as the partition column; this query is the manifest.
+  val q104 = q("q104_shard_pack",
+    s"""WITH d AS (SELECT ${graft.QueryDsl.crossHash60Sql("doc_id")} % 16 AS shard,
+      |             len(string_split(text, ' ')) AS n_tokens, n_chars
+      |           FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(n_chars) AS BIGINT) AS n_bytes
+      |FROM d GROUP BY shard ORDER BY shard""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
+    Tables(s, dir).documents
+      .select(pmod(crossHash60(col("doc_id")), lit(16)).as("shard"),
+        size(toks).as("n_tokens"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("n_tokens"),
+        sum(col("n_chars")).cast("long").as("n_bytes"))
+      .orderBy("shard")
+  }
+
+  // -- q105: temperature-scaled language-mixture weights ----------------
+  // The multilingual data-mixing recipe (XLM-R/mT5: sample language l
+  // with probability ∝ p_l^τ, upweighting low-resource languages):
+  // emit, per language, its corpus share and the sampling weight that
+  // realizes the τ-tempered target mixture. τ = 0.5 on purpose — sqrt
+  // is IEEE-correctly-rounded in BOTH engines, unlike pow(), so the
+  // tempered shares are bit-identical; the normalizer Σ√p is made
+  // accumulation-order-independent by the q101 trick (round(9) → exact
+  // DECIMAL sum → one double division). Language-sized output, two
+  // partial-aggregated shuffles — the audit table a 100 TB mixing run
+  // is driven by.
+  val q105 = q("q105_lang_mix",
+    """WITH l AS (SELECT lang, COUNT(*) AS n_docs,
+      |             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      |           FROM documents GROUP BY lang),
+      |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total_docs FROM l),
+      |sq AS (SELECT lang, n_docs, n_tokens, total_docs,
+      |         CAST(round(sqrt(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE)), 9)
+      |              AS DECIMAL(18,9)) AS sq9
+      |       FROM l CROSS JOIN t),
+      |z AS (SELECT CAST(SUM(sq9) AS DOUBLE) AS z FROM sq)
+      |SELECT lang, n_docs, n_tokens,
+      |  round(CAST(n_docs AS DOUBLE) / CAST(total_docs AS DOUBLE), 6) AS share,
+      |  round(CAST(sq9 AS DOUBLE) / z * CAST(total_docs AS DOUBLE)
+      |        / CAST(n_docs AS DOUBLE), 6) AS weight
+      |FROM sq CROSS JOIN z ORDER BY lang""".stripMargin) { (s, dir) =>
+    val per = Tables(s, dir).documents
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(size(toks)).cast("long").as("n_tokens"))
+    val tot = per.agg(sum(col("n_docs")).cast("long").as("total_docs"))
+    val sq = per.crossJoin(broadcast(tot))
+      .withColumn("sq9",
+        round(sqrt(col("n_docs").cast("double") / col("total_docs").cast("double")), 9)
+          .cast("decimal(18,9)"))
+    val z = sq.agg(sum(col("sq9")).cast("double").as("z"))
+    sq.crossJoin(broadcast(z))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs").cast("double") / col("total_docs").cast("double"), 6).as("share"),
+        round(col("sq9").cast("double") / col("z") * col("total_docs").cast("double")
+          / col("n_docs").cast("double"), 6).as("weight"))
+      .orderBy("lang")
+  }
+
   val all: Seq[GraftQuery] = Seq(q77, q78, q79, q80, q81, q82, q83, q84, q85,
-    q86, q87, q88, q89, q99, q101)
+    q86, q87, q88, q89, q99, q101, q103, q104, q105)
 }

@@ -314,7 +314,7 @@ object Similarity {
   // of table[seg, code] — then only the ADC top-50 are re-ranked with
   // exact cosine. Codebook training is driver-side Lloyd on a
   // deterministic sample (cost independent of corpus size). Float
-  // k-means → rows-only check; PqAnnSpec asserts recall vs q31.
+  // k-means → rows-only check; TextAndAnnSpec asserts recall vs q31.
   private def lloydL2(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty)
     val dim = points(0).length
@@ -390,17 +390,69 @@ object Similarity {
       .orderBy("qid", "rk")
   }, None)
 
-  // -- q34: approximate distinct counting (HLL++) -----------------------
-  // Sketch-based; engine-specific bias correction → rows-only check,
-  // exactness bounds asserted in SketchSpec.
+  // -- q34: approximate distinct counting (mirrorable HyperLogLog) ------
+  // A from-scratch HLL (Flajolet et al. 2007) built so the ORACLE can
+  // replay it bit-for-bit — unlike engine sketches (Spark HLL++ vs
+  // DuckDB's), whose hash and bias tables differ by design. m=256
+  // registers keyed by the top 8 bits of the shared 60-bit md5 hash;
+  // rho = leading-zero rank of the remaining 52 bits via length(bin(v))
+  // (minimal-length binary in BOTH engines). The harmonic sum is kept
+  // in INTEGER space scaled by 2^53 (each register term 2^(53-rho) is
+  // an exact bigint; bigint addition is order-independent, unlike the
+  // float 2^-rho sum), so the only float op is one identically-
+  // parenthesized division at the end — bit-identical cross-engine.
+  // Raw HLL estimator only (no small-range linear counting, which
+  // needs ln() — libm-dependent): valid for n ≳ 2.5m = 640 distinct,
+  // which holds for every group at the verify SF and above; accuracy
+  // (~1.04/√m ≈ 6.5% std error) asserted against the exact count in
+  // SketchSpec. Shuffle cost: the register agg is partial+final on
+  // (group, reg) — at most m rows per group reach the reducer no
+  // matter the corpus size, the same mergeability Spark's own sketch
+  // has. Spark's built-in HLL++ (mergeable across persisted sketches)
+  // remains covered by SketchSpec.
   val q34 = GraftQuery("q34_approx_distinct", (s, dir) => {
-    Tables(s, dir).lineitem
-      .groupBy("l_returnflag")
-      .agg(
-        approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-        countDistinct(col("l_partkey")).as("exact_parts"))
-      .orderBy("l_returnflag")
-  }, None)
+    import graft.QueryDsl.crossHash60
+    val li = Tables(s, dir).lineitem
+    val regs = li
+      .select(col("l_returnflag"), crossHash60(col("l_partkey")).as("h"))
+      .select(col("l_returnflag"),
+        shiftright(col("h"), 52).as("reg"),
+        col("h").bitwiseAND(lit((1L << 52) - 1)).as("v"))
+      .withColumn("rho",
+        when(col("v") === 0, lit(53)).otherwise(lit(53) - length(bin(col("v")))))
+      .groupBy(col("l_returnflag"), col("reg"))
+      .agg(max(col("rho")).as("mr"))
+    val sketch = regs.groupBy("l_returnflag")
+      .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 53 - mr)")).as("sp"),
+        count(lit(1)).as("nreg"))
+      .select(col("l_returnflag"),
+        round(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(256.0)) * lit(65536.0) *
+          lit(9007199254740992.0) /
+          (col("sp") + (lit(256L) - col("nreg")) * lit(1L << 53)).cast(DoubleType), 4)
+          .as("approx_parts"))
+    val exact = li.groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    sketch.join(exact, Seq("l_returnflag")).orderBy("l_returnflag")
+  }, Some(
+    """WITH h AS (SELECT l_returnflag,
+      |             CAST(concat('0x', substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |           FROM lineitem),
+      |r AS (SELECT l_returnflag, h >> 52 AS reg,
+      |        CASE WHEN (h & 4503599627370495) = 0 THEN 53
+      |             ELSE 53 - length(bin(h & 4503599627370495)) END AS rho
+      |      FROM h),
+      |m AS (SELECT l_returnflag, reg, max(rho) AS mr FROM r GROUP BY 1, 2),
+      |s AS (SELECT l_returnflag,
+      |        CAST(sum(1::BIGINT << CAST(53 - mr AS INTEGER)) AS BIGINT) AS sp,
+      |        count(*) AS nreg
+      |      FROM m GROUP BY 1),
+      |e AS (SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts FROM lineitem GROUP BY 1)
+      |SELECT s.l_returnflag,
+      |       round(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 256.0::DOUBLE)
+      |             * 65536.0::DOUBLE * 9007199254740992.0::DOUBLE /
+      |             CAST(sp + (256 - nreg) * 9007199254740992 AS DOUBLE), 4) AS approx_parts,
+      |       exact_parts
+      |FROM s JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin))
 
   val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102)
 }

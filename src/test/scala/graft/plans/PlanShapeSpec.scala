@@ -14,7 +14,8 @@ class PlanShapeSpec extends SparkSpecBase {
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
   for (q <- Seq("q33_dedup_embed", "q100_allpairs_jaccard", "q84_dup_clusters",
-                "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash"))
+                "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
+                "q103_decontamination"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
       val plan = executed(q)
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")

@@ -26,6 +26,19 @@ class SketchSpec extends SparkSpecBase {
     assert(err < 0.05, s"merged HLL estimate $merged vs exact $exact (err $err)")
   }
 
+  test("mirrorable HLL (q34) estimates within sketch error bounds") {
+    // sf0.01: ~2000 distinct parts per flag >> 2.5m = 640, so the raw
+    // estimator (no linear-counting branch) is in its valid zone; the
+    // 20% bound is ~3x the m=256 standard error (1.04/sqrt(256) = 6.5%).
+    Similarity.q34.run(spark, "/root/testdata/sf0.01").collect().foreach { r =>
+      val approx = r.getAs[Double]("approx_parts")
+      val exact = r.getAs[Long]("exact_parts")
+      assert(exact > 640, s"raw-HLL zone precondition: exact=$exact")
+      val err = math.abs(approx - exact) / exact
+      assert(err < 0.2, s"${r.getString(0)}: approx $approx vs exact $exact (err $err)")
+    }
+  }
+
   test("sketch round-trips through parquet storage") {
     val e = Tables(spark, sfDir).events
     val out = s"/tmp/graft_sketch_${System.nanoTime()}"

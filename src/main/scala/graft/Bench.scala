@@ -24,18 +24,35 @@ object Bench {
       .foreach(df => df.limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Optional comma-separated name-prefix filter for local iteration,
+    // e.g. SPARK_GRAFT_QUERIES=q61,q62,q78 — driver runs unfiltered.
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSeq)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      filter.forall(_.exists(n.startsWith))
+    }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolation: drop any cached/persisted data a query left behind so
+      // no query's leftovers distort a later query's memory budget or
+      // timing (each query pays its own prep — honest per-query cost).
+      spark.catalog.clearCache()
+      name -> dt
     }
-    // keep the line compact (3-decimal seconds) and the headline fields
-    // in front of the per-query map, so a capture that truncates the
-    // tail still retains a parsable prefix with the total
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // Full-name per-query map goes to a file (capture-size-proof);
+    // stdout gets ONE compact line — query keys truncated to their qNN
+    // prefix — small enough (~1.5 KB for 105 queries) that a tail
+    // capture of the run log retains the whole line, headline first.
+    val full = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$full}"""
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+      (fullLine + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs}""")
     System.out.flush()
     Thread.sleep(200) // let stdout drain before shutdown log noise

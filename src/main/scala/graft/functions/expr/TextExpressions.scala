@@ -23,6 +23,41 @@ object TextKernels {
     new GenericArrayData(
       TextAnalysis.winnowImpl(if (text == null) null else text.toString, k, w))
 
+  /** C4/Gopher-style quality gate as ONE kernel call: token count in
+    * [minTok, maxTok], type-token ratio ≥ minTtr, top-bigram share ≤
+    * maxRep. Bit-identical to the column-expression form (`size(t)`,
+    * `size(array_distinct(t))/n`, `longestRun(array_sort(bigrams))/
+    * (n-1)`): same single-space split (limit -1), same int/int IEEE
+    * divisions, and max bigram multiplicity == longest equal run of the
+    * sorted bigram array. Exists because FilterExec does no
+    * subexpression elimination — a lambda-form gate predicate re-splits
+    * the text per element access (O(len²) per row inside a filter),
+    * while this is one O(len) call. */
+  def qualityGate(text: UTF8String, minTok: Int, maxTok: Int,
+      minTtr: Double, maxRep: Double): Boolean = {
+    val s = if (text == null) "" else text.toString
+    val toks = s.split(" ", -1)
+    val n = toks.length
+    if (n < minTok || n > maxTok) return false
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { seen.add(toks(i)); i += 1 }
+    if (seen.size.toDouble / n.toDouble < minTtr) return false
+    if (n >= 2) {
+      val counts = new java.util.HashMap[String, Integer]()
+      var best = 0
+      var j = 0
+      while (j < n - 1) {
+        val bg = toks(j) + " " + toks(j + 1)
+        val c = counts.merge(bg, 1, (a: Integer, b: Integer) => Integer.valueOf(a + b))
+        if (c > best) best = c
+        j += 1
+      }
+      if (best.toDouble / (n - 1).toDouble > maxRep) return false
+    }
+    true
+  }
+
   /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
     * already-computed k-gram hash sequence: sliding window of `w`
     * hashes, keep the rightmost minimum of each window, dedupe
@@ -88,9 +123,24 @@ case class WinnowSelectExpr(child: Expression, window: Int) extends UnaryKernelE
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class QualityGateExpr(child: Expression, minTok: Int, maxTok: Int,
+    minTtr: Double, maxRep: Double) extends UnaryKernelExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_quality_gate"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.qualityGate(a.asInstanceOf[UTF8String], minTok, maxTok, minTtr, maxRep)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.qualityGate($c, $minTok, $maxTok, $minTtr, $maxRep)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
+  def qualityGate(text: Column, minTok: Int, maxTok: Int,
+      minTtr: Double, maxRep: Double): Column =
+    ColumnBridge.column(QualityGateExpr(ColumnBridge.expression(text),
+      minTok, maxTok, minTtr, maxRep))
   def winnow(text: Column, kGram: Int, window: Int): Column =
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), kGram, window))
   def winnowSelect(hashes: Column, window: Int): Column =

@@ -27,6 +27,15 @@ object Curation {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** documents with the token array materialized once per row (`_t`).
+    * Inlining `toks` inside a per-element lambda (`transform`/`slice`/
+    * `element_at`) re-splits the whole text on EVERY element access —
+    * O(len²) character work and allocation per doc (measured 8× on the
+    * bigram explode at sf0.1). A projection boundary holds because the
+    * alias is referenced more than once, so CollapseProject keeps it. */
+  private def tokenized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).documents.withColumn("_t", toks)
+
   // -- q77: deterministic stratified sample -----------------------------
   // Reproducible per-stratum systematic sampling: a cross-engine hash
   // draw on the key against a per-language per-mille rate. Unlike
@@ -66,10 +75,10 @@ object Curation {
       |  min(doc_id) AS first_doc
       |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY span""".stripMargin) { (s, dir) =>
-    val t = toks
+    val t = col("_t")
     val spans = transform(sequence(lit(0), size(t) - 8),
       i => array_join(slice(t, i + 1, lit(8)), " "))
-    Tables(s, dir).documents
+    tokenized(s, dir)
       .where(size(t) >= 8)
       .select(col("doc_id"), explode(spans).as("span"))
       .groupBy("span")
@@ -93,8 +102,9 @@ object Curation {
       |  CAST(COUNT(*) FILTER (n = 1) AS BIGINT) AS n_hapax,
       |  CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS ttr
       |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val t = toks
-    val sorted = array_sort(t)
+    // `sorted` must be a materialized column: element_at on an inline
+    // array_sort(split(...)) would re-sort (and re-split) per element.
+    val sorted = col("_s")
     val n = size(sorted)
     val idx = sequence(lit(1), n)
     def at(i: Column) = element_at(sorted, i)
@@ -102,7 +112,7 @@ object Curation {
     def isLastOfRun(i: Column) = (i === n) || (at(i + 1) =!= at(i))
     val types = size(filter(idx, i => isNew(i)))
     val hapax = size(filter(idx, i => isNew(i) && isLastOfRun(i)))
-    Tables(s, dir).documents.select(
+    Tables(s, dir).documents.withColumn("_s", array_sort(toks)).select(
       col("doc_id"),
       n.cast("long").as("n_tokens"),
       types.cast("long").as("n_types"),
@@ -165,7 +175,7 @@ object Curation {
       |    CASE WHEN rep_ratio > 0.09 THEN 'repetitive' END) AS reasons,
       |  (n_tokens >= 15 AND n_tokens <= 90 AND ttr >= 0.34 AND rep_ratio <= 0.09) AS keep
       |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val t = toks
+    val t = col("_t")
     val n = size(t)
     val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
     val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
@@ -173,15 +183,21 @@ object Curation {
     val rep = when(n >= 2,
       TextOps2.longestRun(sortedBg).cast("double") / (n - 1).cast("double"))
       .otherwise(lit(0.0))
-    Tables(s, dir).documents.select(
-      col("doc_id"),
-      n.cast("long").as("n_tokens"),
-      concat_ws(",",
-        when(n < 15, "too_short"),
-        when(n > 90, "too_long"),
-        when(ttr < 0.34, "low_diversity"),
-        when(rep > 0.09, "repetitive")).as("reasons"),
-      (n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09).as("keep"))
+    // Signals materialize in their own projection so each is computed
+    // once per row (rep/ttr are referenced by both reasons and keep).
+    tokenized(s, dir)
+      .select(col("doc_id"), n.cast("long").as("n_tokens"),
+        ttr.as("_ttr"), rep.as("_rep"))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        concat_ws(",",
+          when(col("n_tokens") < 15, "too_short"),
+          when(col("n_tokens") > 90, "too_long"),
+          when(col("_ttr") < 0.34, "low_diversity"),
+          when(col("_rep") > 0.09, "repetitive")).as("reasons"),
+        (col("n_tokens") >= 15 && col("n_tokens") <= 90 &&
+          col("_ttr") >= 0.34 && col("_rep") <= 0.09).as("keep"))
       .orderBy("doc_id")
   }
 
@@ -355,14 +371,14 @@ object Curation {
       |  CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p_cond
       |FROM bc JOIN uc USING (w1)
       |WHERE n >= 2 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
-    val t = toks
+    val t = col("_t")
     val pairs = transform(sequence(lit(0), size(t) - 2),
       i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
     // ctx_n via a window over w1 rather than a self-join: the bigram
     // aggregation subtree is computed once (a self-join would execute
     // it twice), and the context sum reuses the vocabulary-sized
     // aggregate with one narrow exchange.
-    Tables(s, dir).documents
+    tokenized(s, dir)
       .where(size(t) >= 2)
       .select(explode(pairs).as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
@@ -412,17 +428,15 @@ object Curation {
       |WHERE doc_id NOT IN (SELECT doc_id FROM losers)
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir).documents
-    val t = toks
-    val n = size(t)
-    val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
-    val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
-    val rep = when(n >= 2,
-      TextOps2.longestRun(sortedBg).cast("double") / (n - 1).cast("double"))
-      .otherwise(lit(0.0))
+    // The gate runs inside a Filter, which does no subexpression
+    // elimination: the lambda-form signals would re-split the text per
+    // element access. One kernel call per row instead (bit-identical
+    // thresholds/divisions — see TextKernels.qualityGate).
     val gated = docs
-      .where(n >= 15 && n <= 90 && ttr >= 0.34 && rep <= 0.09)
-      .select(col("doc_id"), col("lang"), n.cast("long").as("n_tokens"))
+      .where(graft.functions.expr.TextExpressions.qualityGate(
+        col("text"), 15, 90, 0.34, 0.09))
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val exactKeepers = docs.groupBy(md5(col("text"))).agg(min(col("doc_id")).as("doc_id"))
     // Near-dup losers via the UNBLOCKED prefix-filtered exact join
     // (Dedup.allPairsJaccard) — full recall, no Zipf first-token block;
@@ -456,9 +470,9 @@ object Curation {
       |WHERE ${graft.QueryDsl.crossHash60Sql("doc_id")} % 10000 < wt * 10000
       |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.QueryDsl.crossHash60
-    val t = toks
+    val t = col("_t")
     val wt = least(lit(1.0), size(array_distinct(t)).cast("double") / size(t).cast("double"))
-    Tables(s, dir).documents
+    tokenized(s, dir)
       .select(col("doc_id"), col("lang"), wt.as("wt"))
       .where(pmod(crossHash60(col("doc_id")), lit(10000)) < col("wt") * 10000)
       .select(col("doc_id"), col("lang"), round(col("wt"), 6).as("weight"))
@@ -493,16 +507,22 @@ object Curation {
       |  CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_p,
       |  min(p) AS min_p
       |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val t = toks
+    val t = col("_t")
     val pairs = transform(sequence(lit(0), size(t) - 2),
       i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
-    val bg = Tables(s, dir).documents
+    val bg = tokenized(s, dir)
       .where(size(t) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
       .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
     val uc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
       .withColumn("ctx_n", sum(col("n")).over(Window.partitionBy("w1")))
-    bg.join(uc, Seq("w1", "w2"))
+    // Build side must be the LM (bigram-type vocabulary), never the
+    // corpus bigram stream: parquet stats undersell the exploded side,
+    // so without the hint Catalyst broadcast the corpus (BuildLeft) —
+    // a driver-sized hash relation of every bigram occurrence. The LM
+    // is vocabulary-sized; when it outgrows a broadcast (web-scale
+    // vocab) drop the hint and this becomes a shuffle join on (w1,w2).
+    bg.join(broadcast(uc), Seq("w1", "w2"))
       .select(col("doc_id"), (col("n").cast("double") / col("ctx_n").cast("double")).as("p"))
       .groupBy("doc_id")
       .agg(
@@ -539,10 +559,10 @@ object Curation {
       |FROM tr JOIN b USING (span)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.QueryDsl.crossHash60
-    val t = toks
+    val t = col("_t")
     val spans = transform(sequence(lit(0), size(t) - 8),
       i => array_join(slice(t, i + 1, lit(8)), " "))
-    val sp = Tables(s, dir).documents
+    val sp = tokenized(s, dir)
       .where(size(t) >= 8)
       .select(col("doc_id"), pmod(crossHash60(col("doc_id")), lit(20)).as("slice"),
         explode(spans).as("span"))

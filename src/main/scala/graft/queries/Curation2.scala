@@ -1,0 +1,238 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.{crossHash60, crossHash60Sql}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** Second corpus-curation batch: embedding-side curation (matryoshka
+  * truncation fidelity, SemDeDup-style semantic dedup inside quantizer
+  * cells), duplicate provenance across sources, and token-budget data
+  * mixing realized as a distributed prefix-sum — the operators that sit
+  * between near-dup removal and the tokenizer in a training-data
+  * pipeline.
+  *
+  * Everything here follows the repo's determinism rules (QueryDsl):
+  * seed-deterministic index structures, id tie-breaks, cross-engine
+  * hash draws — so every query is oracle-checked, including the ANN-ish
+  * ones.
+  */
+object Curation2 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // Round-robin repartition after the scan (few-file table; see
+  // Similarity.corpus) and float→double once, before any pair stage.
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+
+  // -- q106: matryoshka truncation fidelity (recall@5 of 16-dim prefix) --
+  // Matryoshka-style retrieval serves the FIRST d' dimensions of a
+  // d-dim embedding to cut index cost; this measures what that loses:
+  // per query, top-5 by cosine over the 16-dim prefix vs top-5 over the
+  // full 64 dims, reporting the overlap and both top-1 ids. Cosine is
+  // scale-invariant, so prefix-truncation + renorm ≡ cosine on the
+  // sliced arrays. One corpus scan, query set broadcast, two rank
+  // windows over the same scored frame — no extra pair space beyond
+  // the q31 brute-force shape it extends.
+  val q106 = q("q106_matryoshka",
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+      |s AS (SELECT qid, vec_id AS cid,
+      |        list_cosine_similarity(qv, v) AS cos_full,
+      |        list_cosine_similarity(qv[1:16], v[1:16]) AS cos_tr
+      |      FROM q CROSS JOIN c WHERE vec_id <> qid),
+      |r AS (SELECT qid, cid,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos_full DESC, cid) AS rkf,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos_tr DESC, cid) AS rkt
+      |      FROM s)
+      |SELECT qid,
+      |  CAST(COUNT(*) FILTER (rkf <= 5 AND rkt <= 5) AS BIGINT) AS n_overlap,
+      |  CAST(min(cid) FILTER (rkf = 1) AS BIGINT) AS full_top1,
+      |  CAST(min(cid) FILTER (rkt = 1) AS BIGINT) AS trunc_top1
+      |FROM r GROUP BY qid ORDER BY qid""".stripMargin) { (s, dir) =>
+    matryoshkaOverlap(s, dir, 16)
+  }
+
+  /** q106's computation at any prefix width — the spec asserts overlap
+    * grows with width (the fidelity/cost dial matryoshka serving
+    * exposes); the registered query pins width 16. */
+  private[queries] def matryoshkaOverlap(s: SparkSession, dir: String, Dims: Int): DataFrame = {
+    val c = corpus(s, dir)
+    val qs = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
+    val scored = c.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"),
+        cosineSim(col("qv"), col("v")).as("cos_full"),
+        cosineSim(slice(col("qv"), 1, Dims), slice(col("v"), 1, Dims)).as("cos_tr"))
+    val rkf = row_number().over(Window.partitionBy("qid").orderBy(col("cos_full").desc, col("cid")))
+    val rkt = row_number().over(Window.partitionBy("qid").orderBy(col("cos_tr").desc, col("cid")))
+    scored.select(col("qid"), col("cid"), rkf.as("rkf"), rkt.as("rkt"))
+      .groupBy("qid")
+      .agg(
+        count(when(col("rkf") <= 5 && col("rkt") <= 5, 1)).as("n_overlap"),
+        min(when(col("rkf") === 1, col("cid"))).as("full_top1"),
+        min(when(col("rkt") === 1, col("cid"))).as("trunc_top1"))
+      .orderBy("qid")
+  }
+
+  // -- q107: SemDeDup — semantic near-dup pairs inside quantizer cells --
+  // SemDeDup (Abbas et al. 2023) prunes semantic duplicates by
+  // clustering embeddings and comparing only WITHIN a cluster — the
+  // pair space collapses from O(n²) to Σ|cell|². The cell structure is
+  // the deterministic IVF coarse quantizer from q37 (seed centroids,
+  // argmax-cosine assignment, id tie-break), so the whole construction
+  // — cells, pairs, scores — replays exactly in the oracle. Keep rule:
+  // the smaller id of each pair survives (a_id is the keeper). At
+  // corpus scale cells are capped/salted like every bucket join here
+  // (Dedup.capBuckets), and centroids come from the q37b k-means path.
+  val q107 = q("q107_semdedup",
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT c.vec_id, c.v, cent_id,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |        FROM c CROSS JOIN cent),
+      |a AS (SELECT cent_id, vec_id, v FROM asn WHERE rk = 1)
+      |SELECT x.cent_id AS cell_id, x.vec_id AS a_id, y.vec_id AS b_id,
+      |       round(list_cosine_similarity(x.v, y.v), 4) AS score
+      |FROM a x JOIN a y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id
+      |WHERE list_cosine_similarity(x.v, y.v) >= 0.42
+      |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+    val NList = 16
+    val c = corpus(s, dir)
+    val centroids = c.orderBy("vec_id").limit(NList)
+      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"))
+    val assigned = c.crossJoin(broadcast(centroids))
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        cosineSim(col("v"), col("cent_v")).as("dist"))
+      .groupBy(col("vec_id"))
+      .agg(max_by(struct(col("cent_id"), col("v")),
+        struct(col("dist"), (-col("cent_id")).as("tb"))).as("m"))
+      .select(col("m.cent_id").as("cent_id"), col("vec_id"), col("m.v").as("v"))
+    val a = assigned.select(col("cent_id"), col("vec_id").as("a_id"), col("v").as("a_v"))
+    val b = assigned.select(col("cent_id"), col("vec_id").as("b_id"), col("v").as("b_v"))
+    a.join(b, Seq("cent_id"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("cent_id").as("cell_id"), col("a_id"), col("b_id"),
+        cosineSim(col("a_v"), col("b_v")).as("cos"))
+      .where(col("cos") >= 0.42)
+      .select(col("cell_id"), col("a_id"), col("b_id"), round(col("cos"), 4).as("score"))
+      .orderBy("a_id", "b_id")
+  }
+
+  // -- q108: duplicate provenance across sources ------------------------
+  // Which sources copy from each other: for every unordered source
+  // pair, the number of distinct 8-token spans both carry (the q78 span
+  // unit — exact-fingerprint sharing is vacuous on corpora without
+  // whole-doc duplicates, while boilerplate spans cross sources
+  // heavily). The (span, source) frame is DISTINCT per source, the
+  // self-join key is the span, and the per-span pair fan-out is bounded
+  // by (#sources choose 2) — source cardinality, never corpus size.
+  // This is the provenance report curation teams use to decide which
+  // source wins dedup ties and where shared boilerplate originates.
+  val q108 = q("q108_source_dup_matrix",
+    """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |sp AS (SELECT DISTINCT source,
+      |         unnest(list_transform(range(1, len(t) - 6),
+      |                i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS span
+      |       FROM d WHERE len(t) >= 8)
+      |SELECT a.source AS src_a, b.source AS src_b,
+      |       CAST(COUNT(*) AS BIGINT) AS n_shared_spans
+      |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
+      |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
+    val t = col("_t")
+    val spans = transform(sequence(lit(0), size(t) - 8),
+      i => array_join(slice(t, i + 1, lit(8)), " "))
+    val sp = Tables(s, dir).documents
+      .withColumn("_t", split(col("text"), " "))
+      .where(size(t) >= 8)
+      .select(col("source"), explode(spans).as("span"))
+      .distinct()
+    sp.select(col("span"), col("source").as("src_a"))
+      .join(sp.select(col("span"), col("source").as("src_b")), Seq("span"))
+      .where(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .orderBy("src_a", "src_b")
+  }
+
+  // -- q109: token-budget data mixing (distributed prefix-sum) ----------
+  // The data-mixing step: each language gets a token budget from the
+  // √-tempered share (q105's normalizer), and documents fill it in a
+  // deterministic hash order until the budget is exhausted. The naive
+  // form is one running-sum window per language — a single reducer per
+  // language at corpus scale. Here the prefix sum is two-level: docs
+  // hash into B buckets, per-(lang, bucket) token totals aggregate
+  // first (tiny), bucket offsets come from a window over that
+  // aggregate, and the per-doc running sum is a window inside each
+  // (lang, bucket) — B-way parallel per language, identical result to
+  // the single window ordered by (bucket, hash, doc_id), which is
+  // exactly what the oracle runs. All arithmetic is long + one IEEE
+  // double product for the budget — bit-identical cross-engine.
+  val q109 = q("q109_token_budget_mix",
+    s"""WITH d AS (SELECT doc_id, lang,
+      |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |             ${crossHash60Sql("doc_id")} AS h
+      |           FROM documents),
+      |db AS (SELECT *, h % 32 AS bucket FROM d),
+      |l AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS lt FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(lt) AS BIGINT) AS tot FROM l),
+      |sq AS (SELECT lang, CAST(round(sqrt(CAST(lt AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+      |                         AS DECIMAL(18,9)) AS sq9
+      |       FROM l CROSS JOIN t),
+      |z AS (SELECT CAST(SUM(sq9) AS DOUBLE) AS z FROM sq),
+      |bu AS (SELECT lang,
+      |         CAST(floor(CAST(sq9 AS DOUBLE) / z * CAST(tot // 2 AS DOUBLE)) AS BIGINT) AS budget
+      |       FROM sq CROSS JOIN z CROSS JOIN t),
+      |c AS (SELECT doc_id, lang, n,
+      |        SUM(n) OVER (PARTITION BY lang ORDER BY bucket, h, doc_id
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |      FROM db)
+      |SELECT c.lang AS lang, doc_id, n AS n_tokens, CAST(cum AS BIGINT) AS cum
+      |FROM c JOIN bu ON c.lang = bu.lang WHERE cum <= budget
+      |ORDER BY c.lang, cum""".stripMargin) { (s, dir) =>
+    val B = 32
+    val base = Tables(s, dir).documents
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n"),
+        crossHash60(col("doc_id")).as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(B)))
+    val perLang = base.groupBy("lang").agg(sum(col("n")).cast("long").as("lt"))
+    val tot = perLang.agg(sum(col("lt")).cast("long").as("tot"))
+    val sq = perLang.crossJoin(broadcast(tot))
+      .withColumn("sq9",
+        round(sqrt(col("lt").cast("double") / col("tot").cast("double")), 9)
+          .cast("decimal(18,9)"))
+    val z = sq.agg(sum(col("sq9")).cast("double").as("z"))
+    val budgets = sq.crossJoin(broadcast(z))
+      .select(col("lang"),
+        floor(col("sq9").cast("double") / col("z") *
+          expr("tot div 2").cast("double")).cast("long").as("budget"))
+    // two-level prefix sum: bucket totals → bucket offsets (window over
+    // the TINY (lang, bucket) aggregate) → within-bucket running sums
+    val bucketTotals = base.groupBy("lang", "bucket").agg(sum(col("n")).as("bt"))
+    val wOff = Window.partitionBy("lang").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketTotals
+      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
+      .select(col("lang"), col("bucket"), col("off"))
+    val wIn = Window.partitionBy("lang", "bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .join(broadcast(offsets), Seq("lang", "bucket"))
+      .withColumn("cum", (col("off") + sum(col("n")).over(wIn)).cast("long"))
+      .join(broadcast(budgets), Seq("lang"))
+      .where(col("cum") <= col("budget"))
+      .select(col("lang"), col("doc_id"), col("n").as("n_tokens"), col("cum"))
+      .orderBy("lang", "cum")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q106, q107, q108, q109)
+}

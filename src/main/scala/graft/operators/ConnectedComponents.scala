@@ -49,8 +49,13 @@ object ConnectedComponents {
     // up exponentially. On a real cluster swap in reliable
     // checkpointing (spark.checkpoint.dir) so executor loss can't drop
     // a generation.
-    var labels = und.select(col("src").as("node")).distinct()
-      .withColumn("comp", col("node"))
+    // Seed labels with round 1 already applied: comp₀ = min(node, min
+    // neighbor). One aggregation replaces the distinct-nodes pass AND
+    // the first propagation round — same result, one fewer join +
+    // checkpoint generation in the loop.
+    var labels = und.groupBy(col("src"))
+      .agg(least(min(col("dst")), col("src")).as("comp"))
+      .select(col("src").as("node"), col("comp"))
       .localCheckpoint()
 
     var iter = 0

@@ -66,7 +66,10 @@ object StressMain {
     // round 3: exact prefix-filtered all-pairs, decontamination (span
     // broadcast), fluency join, shard manifest
     "q100_allpairs_jaccard", "q101_bigram_fluency", "q103_decontamination",
-    "q104_shard_pack")
+    "q104_shard_pack",
+    // round 4: cell-bounded semantic dedup, source provenance,
+    // two-level prefix-sum token mixing
+    "q107_semdedup", "q108_source_dup_matrix", "q109_token_budget_mix")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

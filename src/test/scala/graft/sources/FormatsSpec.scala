@@ -41,4 +41,19 @@ class FormatsSpec extends SparkSpecBase {
       .where(col("event_type") === "purchase").count()
     assert(back.where(col("event_type") === "purchase").count() == expected)
   }
+
+  test("orc round-trips and pushes filters into the scan") {
+    val (dir, n) = base
+    val e = Tables(spark, sfDir).events
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    e.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.count() == n)
+    val q = back.where(col("event_type") === "purchase").select("event_id")
+    val scan = q.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("event_type"),
+      "ORC scan did not receive the pushed filter")
+    assert(q.count() ==
+      Tables(spark, sfDir).events.where(col("event_type") === "purchase").count())
+  }
 }

@@ -9,12 +9,15 @@ import org.apache.spark.sql.types._
   * metadata, processed via `mapPartitions` so per-partition batch shape
   * and decoder reuse are explicit.
   *
-  * The decode step itself is a STUB (`decodeStub`) — media codecs are
-  * not available in this environment — but everything Spark-side is
-  * real and tested: the schema contract, partition-batched processing,
-  * decoder-per-partition amortization, and the feature-extraction
-  * column flow. Swap `decodeStub` for a real codec call (JNI/FFmpeg/
-  * javax.imageio) without touching the plumbing.
+  * Container-header metadata (PNG/JPEG/GIF dimensions + mime) is REAL
+  * byte parsing (`imageMeta`) — resolution filtering and resize
+  * planning work on actual payloads. Only pixel DECODE is a stub
+  * (`decodeStub`) — media codecs are not available in this
+  * environment — with everything Spark-side real and tested: the
+  * schema contract, partition-batched processing, decoder-per-
+  * partition amortization, and the feature-extraction column flow.
+  * Swap `decodeStub` for a real codec call (JNI/FFmpeg/javax.imageio)
+  * without touching the plumbing.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * collected; per-partition batches bound memory (`batchSize` rows at a
@@ -39,6 +42,66 @@ object Multimodal {
   final case class DecodedMedia(
       mediaId: Long, modality: String, frames: Int, featureDim: Int,
       features: Array[Float])
+
+  final case class ImageMeta(mime: String, width: Int, height: Int)
+
+  /** REAL container-header probe — no codec needed, just the public
+    * byte layouts: PNG's IHDR chunk (big-endian w/h at offsets 16/20
+    * after the 8-byte signature), JPEG's SOFn frame header (height then
+    * width, big-endian, after marker + length + precision), GIF's
+    * logical screen descriptor (little-endian w/h at offsets 6/8).
+    * Returns null for unrecognized/truncated payloads. This is the part
+    * of the multimodal path that is NOT stubbed: dimension/mime
+    * metadata extraction runs on real bytes at scan speed, which is
+    * what resolution-based filtering and resize planning need — full
+    * pixel decode (the stub below) is only required for feature
+    * extraction. */
+  def imageMeta(payload: Array[Byte]): ImageMeta = {
+    if (payload == null) return null
+    def u8(i: Int): Int = java.lang.Byte.toUnsignedInt(payload(i))
+    def be16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Int = (be16(i) << 16) | be16(i + 2)
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    // PNG: 89 50 4E 47 0D 0A 1A 0A + len + "IHDR" + w(4) + h(4)
+    if (payload.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+      return ImageMeta("image/png", be32(16), be32(20))
+    // GIF87a/GIF89a: "GIF8" + screen w/h little-endian at 6/8
+    if (payload.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8')
+      return ImageMeta("image/gif", le16(6), le16(8))
+    // JPEG: SOI (FFD8), then marker segments; SOF0..SOF15 (except
+    // DHT/DAC/RST) carry precision(1) + height(2) + width(2)
+    if (payload.length >= 4 && u8(0) == 0xFF && u8(1) == 0xD8) {
+      var i = 2
+      while (i + 9 < payload.length && u8(i) == 0xFF) {
+        val marker = u8(i + 1)
+        if (marker == 0xD8 || (marker >= 0xD0 && marker <= 0xD7)) i += 2 // no length
+        else {
+          val len = be16(i + 2)
+          if (len < 2) return null
+          val isSof = marker >= 0xC0 && marker <= 0xCF &&
+            marker != 0xC4 && marker != 0xC8 && marker != 0xCC
+          if (isSof) return ImageMeta("image/jpeg", be16(i + 7), be16(i + 5))
+          i += 2 + len
+        }
+      }
+    }
+    null
+  }
+
+  /** Column-level metadata probe: fills the MediaSchema `meta` width/
+    * height from real payload bytes for image rows (map-only, binary
+    * never leaves its row). */
+  def withImageMeta(media: DataFrame): DataFrame = {
+    val probe = udf((p: Array[Byte]) => Option(imageMeta(p)))
+    media.withColumn("probed", probe(col("payload")))
+      .withColumn("mime", coalesce(col("probed.mime"), col("mime")))
+      .withColumn("meta", struct(
+        col("probed.width").as("width"),
+        col("probed.height").as("height"),
+        col("meta.duration_ms").as("duration_ms"),
+        col("meta.sample_rate").as("sample_rate")))
+      .drop("probed")
+  }
 
   /** STUB decoder — deterministic fake: "decodes" payload bytes into a
     * fixed-width feature vector (byte histogram projected to `dim`).

@@ -70,4 +70,62 @@ class MultimodalSpec extends SparkSpecBase {
       .collect().map(_.getDouble(0))
     assert(sims.nonEmpty && sims.forall(c => c >= -1.0001 && c <= 1.0001))
   }
+
+  // ---- REAL header parsing (no codec involved) ----
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(33)
+    out.put(Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte))
+    out.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    out.putInt(w).putInt(h)
+    out.put(Array[Byte](8, 2, 0, 0, 0)).putInt(0)
+    out.array()
+  }
+
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(2 + 18 + 2 + 11)
+    out.put(Array(0xFF, 0xD8).map(_.toByte))                     // SOI
+    out.put(Array(0xFF, 0xE0).map(_.toByte)).putShort(16)        // APP0 len 16
+    out.put("JFIF".getBytes("US-ASCII")).put(Array.fill[Byte](10)(0))
+    out.put(Array(0xFF, 0xC0).map(_.toByte)).putShort(11)        // SOF0 len 11
+    out.put(8.toByte).putShort(h.toShort).putShort(w.toShort)    // precision, H, W
+    out.put(Array[Byte](3, 0))
+    out.array()
+  }
+
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(13).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("GIF89a".getBytes("US-ASCII"))
+    out.putShort(w.toShort).putShort(h.toShort)
+    out.put(Array[Byte](0, 0, 0))
+    out.array()
+  }
+
+  test("imageMeta parses real PNG/JPEG/GIF headers, null on junk") {
+    assert(Multimodal.imageMeta(pngBytes(1920, 1080)) == Multimodal.ImageMeta("image/png", 1920, 1080))
+    assert(Multimodal.imageMeta(jpegBytes(800, 600)) == Multimodal.ImageMeta("image/jpeg", 800, 600))
+    assert(Multimodal.imageMeta(gifBytes(320, 200)) == Multimodal.ImageMeta("image/gif", 320, 200))
+    assert(Multimodal.imageMeta("not an image".getBytes) == null)
+    assert(Multimodal.imageMeta(Array[Byte](0x89.toByte, 'P')) == null) // truncated
+    assert(Multimodal.imageMeta(null) == null)
+  }
+
+  test("withImageMeta fills width/height/mime from payload bytes, map-only") {
+    val rows = Seq(
+      Row(1L, "image", "application/octet-stream", pngBytes(640, 480), Row(null, null, null, null)),
+      Row(2L, "image", "application/octet-stream", jpegBytes(1024, 768), Row(null, null, null, null)),
+      Row(3L, "audio", "audio/wav", Array[Byte](1, 2, 3), Row(null, null, 9000L, 44100)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), Multimodal.MediaSchema)
+    val out = Multimodal.withImageMeta(df).orderBy("media_id")
+      .select("media_id", "mime", "meta.width", "meta.height", "meta.duration_ms")
+      .collect()
+    assert(out(0).getString(1) == "image/png" && out(0).getInt(2) == 640 && out(0).getInt(3) == 480)
+    assert(out(1).getString(1) == "image/jpeg" && out(1).getInt(2) == 1024 && out(1).getInt(3) == 768)
+    // non-image rows keep their mime and audio metadata untouched
+    assert(out(2).getString(1) == "audio/wav" && out(2).getLong(4) == 9000L)
+    // plan is map-only: no exchange anywhere
+    val plan = Multimodal.withImageMeta(df).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.Decimal
 import graft.functions.expr._
 
 /** SQL surface for the engine's native expressions, in two forms:
@@ -38,6 +39,15 @@ object GraftFunctions {
       s"$what must be an integer literal, got $other")
   }
 
+  private def doubleLit(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _) => v
+    case Literal(v: java.math.BigDecimal, _) => v.doubleValue()
+    case Literal(v: Decimal, _) => v.toDouble
+    case Literal(v: Int, _) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$what must be a numeric literal, got $other")
+  }
+
   val all: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
       (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
@@ -68,7 +78,11 @@ object GraftFunctions {
     ("graft_iso_duration", new ExpressionInfo(classOf[IsoDurationFormatExpr].getName, "graft_iso_duration"),
       (es: Seq[Expression]) => IsoDurationFormatExpr(es(0))),
     ("graft_jaro_winkler", new ExpressionInfo(classOf[JaroWinkler].getName, "graft_jaro_winkler"),
-      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))))
+      (es: Seq[Expression]) => JaroWinkler(es(0), es(1))),
+    ("graft_quality_gate", new ExpressionInfo(classOf[QualityGateExpr].getName, "graft_quality_gate"),
+      (es: Seq[Expression]) => QualityGateExpr(es(0),
+        intLit(es(1), "minTok"), intLit(es(2), "maxTok"),
+        doubleLit(es(3), "minTtr"), doubleLit(es(4), "maxRep"))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -23,6 +23,18 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](5) == Seq(255L, 0L, 0L, 0L))
   }
 
+  test("graft_quality_gate evaluates from SQL with numeric literals") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  graft_quality_gate('one two three four five six', 3, 90, 0.34, 0.5) AS keep,
+        |  graft_quality_gate('a a a a a a a a a a', 3, 90, 0.34, 0.09) AS drop_rep,
+        |  graft_quality_gate('short', 3, 90, 0.34, 0.5) AS drop_len""".stripMargin).head()
+    assert(r.getBoolean(0) === true)
+    assert(r.getBoolean(1) === false) // one distinct token, repetitive
+    assert(r.getBoolean(2) === false) // below min token count
+  }
+
   test("SQL queries over registered views use the kernels end-to-end") {
     GraftFunctions.register(spark)
     Tables(spark, sfDir).embeddings.createOrReplaceTempView("emb")

@@ -78,11 +78,18 @@ object Curation {
     val t = col("_t")
     val spans = transform(sequence(lit(0), size(t) - 8),
       i => array_join(slice(t, i + 1, lit(8)), " "))
+    // Two-level aggregate instead of COUNT(DISTINCT …) + MIN in one
+    // groupBy: count-distinct alongside another aggregate plans an
+    // Expand (2 rows per input) before the shuffle; deduping (span,
+    // doc_id) first collapses within-doc repeats map-side and the
+    // second level is a plain count — same two exchanges, no row
+    // doubling.
     tokenized(s, dir)
       .where(size(t) >= 8)
       .select(col("doc_id"), explode(spans).as("span"))
+      .groupBy("span", "doc_id").agg(lit(1))
       .groupBy("span")
-      .agg(countDistinct(col("doc_id")).as("n_docs"), min(col("doc_id")).as("first_doc"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
       .where(col("n_docs") >= 2)
       .orderBy("span")
   }

@@ -26,7 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: the 113-query single-JVM bench run ages an 8g heap
+  // (old-gen fills with broadcast/shuffle bookkeeping awaiting the
+  // weak-ref ContextCleaner) and late-run queries measured ~3x their
+  // isolated cost. The box has 128 GiB; 16g keeps GC out of the timings.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
 
 // Streaming suites share one SparkSession and memory-sink namespace;

@@ -24,20 +24,34 @@ object Bench {
       .foreach(df => df.limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
 
-    // Optional comma-separated name-prefix filter for local iteration,
-    // e.g. SPARK_GRAFT_QUERIES=q61,q62,q78 — driver runs unfiltered.
-    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').toSeq)
+    // Optional comma-separated query filter for local iteration, e.g.
+    // SPARK_GRAFT_QUERIES=q61,q78 — driver runs unfiltered. Matches the
+    // full name or the qNNN id (exact, so "q11" never selects q110_*).
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES").map(_.split(',').map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      filter.forall(_.exists(n.startsWith))
+      filter.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_')))
     }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Isolation: drop any cached/persisted data a query left behind so
-      // no query's leftovers distort a later query's memory budget or
-      // timing (each query pays its own prep — honest per-query cost).
+      // Isolation (untimed — the metric is the sum of per-query dt):
+      // drop everything a query left behind so leftovers can't distort a
+      // later query's memory budget. Three layers, because each covers
+      // storage the others can't reach:
+      //  - clearCache(): Dataset persists registered in the CacheManager
+      //    (e.g. allPairsJaccardOn's MEMORY_AND_DISK corpus);
+      //  - getPersistentRDDs sweep: RDD-level persists the CacheManager
+      //    never sees — localCheckpoint() blocks (ConnectedComponents'
+      //    final labels generation) live here;
+      //  - System.gc(): broadcasts/shuffle state free via the weak-ref
+      //    ContextCleaner, which only runs when the JVM collects — 113
+      //    queries accumulate enough to age the heap otherwise (the
+      //    round-4 in-run-vs-isolated 3x drift on heavy queries).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
       name -> dt
     }
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString

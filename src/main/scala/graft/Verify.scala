@@ -5,10 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    // args: <sfDir> <outDir> [comma-separated name-prefix filter]
+    // args: <sfDir> <outDir> [comma-separated query filter]
     // The driver calls with two args; the filter is for local iteration.
+    // Matches the full name or the qNNN id exactly ("q11" selects
+    // q11_distinct_agg, never q110_*).
     val Array(sfDir, outDir) = args.take(2)
-    val filter = args.drop(2).headOption.map(_.split(',').toSeq)
+    val filter = args.drop(2).headOption.map(_.split(',').map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +22,8 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
-      .filter { case (name, _) => filter.forall(_.exists(name.startsWith)) }
+      .filter { case (name, _) =>
+        filter.forall(f => f.contains(name) || f.contains(name.takeWhile(_ != '_'))) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

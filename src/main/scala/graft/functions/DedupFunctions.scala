@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.{lit, udf}
 
 /** MinHash / SimHash primitives for near-duplicate detection.
   *
@@ -16,14 +15,16 @@ import org.apache.spark.sql.functions.{lit, udf}
   * Hamming distance, blocked by splitting the fingerprint into bands
   * (pigeonhole: hamming <= bands-1 ⇒ some band matches exactly).
   *
-  * Single-pass JVM UDFs. The hot paths use the native codegen kernels
-  * in [[graft.functions.expr.DedupExpressions]]; these UDF twins are
-  * kept as the independent reference implementations the parity spec
-  * (DedupExprParitySpec) checks the kernels against.
+  * Every Column entry point delegates to the native codegen kernels in
+  * [[graft.functions.expr.DedupExpressions]] — there is exactly one
+  * public path and it is the fast one. The plain-Scala `*Impl`
+  * functions below are the independent reference implementations the
+  * parity spec (DedupExprParitySpec) checks the kernels against; they
+  * are NOT wrapped in `udf()` here (the spec wraps them locally).
   */
 object DedupFunctions {
 
-  /** k min-hashes over a token/shingle sequence. */
+  /** k min-hashes over a token/shingle sequence. Reference impl. */
   def minHashSigImpl(shingles: Seq[String], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (shingles == null) return sig
@@ -39,12 +40,13 @@ object DedupFunctions {
     sig
   }
 
-  private val minHashUdf = udf((sh: Seq[String], k: Int) => minHashSigImpl(sh, k))
-  def minHashSig(shingles: Column, k: Int): Column = minHashUdf(shingles, lit(k))
+  /** k min-hashes over a string shingle array (native kernel). */
+  def minHashSig(shingles: Column, k: Int): Column =
+    expr.DedupExpressions.minHashSigStr(shingles, k)
 
   /** k min-hashes over an already-hashed (long) shingle set — the hot
     * path: elements were hashed once per document upstream, so each
-    * family member is a single mix64 per element. */
+    * family member is a single mix64 per element. Reference impl. */
   def minHashSigLongImpl(hashed: Seq[Long], k: Int): Array[Long] = {
     val sig = Array.fill(k)(Long.MaxValue)
     if (hashed == null) return sig
@@ -59,11 +61,10 @@ object DedupFunctions {
     sig
   }
 
-  private val minHashLongUdf = udf((sh: Seq[Long], k: Int) => minHashSigLongImpl(sh, k))
   def minHashSigLong(hashedShingles: Column, k: Int): Column =
-    minHashLongUdf(hashedShingles, lit(k))
+    expr.DedupExpressions.minHashSig(hashedShingles, k)
 
-  /** Hash each signature band to a single bucket key. */
+  /** Hash each signature band to a single bucket key. Reference impl. */
   def bandHashesImpl(sig: Seq[Long], bands: Int): Array[Long] = {
     val rows = sig.length / bands
     Array.tabulate(bands) { b =>
@@ -77,10 +78,11 @@ object DedupFunctions {
     }
   }
 
-  private val bandUdf = udf((sig: Seq[Long], bands: Int) => bandHashesImpl(sig, bands))
-  def bandHashes(sig: Column, bands: Int): Column = bandUdf(sig, lit(bands))
+  def bandHashes(sig: Column, bands: Int): Column =
+    expr.DedupExpressions.bandHashes(sig, bands)
 
-  /** 64-bit SimHash of a token sequence (token-frequency weighted). */
+  /** 64-bit SimHash of a token sequence (token-frequency weighted).
+    * Reference impl. */
   def simHash64Impl(tokens: Seq[String]): Long = {
     if (tokens == null || tokens.isEmpty) return 0L
     val acc = new Array[Int](64)
@@ -101,20 +103,21 @@ object DedupFunctions {
     fp
   }
 
-  private val simHashUdf = udf(simHash64Impl _)
-  def simHash64(tokens: Column): Column = simHashUdf(tokens)
+  def simHash64(tokens: Column): Column =
+    expr.DedupExpressions.simHash64(tokens)
 
   /** Hamming distance between two 64-bit fingerprints. */
   def hamming64(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b))
 
-  /** Split a 64-bit fingerprint into `bands` equal bit-chunks. */
+  /** Split a 64-bit fingerprint into `bands` equal bit-chunks.
+    * Reference impl. */
   def fpBandsImpl(fp: Long, bands: Int): Array[Long] = {
     val width = 64 / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
     Array.tabulate(bands)(b => (fp >>> (b * width)) & mask)
   }
 
-  private val fpBandsUdf = udf((fp: Long, bands: Int) => fpBandsImpl(fp, bands))
-  def fpBands(fp: Column, bands: Int): Column = fpBandsUdf(fp, lit(bands))
+  def fpBands(fp: Column, bands: Int): Column =
+    expr.DedupExpressions.fpBands(fp, bands, 64 / bands)
 }

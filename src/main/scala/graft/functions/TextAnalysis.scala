@@ -1,14 +1,14 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions.udf
 
 /** Text-analysis functions for the training-data pipeline suite.
   *
-  * Implemented as JVM Scala UDFs (single-pass, allocation-light). The
-  * hot paths use the native codegen twins in
-  * [[graft.functions.expr.TextExpressions]]; the UDF forms stay as the
-  * independent reference implementations for the parity spec.
+  * The Column entry points delegate to the native codegen kernels in
+  * [[graft.functions.expr.TextExpressions]] — one public path, the
+  * fast one. The plain-Scala `*Impl` functions are the independent
+  * reference implementations the parity spec checks the kernels
+  * against (wrapped in `udf()` locally by the spec, never here).
   */
 object TextAnalysis {
 
@@ -58,8 +58,7 @@ object TextAnalysis {
     if (score == 0.0) LangPred("und", 0.0) else LangPred(best, math.min(1.0, score))
   }
 
-  private val langIdUdf = udf(langIdImpl _)
-  def langId(text: Column): Column = langIdUdf(text)
+  def langId(text: Column): Column = expr.TextExpressions.langId(text)
 
   // -- winnowing fingerprints ------------------------------------------
   // Schleimer, Wilkerson, Aiken, "Winnowing: Local Algorithms for
@@ -93,8 +92,6 @@ object TextAnalysis {
     out.toArray
   }
 
-  private val winnowUdf = udf((t: String, k: Int, w: Int) => winnowImpl(t, k, w))
   def winnow(text: Column, kGram: Int, window: Int): Column =
-    winnowUdf(text, org.apache.spark.sql.functions.lit(kGram),
-      org.apache.spark.sql.functions.lit(window))
+    expr.TextExpressions.winnow(text, kGram, window)
 }

@@ -30,10 +30,13 @@ object VectorFunctions {
 
   /** Random-hyperplane signature (Charikar LSH): bit i of the result is
     * the sign of <v, r_i> where r_i is a deterministic pseudo-random
-    * ±1 hyperplane derived from Hashing.seeded — no stored planes, any
-    * executor recomputes them identically.
-    */
-  private val sigUdf = udf((v: Seq[Double], bits: Int) => {
+    * ±1 hyperplane derived from mix64 — no stored planes, any executor
+    * recomputes them identically. Native codegen kernel. Reference
+    * impl: [[hyperplaneSigImpl]] (parity in DedupExprParitySpec). */
+  def hyperplaneSig(v: Column, bits: Int): Column =
+    graft.functions.expr.DedupExpressions.hyperplaneSig(v, bits)
+
+  def hyperplaneSigImpl(v: Seq[Double], bits: Int): Long = {
     var sig = 0L
     var i = 0
     while (i < bits) {
@@ -48,18 +51,16 @@ object VectorFunctions {
       i += 1
     }
     sig
-  })
-
-  def hyperplaneSig(v: Column, bits: Int): Column = sigUdf(v, lit(bits))
+  }
 
   /** Split a `bits`-wide signature into `bands` chunk values for LSH
-    * bucket joins. */
-  private val bandsUdf = udf((sig: Long, bands: Int, bits: Int) => {
+    * bucket joins. Native codegen kernel. */
+  def sigBands(sig: Column, bands: Int, bits: Int): Column =
+    graft.functions.expr.DedupExpressions.fpBands(sig, bands, bits / bands)
+
+  def sigBandsImpl(sig: Long, bands: Int, bits: Int): Array[Long] = {
     val width = bits / bands
     val mask = (1L << width) - 1
     Array.tabulate(bands)(b => (sig >>> (b * width)) & mask)
-  })
-
-  def sigBands(sig: Column, bands: Int, bits: Int): Column =
-    bandsUdf(sig, lit(bands), lit(bits))
+  }
 }

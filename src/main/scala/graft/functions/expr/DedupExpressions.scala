@@ -33,6 +33,26 @@ object DedupKernels {
     new GenericArrayData(sig)
   }
 
+  /** k min-hashes over raw string shingles: each element is FNV-1a
+    * hashed once, then the mix64 family per member — same family (and
+    * same results) as [[minHashSig]] fed pre-hashed longs. */
+  def minHashSigStr(shingles: ArrayData, k: Int): ArrayData = {
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = shingles.numElements()
+    var e = 0
+    while (e < n) {
+      val base = fnv1a64Utf8(shingles.getUTF8String(e))
+      var i = 0
+      while (i < k) {
+        val h = Hashing.mix64(base ^ (0x9e3779b97f4a7c15L * (i + 1)))
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(sig)
+  }
+
   /** LSH band bucket hashes over a minhash signature. */
   def bandHashes(sig: ArrayData, bands: Int): ArrayData = {
     val rows = sig.numElements() / bands
@@ -216,6 +236,16 @@ case class MinHashSigExpr(child: Expression, k: Int) extends UnaryKernelExpressi
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class MinHashSigStrExpr(child: Expression, k: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_str"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.minHashSigStr(a.asInstanceOf[ArrayData], k)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.minHashSigStr($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BandHashesExpr(child: Expression, bands: Int) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_bands"
@@ -291,6 +321,7 @@ object DedupExpressions {
   private def e(col: Column): Expression = ColumnBridge.expression(col)
 
   def minHashSig(hashedShingles: Column, k: Int): Column = c(MinHashSigExpr(e(hashedShingles), k))
+  def minHashSigStr(shingles: Column, k: Int): Column = c(MinHashSigStrExpr(e(shingles), k))
   def bandHashes(sig: Column, bands: Int): Column = c(BandHashesExpr(e(sig), bands))
   def simHash64(tokens: Column): Column = c(SimHash64Expr(e(tokens)))
   def simHashFromHashes(hashes: Column, bits: Int): Column = c(SimHashFromHashesExpr(e(hashes), bits))

@@ -129,10 +129,17 @@ object Curation {
   }
 
   // -- q80: Zipf head — top-50 corpus tokens with cumulative share ------
-  // Token counts partial-aggregate before the vocabulary shuffle; the
-  // ranked head is vocabulary-sized (≪ corpus), so the single-partition
-  // rank/cumulative window operates on an already-tiny aggregate — the
-  // standard "aggregate first, then order the small result" shape.
+  // Token counts partial-aggregate before the vocabulary shuffle. The
+  // vocabulary itself is NOT small at web scale (10⁸–10⁹ distinct
+  // tokens), so nothing may sort it globally: the head is taken with
+  // orderBy+limit — plans as TakeOrderedAndProject, a per-partition
+  // top-50 followed by a driver-side merge of 50-row partials — and
+  // rank/cumulative-share are computed on those 50 rows by a broadcast
+  // self-join (no window: an empty-partition window would put the whole
+  // vocabulary, or at best the head, through one task). The corpus
+  // total rides in as a broadcast scalar. Correct because every token
+  // ranked at-or-before a head row is itself in the head, so the
+  // 50-row join sees exactly the global prefix it needs.
   val q80 = q("q80_zipf",
     """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
       |c AS (SELECT word, COUNT(*) AS n FROM w GROUP BY 1),
@@ -147,12 +154,14 @@ object Curation {
     val counts = Tables(s, dir).documents
       .select(explode(toks).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-    val ord = Window.orderBy(col("n").desc, col("word"))
-    counts
-      .withColumn("rnk", row_number().over(ord))
-      .withColumn("cum", sum(col("n")).over(ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("total", sum(col("n")).over(Window.partitionBy()))
-      .where(col("rnk") <= 50)
+    val total = counts.agg(sum(col("n")).as("total"))
+    val head = counts.orderBy(col("n").desc, col("word")).limit(50)
+    val ranked = head.join(
+        broadcast(head.select(col("n").as("n2"), col("word").as("word2"))),
+        col("n2") > col("n") || (col("n2") === col("n") && col("word2") <= col("word")))
+      .groupBy(col("word"), col("n"))
+      .agg(count(lit(1)).cast("int").as("rnk"), sum(col("n2")).as("cum"))
+    ranked.crossJoin(broadcast(total))
       .select(col("word"), col("n"), col("rnk"),
         (col("cum").cast("double") / col("total").cast("double")).as("cum_share"))
       .orderBy("rnk")

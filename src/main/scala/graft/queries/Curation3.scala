@@ -22,6 +22,12 @@ object Curation3 {
   private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
     GraftQuery(name, f, Some(oracle))
 
+  /** q110 prefix-sum bucket count — the packing's parallelism. Sized to
+    * cluster task slots, not fixed: 1024 spreads the per-bucket sort
+    * over 1024 tasks at any scale while the bucket-offset window still
+    * only sees ≤1024 aggregate rows. */
+  val PackBuckets: Int = sys.env.getOrElse("GRAFT_PACK_BUCKETS", "1024").toInt
+
   // -- q110: fixed-length sequence packing (split docs, no padding) -----
   // The last step before a pretraining run: concatenate the corpus in a
   // deterministic hash order and cut it into L-token sequences,
@@ -36,12 +42,19 @@ object Curation3 {
   // runs. Each doc then explodes into only the sequences it overlaps
   // (ceil(n/L)+1 max), so output ≈ corpus tokens / L plus one row per
   // boundary crossing. All arithmetic is integer.
+  //
+  // B (bucket count = prefix-sum parallelism) scales with the cluster:
+  // each bucket sorts ~corpus/B docs in one task, so B should be ≥ the
+  // cluster's task slots. Env-overridable (GRAFT_PACK_BUCKETS); the
+  // oracle interpolates the same value, and the PACKING ITSELF depends
+  // on B (bucket is the major sort key), so Spark and oracle always
+  // agree for any choice.
   val q110 = q("q110_sequence_pack",
     s"""WITH d AS (SELECT doc_id,
       |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
       |             ${crossHash60Sql("doc_id")} AS h
       |           FROM documents),
-      |db AS (SELECT *, h % 32 AS bucket FROM d WHERE n > 0),
+      |db AS (SELECT *, h % $PackBuckets AS bucket FROM d WHERE n > 0),
       |c AS (SELECT doc_id, n,
       |        CAST(SUM(n) OVER (ORDER BY bucket, h, doc_id
       |                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS BIGINT) AS start
@@ -54,20 +67,23 @@ object Curation3 {
       |  greatest(seq_id * 512, start) - seq_id * 512 AS seq_off,
       |  least((seq_id + 1) * 512, start + n) - greatest(seq_id * 512, start) AS len
       |FROM ch ORDER BY seq_id, seq_off""".stripMargin) { (s, dir) =>
-    val L = 512L; val B = 32
+    val L = 512L; val B = PackBuckets
     val base = Tables(s, dir).documents
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n"),
         crossHash60(col("doc_id")).as("h"))
       .where(col("n") > 0)
       .withColumn("bucket", pmod(col("h"), lit(B)))
-    // two-level prefix sum: the unpartitioned window runs over B rows,
-    // never the corpus
-    val wOff = Window.orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = base.groupBy("bucket").agg(sum(col("n")).as("bt"))
-      .withColumn("off", coalesce(sum(col("bt")).over(wOff), lit(0L)))
-      .select(col("bucket"), col("off"))
+    // two-level prefix sum: bucket offsets come from a broadcast
+    // B×B prefix self-join over the ≤B-row bucket aggregate (off(b) =
+    // Σ bt over buckets < b) — not an unpartitioned window, so no
+    // "single partition" path exists anywhere in the plan, even a
+    // bounded one.
+    val bt = base.groupBy("bucket").agg(sum(col("n")).as("bt"))
+    val offsets = bt
+      .join(broadcast(bt.select(col("bucket").as("b2"), col("bt").as("bt2"))),
+        col("b2") < col("bucket"), "left")
+      .groupBy("bucket").agg(coalesce(sum(col("bt2")), lit(0L)).as("off"))
     val wIn = Window.partitionBy("bucket").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val seqId = col("seq_id")
@@ -114,11 +130,18 @@ object Curation3 {
       |       FROM dc JOIN w USING (b) GROUP BY doc_id)
       |SELECT doc_id, weight FROM dw ORDER BY weight DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
     val B = 256
-    val tok = Tables(s, dir).documents
+    // ONE tokenize+hash pass: everything downstream (source model,
+    // target model, per-doc weights) re-aggregates the persisted
+    // (doc, lang, bucket, count) relation — ≤ docs×B rows, orders of
+    // magnitude under the exploded token stream — instead of
+    // re-scanning documents per branch.
+    val dc = Tables(s, dir).documents
       .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("lang"), pmod(crossHash60(col("w")), lit(B)).as("b"))
-    val cs = tok.groupBy("b").agg(count(lit(1)).as("cs"))
-    val ct = tok.where(col("lang") === "en").groupBy("b").agg(count(lit(1)).as("ct"))
+      .groupBy("doc_id", "lang", "b").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cs = dc.groupBy("b").agg(sum(col("c")).as("cs"))
+    val ct = dc.where(col("lang") === "en").groupBy("b").agg(sum(col("c")).as("ct"))
     val totT = ct.agg(sum(col("ct")).cast("long").as("t"))
     val totS = cs.agg(sum(col("cs")).cast("long").as("s"))
     val wtab = cs.join(ct, Seq("b"), "left")
@@ -127,7 +150,7 @@ object Curation3 {
         floor((sqrt(coalesce(col("ct"), lit(0L)).cast("double") / col("t").cast("double")) -
           sqrt(col("cs").cast("double") / col("s").cast("double"))) * lit(1e9))
           .cast("long").as("wb"))
-    tok.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+    dc.select(col("doc_id"), col("b"), col("c"))
       .join(broadcast(wtab), Seq("b"))
       .groupBy("doc_id")
       .agg(sum(col("c") * col("wb")).cast("long").as("weight"))
@@ -153,15 +176,21 @@ object Curation3 {
       |  (n_oov * 1000) // n_tokens AS oov_permille,
       |  (n_oov * 1000) // n_tokens >= 400 AS flagged
       |FROM d ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val tok = Tables(s, dir).documents
+    // ONE tokenize pass: aggregate to (doc, word, count) and persist;
+    // the vocabulary branch and the per-doc OOV branch both re-aggregate
+    // that relation (duplicate words collapse, so it is ≤ the token
+    // stream and usually far smaller) instead of re-scanning documents.
+    val dwc = Tables(s, dir).documents
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-    val vocab = tok.groupBy("w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = dwc.groupBy("w").agg(sum(col("c")).as("c"))
       .orderBy(col("c").desc, col("w")).limit(64)
       .select(col("w"), lit(1).as("in_v"))
-    tok.join(broadcast(vocab), Seq("w"), "left")
+    dwc.join(broadcast(vocab), Seq("w"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(when(col("in_v").isNull, 1)).as("n_oov"))
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L))).as("n_oov"))
       .select(col("doc_id"), col("n_tokens"), col("n_oov"),
         expr("(n_oov * 1000) div n_tokens").as("oov_permille"),
         (expr("(n_oov * 1000) div n_tokens") >= 400).as("flagged"))

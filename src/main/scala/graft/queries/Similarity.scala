@@ -125,16 +125,25 @@ object Similarity {
   // G+1 copies per row — a shuffled equi-join, no broadcast of the
   // corpus. An explicit guard caps corpus size: beyond it, exact
   // all-pairs is the wrong tool and the caller should use the LSH (q32)
-  // / IVF (q37) candidate paths.
+  // / IVF (q37) candidate paths. The guard is IN the plan (a broadcast
+  // scalar count checked by assert_true on every row), not an eager
+  // count() at build time — merely planning q33 launches no job
+  // (gated in PlanShapeSpec), and the one-row count subquery rides the
+  // query's own action.
   val q33 = GraftQuery("q33_dedup_embed", (s, dir) => {
     val G = 16
     val MaxExactCorpus = 2000000L
-    val c = corpus(s, dir)
-    val n = c.count()
-    require(n <= MaxExactCorpus,
-      s"q33 exact all-pairs is O(n^2): corpus $n > $MaxExactCorpus; use LSH/IVF candidates")
-    val g = c.withColumn("g", pmod(hash(col("vec_id")), lit(G)))
-    val a = g.withColumn("gj", explode(sequence(col("g"), lit(G - 1))))
+    val c0 = corpus(s, dir)
+    val guard = c0.agg(count(lit(1)).as("_corpus_n"))
+    val g = c0.withColumn("g", pmod(hash(col("vec_id")), lit(G)))
+    // Guard rides the `a` branch only (every vector appears there at
+    // least once, since gj ranges g..G-1 ∋ g), so the plan carries ONE
+    // 1-row scalar broadcast, not one per self-join side.
+    val a = g.crossJoin(broadcast(guard))
+      .where(assert_true(col("_corpus_n") <= MaxExactCorpus,
+        lit(s"q33 exact all-pairs is O(n^2): corpus > $MaxExactCorpus; use LSH/IVF candidates")).isNull)
+      .drop("_corpus_n")
+      .withColumn("gj", explode(sequence(col("g"), lit(G - 1))))
       .select(col("g").as("gi"), col("gj"), col("vec_id").as("a_id"), col("v").as("a_v"))
     val b = g.withColumn("gi", explode(sequence(lit(0), col("g"))))
       .select(col("gi"), col("g").as("gj"), col("vec_id").as("b_id"), col("v").as("b_v"))

@@ -13,7 +13,7 @@ class PlanShapeSpec extends SparkSpecBase {
   private def executed(name: String): String =
     SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
 
-  for (q <- Seq("q33_dedup_embed", "q100_allpairs_jaccard", "q84_dup_clusters",
+  for (q <- Seq("q100_allpairs_jaccard", "q84_dup_clusters",
                 "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
                 "q103_decontamination", "q108_source_dup_matrix"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
@@ -21,6 +21,21 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")
       assert(!plan.contains("CartesianProduct"), s"$q plans CartesianProduct")
     }
+
+  // q33's only loop join is the 1-row corpus-size guard broadcast (the
+  // in-plan assert_true replacing the old eager count() — see the
+  // planning-launches-no-job gate below); the pair stage itself must be
+  // an equi-join on the triangle block keys, never a corpus loop join.
+  test("q33_dedup_embed loop join is the scalar guard only; pair join is equi") {
+    val plan = executed("q33_dedup_embed")
+    val loopJoins = plan.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(loopJoins <= 1, s"q33 plans $loopJoins loop joins; only the scalar guard is allowed")
+    assert(plan.contains("_corpus_n"), "q33's in-plan corpus-size guard is missing")
+    val pairJoinIsEqui = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(pairJoinIsEqui, "q33 pair join planned as a non-equi join")
+    assert(!plan.contains("CartesianProduct"), "q33 plans CartesianProduct")
+  }
 
   // q107 (like q31/q37) legitimately broadcasts the 16-row centroid set
   // against the corpus — a map-only pass that stringifies as
@@ -46,5 +61,55 @@ class PlanShapeSpec extends SparkSpecBase {
     }
     assert(plan.contains("BroadcastHashJoin"), "doc-level joins should be broadcast equi-joins")
     assert(!plan.contains("CartesianProduct"), "q109 plans CartesianProduct")
+  }
+
+  // Registry-wide: an unpartitioned window puts its WHOLE input through
+  // one task ("No Partition Defined for Window" in the logs) — fatal
+  // when the input is corpus- or vocabulary-sized. The only tolerated
+  // shape is a window whose input subtree is provably bounded: under a
+  // limit, or over an aggregate grouped by a pmod-by-literal bucket key
+  // (a fixed-domain key — q110's ≤B-row bucket-offset aggregate).
+  test("no unpartitioned window over unbounded input anywhere in the registry") {
+    import org.apache.spark.sql.catalyst.expressions.Pmod
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LocalLimit, Window => LWindow}
+    def bounded(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: GlobalLimit => ()
+        case _: LocalLimit => ()
+        case a: Aggregate if a.collectFirst {
+          case n if n.expressions.exists(_.exists {
+            case p: Pmod => p.right.foldable
+            case _ => false
+          }) => ()
+        }.isDefined => ()
+      }.isDefined
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.optimizedPlan
+      plan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty && !bounded(w.child) => name
+      }
+    }.distinct
+    assert(offenders.isEmpty,
+      s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
+  }
+
+  // Merely PLANNING q33 must launch no Spark job: its corpus-size guard
+  // is a broadcast-scalar assert_true inside the plan, not an eager
+  // count() at build time.
+  test("planning q33_dedup_embed launches no job") {
+    // warm the table/file-listing path so it can't be attributed below
+    graft.Tables(spark, sfDir).embeddings.queryExecution.executedPlan
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    try {
+      SparkEntry.queries("q33_dedup_embed")(spark, sfDir).queryExecution.executedPlan
+      Thread.sleep(500) // let any job-start events drain through the bus
+    } finally spark.sparkContext.removeSparkListener(l)
+    assert(jobs.get() == 0, s"planning q33 launched ${jobs.get()} job(s)")
   }
 }

@@ -239,9 +239,17 @@ object Similarity {
   // cosine assignment and renormalized means (spherical k-means) — the
   // FAISS-style training path, where training cost depends on the
   // sample (driver-sized even at 100 TB), never the corpus. Float means
-  // are order-sensitive, so this variant is checked by recall (must
-  // beat the q37 seed-centroid quantizer at equal nprobe), not a
-  // value-hash oracle.
+  // are order-sensitive, so the LISTS can't be value-hash mirrored in
+  // SQL; instead the registry row emits a containment WITNESS the
+  // oracle can compute exactly: the index's rank-1 answer per query.
+  // If the true nearest neighbor is inside the probed lists (recall@1,
+  // which TextAndAnnSpec tracks and this oracle now gates per-row),
+  // exact-cosine ranking puts it at rank 1 under the same (cos DESC,
+  // cid) tie-break as brute force — so rank-1-via-index equals
+  // brute-force top-1, a plain DuckDB query. A miss surfaces as a
+  // hash/row mismatch, making the driver row a real recall gate, not
+  // rows-only. The full top-5 list stays available via
+  // [[ivfKmeansTop5]] (recall-banded against q37 in TextAndAnnSpec).
   private[graft] def kmeansCentroids(
       c: DataFrame, k: Int, iters: Int, sampleN: Int): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
@@ -278,7 +286,7 @@ object Similarity {
     cents
   }
 
-  val q37b = GraftQuery("q37b_ann_ivf_kmeans", (s, dir) => {
+  private[graft] def ivfKmeansTop5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val NList = 16; val NProbe = 4
     val c = corpus(s, dir)
@@ -310,7 +318,21 @@ object Similarity {
       .where(col("rk") <= 5)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
       .orderBy("qid", "rk")
-  }, None)
+  }
+
+  private val bruteTop1Sql =
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
+      |sc AS (SELECT qid, c.vec_id AS cid, list_cosine_similarity(qv, c.v) AS cos
+      |       FROM q CROSS JOIN c WHERE c.vec_id <> qid),
+      |r AS (SELECT qid, cid, cos,
+      |        row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid) AS rk FROM sc)
+      |SELECT qid, cid, round(cos, 4) AS score FROM r WHERE rk = 1 ORDER BY qid""".stripMargin
+
+  val q37b = GraftQuery("q37b_ann_ivf_kmeans", (s, dir) =>
+    ivfKmeansTop5(s, dir).where(col("rk") === 1)
+      .select(col("qid"), col("cid"), col("score")).orderBy("qid"),
+    Some(bruteTop1Sql))
 
   // -- q102: product-quantization ANN (ADC + exact re-rank) -------------
   // The memory-bound 100 TB ANN technique (Jégou/Douze/Schmid, "Product
@@ -320,10 +342,16 @@ object Similarity {
   // the float vector). Queries never touch raw corpus vectors until
   // re-rank: a per-query distance table (M×K entries, broadcast) scores
   // candidates by Asymmetric Distance Computation — sum over segments
-  // of table[seg, code] — then only the ADC top-50 are re-ranked with
-  // exact cosine. Codebook training is driver-side Lloyd on a
+  // of table[seg, code] — then only the ADC top-256 are re-ranked with
+  // exact cosine (256 sized so the shortlist keeps the true nearest
+  // neighbor with ~2x margin over its worst observed ADC rank across
+  // the test corpora). Codebook training is driver-side Lloyd on a
   // deterministic sample (cost independent of corpus size). Float
-  // k-means → rows-only check; TextAndAnnSpec asserts recall vs q31.
+  // k-means makes the lists unmirrorable in SQL, so — like q37b — the
+  // registry row emits the rank-1-via-index witness against the exact
+  // brute-force top-1 oracle: green iff the ADC shortlist kept the
+  // true neighbor for every query. Full top-5 via [[pqTop5]]
+  // (recall-banded in TextAndAnnSpec).
   private def lloydL2(points: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
     require(points.nonEmpty)
     val dim = points(0).length
@@ -351,9 +379,9 @@ object Similarity {
     cents
   }
 
-  val q102 = GraftQuery("q102_ann_pq", (s, dir) => {
+  private[graft] def pqTop5(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val M = 8; val SubDim = 8; val K = 16; val TopCand = 50
+    val M = 8; val SubDim = 8; val K = 16; val TopCand = 256
     val c = corpus(s, dir)
     val sample = c.orderBy("vec_id").limit(2000).collect()
       .map(_.getSeq[Double](1).toArray)
@@ -397,7 +425,12 @@ object Similarity {
       .where(col("rk") <= 5)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
       .orderBy("qid", "rk")
-  }, None)
+  }
+
+  val q102 = GraftQuery("q102_ann_pq", (s, dir) =>
+    pqTop5(s, dir).where(col("rk") === 1)
+      .select(col("qid"), col("cid"), col("score")).orderBy("qid"),
+    Some(bruteTop1Sql))
 
   // -- q34: approximate distinct counting (mirrorable HyperLogLog) ------
   // A from-scratch HLL (Flajolet et al. 2007) built so the ORACLE can

@@ -29,6 +29,21 @@ object QueueRamp {
 
   private def q(name: String): Q = queues.computeIfAbsent(name, _ => new Q)
 
+  def exists(name: String): Boolean = queues.containsKey(name)
+
+  /** Queue bootstrap — the reference's SQS get-or-create contract
+    * (`motorway/contrib/amazon_sqs/mixins.py:6-19`: `init_queue` looks
+    * the queue up and creates it on NonExistentQueue). A ramp must be
+    * startable against a queue nobody has produced to yet; the stream
+    * calls this before its first offset read. Returns true when the
+    * queue was created by this call (≙ the mixin's create_queue
+    * branch), false when it already existed. */
+  def ensureQueue(name: String): Boolean = {
+    val created = !queues.containsKey(name)
+    q(name)
+    created
+  }
+
   def enqueue(name: String, msgs: Seq[Entry]): Unit = q(name).synchronized {
     q(name).entries ++= msgs
   }

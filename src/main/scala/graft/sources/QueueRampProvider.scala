@@ -78,6 +78,10 @@ final case class QueuePosition(pos: Long) extends Offset {
 
 final class QueueRampStream(queue: String, partitions: Int, maxPerTrigger: Long)
     extends MicroBatchStream with SupportsAdmissionControl {
+  // bootstrap: the ramp is startable against a queue nobody has
+  // produced to yet (reference get-or-create, amazon_sqs/mixins.py:6-19)
+  QueueRamp.ensureQueue(queue)
+
   override def initialOffset(): Offset = QueuePosition(0L)
   override def latestOffset(): Offset = QueuePosition(QueueRamp.size(queue))
   override def deserializeOffset(json: String): Offset = QueuePosition(json.toLong)

@@ -36,13 +36,25 @@ object PipelineStats {
       successCount: Long = 0, errorCount: Long = 0,
       timeoutCount: Long = 0, processedCount: Long = 0)
 
-  /** Per-query rolling stats (≙ per-process stats group). */
+  /** Per-query rolling stats (≙ per-process stats group).
+    *
+    * `sourceLag` is the per-input-partition behind-the-head gauge —
+    * parity with the Kinesis ramp's `MillisecondsBehind` publication
+    * (`contrib/amazon_kinesis/ramps.py:290-298`), in offset units
+    * (records behind the source head) because that is what Spark's
+    * progress events carry for every numeric-offset source uniformly.
+    * `waiting` is its total, which makes the reference's
+    * available/busy/overloaded heuristic (`webserver.py:110-121`)
+    * computable; `peakWaiting` keeps the high-water mark so a drained
+    * backlog is still visible after the fact. */
   final case class QueryStats(
       name: String,
       processed: Long = 0,
       success: Long = 0,
       failed: Long = 0,
       waiting: Long = 0,
+      peakWaiting: Long = 0,
+      sourceLag: Map[String, Long] = Map.empty,
       batchDurationsMs: Vector[Long] = Vector.empty,
       histogram: Map[Int, MinuteBucket] = Map.empty) {
     def avgTimeTakenMs: Double =
@@ -52,6 +64,20 @@ object PipelineStats {
       if (batchDurationsMs.isEmpty) 0.0
       else percentileFromCounts(
         batchDurationsMs.groupBy(_.toDouble).view.mapValues(_.size.toLong).toMap, 0.95)
+
+    /** Reference state heuristic (`motorway/webserver.py:110-121`):
+      * waiting>0 → busy; waiting greater than everything processed in
+      * the last 3 minutes → overloaded; plus `failing` when errors were
+      * recorded (the reference surfaces those as failed_messages). */
+    def state(nowMinute: Int): String =
+      if (failed > 0) "failing"
+      else if (waiting > 0) {
+        val recent = (0 until 3)
+          .map(i => histogram.getOrElse(((nowMinute - i) % 60 + 60) % 60, MinuteBucket()).processedCount)
+          .sum
+        if (waiting > recent) "overloaded" else "busy"
+      } else if (batchDurationsMs.lastOption.exists(_ > 10000)) "busy"
+      else "available"
   }
 }
 
@@ -72,14 +98,15 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
     * and the `available|busy` status heuristic. */
   def snapshotJson: String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val nowMinute = clockMinute() % 60
     snapshot.toSeq.sortBy(_._1).map { case (name, s) =>
-      val status = if (s.failed > 0) "failing"
-        else if (s.batchDurationsMs.lastOption.exists(_ > 10000)) "busy"
-        else "available"
+      val lag = s.sourceLag.toSeq.sortBy(_._1)
+        .map { case (src, l) => s""""${esc(src)}":$l""" }.mkString("{", ",", "}")
       s"""{"name":"${esc(name)}","processed":${s.processed},"success":${s.success},""" +
-        s""""failed":${s.failed},"waiting":${s.waiting},""" +
+        s""""failed":${s.failed},"waiting":${s.waiting},"peak_waiting":${s.peakWaiting},""" +
+        s""""behind_latest":$lag,""" +
         f""""avg_time_taken_ms":${s.avgTimeTakenMs}%.1f,"95_percentile_ms":${s.p95TimeTakenMs}%.1f,""" +
-        s""""status":"$status"}"""
+        s""""status":"${s.state(nowMinute)}"}"""
     }.mkString("[", ",", "]")
   }
 
@@ -92,13 +119,28 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
     val name = Option(p.name).getOrElse(p.id.toString)
     val rows = p.numInputRows
     val durMs = Option(p.durationMs.get("triggerExecution")).map(_.toLong).getOrElse(0L)
+    // Per-source behind-the-head lag: for numeric-offset sources
+    // (QueueRamp positions, Kinesis sequence deltas, file indexes) the
+    // progress event's latestOffset − endOffset IS the backlog this
+    // batch left unread. JSON-object offsets (Kafka's per-partition
+    // maps) don't reduce to one number and are skipped.
+    def numeric(off: String): Option[Long] =
+      Option(off).flatMap(o => scala.util.Try(o.trim.toLong).toOption)
+    val lags = p.sources.toSeq.flatMap { sp =>
+      for (l <- numeric(sp.latestOffset); end <- numeric(sp.endOffset))
+        yield Option(sp.description).getOrElse("source") -> math.max(0L, l - end)
+    }.toMap
     val minute = clockMinute() % 60
     stats.updateWith(name) { prev =>
       val s = prev.getOrElse(QueryStats(name))
       val bucket = s.histogram.getOrElse(minute, MinuteBucket())
+      val waiting = if (lags.nonEmpty) lags.values.sum else s.waiting
       Some(s.copy(
         processed = s.processed + rows,
         success = s.success + rows,
+        waiting = waiting,
+        peakWaiting = math.max(s.peakWaiting, waiting),
+        sourceLag = if (lags.nonEmpty) lags else s.sourceLag,
         batchDurationsMs = (s.batchDurationsMs :+ durMs).takeRight(3600),
         histogram = s.histogram.updated(minute, bucket.copy(
           successCount = bucket.successCount + rows,

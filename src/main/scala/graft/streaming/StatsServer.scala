@@ -8,9 +8,16 @@ import java.net.InetSocketAddress
   * controller stats as JSON for the bundled UI. Spark already computes
   * the numbers ([[PipelineStatsListener]], fed by streaming progress
   * events); this exposes them at `GET /api/status/` with the same
-  * per-group counts, latency stats, and `available|busy|failing` status
-  * heuristic. JDK built-in httpserver: no dependency, runs on the
-  * driver alongside the streaming queries (where the listener lives).
+  * per-group counts, latency stats, and
+  * `available|busy|overloaded|failing` status heuristic — and at
+  * `GET /` as a human-facing HTML dashboard: queries grouped by the
+  * name prefix before the first '-' (the reference's
+  * `split('-')[0]` grouping, `webserver.py:122-125`), one status table
+  * per group with aggregate waiting/processed counts. Server-rendered
+  * static HTML in place of the reference's React bundle: no JS build,
+  * same information. JDK built-in httpserver: no dependency, runs on
+  * the driver alongside the streaming queries (where the listener
+  * lives).
   */
 final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -24,6 +31,21 @@ final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
       try os.write(body) finally os.close()
     }
   })
+
+  server.createContext("/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      // the bare createContext("/") also catches unknown paths; keep
+      // /api/* out of the HTML handler
+      if (ex.getRequestURI.getPath != "/") {
+        ex.sendResponseHeaders(404, -1); ex.close(); return
+      }
+      val body = StatsServer.dashboardHtml(listener).getBytes("UTF-8")
+      ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+      ex.sendResponseHeaders(200, body.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(body) finally os.close()
+    }
+  })
   server.setExecutor(null) // serve on the accept thread; status is tiny
   server.start()
 
@@ -31,4 +53,45 @@ final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
   def boundPort: Int = server.getAddress.getPort
 
   def stop(): Unit = server.stop(0)
+}
+
+object StatsServer {
+  /** Server-rendered dashboard: the reference's group view
+    * (`webserver.py:110-148`) — group = name up to the first '-',
+    * per-group waiting/processed totals and the worst member state. */
+  private[streaming] def dashboardHtml(listener: PipelineStatsListener): String = {
+    def esc(s: String) = s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val nowMinute = PipelineStatsListener.wallClockMinute() % 60
+    val groups = listener.snapshot.values.toSeq
+      .groupBy(s => s.name.split('-')(0))
+      .toSeq.sortBy(_._1)
+    val severity = Map("available" -> 0, "busy" -> 1, "overloaded" -> 2, "failing" -> 3)
+    val sections = groups.map { case (group, members) =>
+      val states = members.map(_.state(nowMinute))
+      val groupState = states.maxBy(st => severity.getOrElse(st, 0))
+      val waiting = members.map(_.waiting).sum
+      val processed = members.map(_.processed).sum
+      val rows = members.sortBy(_.name).map { s =>
+        f"""<tr><td>${esc(s.name)}</td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
+          f"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
+          f"""<td>${s.avgTimeTakenMs}%.1f</td><td>${s.p95TimeTakenMs}%.1f</td></tr>"""
+      }.mkString("\n")
+      s"""<section><h2>${esc(group)} <span class="st-$groupState">$groupState</span></h2>
+         |<p>processed $processed &middot; waiting $waiting</p>
+         |<table><tr><th>query</th><th>status</th><th>processed</th><th>waiting</th>
+         |<th>failed</th><th>avg ms</th><th>p95 ms</th></tr>
+         |$rows</table></section>""".stripMargin
+    }.mkString("\n")
+    s"""<!doctype html><html><head><meta charset="utf-8">
+       |<meta http-equiv="refresh" content="5">
+       |<title>graft pipeline status</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left}
+       |.st-available{color:#2a7}.st-busy{color:#b80}
+       |.st-overloaded{color:#d40}.st-failing{color:#c00}
+       |</style></head><body><h1>Pipeline status</h1>
+       |${if (groups.isEmpty) "<p>No queries running.</p>" else sections}
+       |<p><a href="/api/status/">raw JSON</a></p></body></html>""".stripMargin
+  }
 }

@@ -134,12 +134,12 @@ class TextAndAnnSpec extends SparkSpecBase {
     // corpus size) and clear an absolute floor
     val brute = graft.queries.Similarity.q31.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    def recallOf(q: graft.GraftQuery): Double = {
-      val got = q.run(spark, dir).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       brute.intersect(got).size.toDouble / brute.size
     }
-    val seedRecall = recallOf(graft.queries.Similarity.q37)
-    val trainedRecall = recallOf(graft.queries.Similarity.q37b)
+    val seedRecall = recallOf(graft.queries.Similarity.q37.run(spark, dir))
+    val trainedRecall = recallOf(graft.queries.Similarity.ivfKmeansTop5(spark, dir))
     assert(trainedRecall >= seedRecall - 0.1,
       s"k-means recall $trainedRecall fell off the seed recall $seedRecall")
     assert(trainedRecall >= 0.5, s"k-means IVF recall=$trainedRecall")
@@ -149,12 +149,19 @@ class TextAndAnnSpec extends SparkSpecBase {
     val dir = "/root/testdata/sf0.01"
     val brute = graft.queries.Similarity.q31.run(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val pq = graft.queries.Similarity.q102.run(spark, dir).collect()
+    val pq = graft.queries.Similarity.pqTop5(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = brute.intersect(pq).size.toDouble / brute.size
-    // 8x4-bit codes (32x compression) + top-50 exact re-rank over a
+    // 8x4-bit codes (32x compression) + top-256 exact re-rank over a
     // 500-vector corpus: the ADC shortlist must keep most true tops
     assert(recall >= 0.5, s"PQ recall=$recall")
+    // the registry row's containment witness: rank-1-via-PQ must BE the
+    // brute-force top-1 for every query (what the DuckDB oracle checks)
+    val witness = graft.queries.Similarity.q102.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteTop1 = graft.queries.Similarity.q31.run(spark, dir).collect()
+      .filter(_.getInt(2) == 1).map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(witness == bruteTop1, s"PQ rank-1 != brute top-1: $witness vs $bruteTop1")
   }
 
   test("hyperplane signatures: similar vectors get close signatures") {

@@ -146,6 +146,31 @@ class QueueRampSpec extends SparkSpecBase {
     QueueRamp.drop(qn)
   }
 
+  test("queue bootstrap: ramp starts against a queue nobody created (SQS get-or-create parity)") {
+    val qn = "ramp-bootstrap-fresh"
+    QueueRamp.drop(qn)
+    assert(!QueueRamp.exists(qn))
+    // the stream itself must bootstrap the queue before its first read
+    val df = spark.readStream
+      .format(classOf[QueueRampProvider].getName)
+      .option("queue", qn)
+      .load()
+    val q = df.writeStream.format("memory").queryName("bootstrap_out").start()
+    q.processAllAvailable()
+    assert(QueueRamp.exists(qn), "stream did not create the missing queue")
+    assert(spark.table("bootstrap_out").count() == 0)
+    // producers arriving after the consumer see the same queue
+    QueueRamp.enqueue(qn, Seq(entry(1, "late-producer")))
+    q.processAllAvailable()
+    assert(eventually()(spark.table("bootstrap_out").count() == 1))
+    q.stop()
+    // explicit API: created-on-first, found-on-second (mixin's two branches)
+    QueueRamp.drop(qn)
+    assert(QueueRamp.ensureQueue(qn), "first ensureQueue should create")
+    assert(!QueueRamp.ensureQueue(qn), "second ensureQueue should find")
+    QueueRamp.drop(qn)
+  }
+
   test("polling ramp enqueues per tick with stable ids") {
     val qn = "ramp-poll"
     QueueRamp.drop(qn)

@@ -41,4 +41,57 @@ class PipelineStatsSpec extends SparkSpecBase {
       assert(json.contains("\"status\":\"available\""))
     } finally spark.streams.removeListener(listener)
   }
+
+  test("per-source lag gauge under a throttled QueueRamp (MillisecondsBehind parity)") {
+    import graft.sources.{QueueRamp, QueueRampProvider}
+    val qn = "stats-lag"
+    QueueRamp.drop(qn)
+    // 10 messages, 2 admitted per micro-batch: the early batches leave
+    // a backlog the progress events report as latestOffset − endOffset
+    QueueRamp.enqueue(qn, (1 to 10).map(i =>
+      QueueRamp.Entry(i.toString, s"m$i", null, i.toLong * 1000000L)))
+    val listener = new PipelineStatsListener(() => 30)
+    spark.streams.addListener(listener)
+    try {
+      val df = spark.readStream
+        .format(classOf[QueueRampProvider].getName)
+        .option("queue", qn).option("maxPerTrigger", "2")
+        .load()
+      val q = df.writeStream.format("memory").queryName("lag_out").start()
+      q.processAllAvailable()
+      q.stop()
+      val deadline = System.currentTimeMillis() + 10000
+      def snap = listener.snapshot.get("lag_out")
+      while (snap.forall(_.processed < 10) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100)
+      val s = snap.get
+      assert(s.processed == 10)
+      // the first batch admitted 2 of 10 → the gauge must have seen a
+      // backlog of 8 (monotone high-water mark), and a drained queue
+      assert(s.peakWaiting >= 8, s"peakWaiting=${s.peakWaiting}")
+      assert(s.waiting == 0, s"waiting=${s.waiting} after drain")
+      assert(s.sourceLag.nonEmpty, "no per-source lag recorded")
+      assert(listener.snapshotJson.contains("\"behind_latest\":{"))
+      assert(listener.snapshotJson.contains("\"peak_waiting\":"))
+    } finally {
+      spark.streams.removeListener(listener)
+      QueueRamp.drop(qn)
+    }
+  }
+
+  test("state heuristic: waiting vs recent throughput (webserver.py:110-121 parity)") {
+    import PipelineStats._
+    val busyAt = MinuteBucket(processedCount = 100, successCount = 100)
+    val s0 = QueryStats("s", waiting = 5, histogram = Map(30 -> busyAt))
+    assert(s0.state(30) == "busy")      // backlog smaller than recent throughput
+    val s1 = QueryStats("s", waiting = 500, histogram = Map(30 -> busyAt))
+    assert(s1.state(30) == "overloaded") // backlog exceeds last-3-min processed
+    val s2 = QueryStats("s", waiting = 0, histogram = Map(30 -> busyAt))
+    assert(s2.state(30) == "available")
+    val s3 = QueryStats("s", failed = 1)
+    assert(s3.state(30) == "failing")
+    // 3-minute lookback wraps across the hour boundary
+    val s4 = QueryStats("s", waiting = 5, histogram = Map(59 -> busyAt))
+    assert(s4.state(1) == "busy")
+  }
 }

@@ -38,6 +38,24 @@ class StatsServerSpec extends SparkSpecBase {
       assert(body.contains("\"avg_time_taken_ms\""))
       assert(body.contains("\"95_percentile_ms\""))
       assert(body.contains("\"status\":\"available\""))
+
+      // the human-facing dashboard at / renders the same snapshot as
+      // HTML, grouped by the name prefix before '-' (webserver.py
+      // group view)
+      val htmlUrl = new java.net.URI(s"http://127.0.0.1:${server.boundPort}/").toURL
+      val hconn = htmlUrl.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(hconn.getResponseCode == 200)
+      assert(hconn.getContentType.startsWith("text/html"))
+      val html = new String(hconn.getInputStream.readAllBytes(), "UTF-8")
+      assert(html.contains("<h2>http_probe"), "per-group section missing")
+      assert(html.contains("available"), "group status missing")
+      assert(html.contains("processed 2"), "group processed total missing")
+      assert(html.contains("""<a href="/api/status/">"""), "JSON link missing")
+
+      // unknown paths are not swallowed by the root handler
+      val missUrl = new java.net.URI(s"http://127.0.0.1:${server.boundPort}/nope").toURL
+      val mconn = missUrl.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(mconn.getResponseCode == 404)
     } finally {
       server.stop()
       spark.streams.removeListener(listener)

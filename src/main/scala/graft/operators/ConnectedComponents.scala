@@ -38,8 +38,15 @@ object ConnectedComponents {
     */
   def minLabelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
-    val und = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .union(edges.select(col(dstCol).as("src"), col(srcCol).as("dst")))
+    // Undirect via explode, NOT union(reversed): a union plans the edge
+    // subtree twice, and when the edge list is itself an expensive pair
+    // join (q84/q89's prefix-filtered all-pairs), the first
+    // materialization would run that join twice. One scan, each edge
+    // emitting both directions.
+    val und = edges.select(explode(array(
+        struct(col(srcCol).as("src"), col(dstCol).as("dst")),
+        struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint (eager) after every round: it materializes the

@@ -150,13 +150,21 @@ object Curation2 {
     val t = col("_t")
     val spans = transform(sequence(lit(0), size(t) - 8),
       i => array_join(slice(t, i + 1, lit(8)), " "))
+    // ONE pass over the span relation, not a self-join: a self-join
+    // references (and so evaluates) the tokenize+distinct subtree
+    // twice. Group each span to its source SET instead, and explode
+    // the a<b pairs from the set — per-span fan-out is still bounded
+    // by source cardinality, and the whole span relation is scanned,
+    // shuffled, and deduplicated exactly once.
     val sp = Tables(s, dir).documents
       .withColumn("_t", split(col("text"), " "))
       .where(size(t) >= 8)
       .select(col("source"), explode(spans).as("span"))
       .distinct()
-    sp.select(col("span"), col("source").as("src_a"))
-      .join(sp.select(col("span"), col("source").as("src_b")), Seq("span"))
+    sp.groupBy("span").agg(collect_set(col("source")).as("srcs"))
+      .where(size(col("srcs")) >= 2)
+      .select(col("srcs"), explode(col("srcs")).as("src_a"))
+      .select(col("src_a"), explode(col("srcs")).as("src_b"))
       .where(col("src_a") < col("src_b"))
       .groupBy("src_a", "src_b")
       .agg(count(lit(1)).as("n_shared_spans"))

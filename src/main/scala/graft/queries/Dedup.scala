@@ -179,11 +179,18 @@ object Dedup {
       .groupBy("sh").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    // persisted: both sides of the candidate self-join reference the
+    // prefix relation, and without the persist the explode + df join +
+    // per-doc rank window pipeline would run twice (the d cache alone
+    // only saves the shingling). The relation is prefix-pruned before
+    // it materializes — ~(1-t)·|shingles| rows of four fixed-width
+    // columns.
     val prefix = d.select(col("doc_id"), size(col("shh")).as("sz"), explode(col("shh")).as("sh"))
       .join(dfreq, Seq("sh"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
       .select(col("sh"), col("doc_id"), col("sz"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate pruning on the collision rows, before the distinct:
     //  - length filter: J ≥ t ⇒ min|x| ≥ t·max|x|;
     //  - positional filter (PPJoin, Xiao et al. WWW'08): a collision on

@@ -59,6 +59,8 @@ object GraftFunctions {
       (es: Seq[Expression]) => JaccardSortedLong(es(0), es(1))),
     ("graft_minhash", new ExpressionInfo(classOf[MinHashSigExpr].getName, "graft_minhash"),
       (es: Seq[Expression]) => MinHashSigExpr(es(0), intLit(es(1), "k"))),
+    ("graft_minhash_str", new ExpressionInfo(classOf[MinHashSigStrExpr].getName, "graft_minhash_str"),
+      (es: Seq[Expression]) => MinHashSigStrExpr(es(0), intLit(es(1), "k"))),
     ("graft_bands", new ExpressionInfo(classOf[BandHashesExpr].getName, "graft_bands"),
       (es: Seq[Expression]) => BandHashesExpr(es(0), intLit(es(1), "bands"))),
     ("graft_simhash", new ExpressionInfo(classOf[SimHash64Expr].getName, "graft_simhash"),

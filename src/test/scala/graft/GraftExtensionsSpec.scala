@@ -14,13 +14,16 @@ class GraftExtensionsSpec extends SparkSpecBase {
         |  graft_jaccard(array('a', 'b'), array('b', 'c')) AS jac,
         |  graft_simhash(array('x', 'y', 'x')) AS sh,
         |  graft_minhash(array(1L, 2L, 3L), 8) AS mh,
+        |  graft_minhash_str(array('a b c d', 'b c d e'), 8) AS mhs,
         |  graft_fp_bands(255L, 4, 16) AS bands""".stripMargin).head()
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)  // parallel vectors
     assert(r.getDouble(1) == 11.0)
     assert(r.getDouble(2) == 1.0 / 3.0)
     assert(r.getLong(3) == graft.functions.DedupFunctions.simHash64Impl(Seq("x", "y", "x")))
     assert(r.getSeq[Long](4).length == 8)
-    assert(r.getSeq[Long](5) == Seq(255L, 0L, 0L, 0L))
+    assert(r.getSeq[Long](5).toSeq ==
+      graft.functions.DedupFunctions.minHashSigImpl(Seq("a b c d", "b c d e"), 8).toSeq)
+    assert(r.getSeq[Long](6) == Seq(255L, 0L, 0L, 0L))
   }
 
   test("graft_quality_gate evaluates from SQL with numeric literals") {

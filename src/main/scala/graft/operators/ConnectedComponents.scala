@@ -32,11 +32,22 @@ import org.apache.spark.storage.StorageLevel
 object ConnectedComponents {
 
   /** @param edges  two-column DataFrame of undirected edges
+    * @param driverFallbackEdges  size-adaptive cutover: when the
+    *        (directed) edge list is at most this many rows AND the node
+    *        ids are longs, labels come from a driver-side union-find
+    *        instead of the iterative join loop. Dedup edge lists are
+    *        result-sized — usually thousands of pairs even for huge
+    *        corpora — and the distributed loop's per-round fixed cost
+    *        (2 checkpoint jobs × O(log d) rounds) dwarfs an 8-byte/edge
+    *        collect at that size. 4M directed rows ≈ 64 MB on the
+    *        driver; the expensive stage (pair GENERATION) is untouched
+    *        and stays fully distributed either way.
     * @return ("node", "comp") — comp is the min node id reachable;
     *         only nodes appearing in `edges` are labeled (singletons
     *         are their own component by definition and need no pass)
     */
-  def minLabelPropagation(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def minLabelPropagation(edges: DataFrame, maxIter: Int = 20,
+      driverFallbackEdges: Long = 4000000L): DataFrame = {
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     // Undirect via explode, NOT union(reversed): a union plans the edge
     // subtree twice, and when the edge list is itself an expensive pair
@@ -48,6 +59,33 @@ object ConnectedComponents {
         struct(col(dstCol).as("src"), col(srcCol).as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // The count materializes the persisted edge list (the seed
+    // aggregation needs it materialized anyway) and picks the path.
+    val directedCount = und.count()
+    val longIds = edges.schema.take(2)
+      .forall(_.dataType == org.apache.spark.sql.types.LongType)
+    if (longIds && directedCount <= driverFallbackEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      und.unpersist()
+      // min-root union-find with iterative path compression — the same
+      // labels the loop below converges to (spec-checked against it)
+      val parent = scala.collection.mutable.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
+        var y = x0
+        while (parent(y) != x) { val p = parent(y); parent(y) = x; y = p }
+        x
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
+    }
 
     // localCheckpoint (eager) after every round: it materializes the
     // labels AND truncates lineage, so the logical plan stays one

@@ -5,10 +5,19 @@ import org.apache.spark.sql.functions._
 
 class ConnectedComponentsSpec extends SparkSpecBase {
 
+  /** Runs BOTH execution paths — the driver union-find fast path
+    * (default threshold) and the distributed propagation loop
+    * (threshold 0 forces it) — and asserts they agree before returning
+    * the labels. Every test in this suite therefore checks both. */
   private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.minLabelPropagation(edges.toDF("src", "dst"))
+    val df = edges.toDF("src", "dst")
+    val fast = ConnectedComponents.minLabelPropagation(df)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.minLabelPropagation(df, driverFallbackEdges = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == dist, "driver union-find and distributed loop disagree")
+    fast
   }
 
   test("chain, triangle, and isolated pair resolve to min-id components") {

@@ -4,8 +4,22 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: every registered query on SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout. A small untimed warmup first so JVM/codegen
-  * startup isn't attributed to whichever query happens to run first. */
+  * startup isn't attributed to whichever query happens to run first.
+  *
+  * The artifact is self-diagnosing: it records its own conditions (heap
+  * max, cpu count, SPARK_DRIVER_MEM) and per-query GC time + post-sweep
+  * heap, and any query slower than 3x the suite median gets an automatic
+  * second timed run with both times reported — so a one-off environmental
+  * stall (cold page cache, concurrent activity) is distinguishable from a
+  * real plan regression without a manual rerun.
+  */
 object Bench {
+  private def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(_.getCollectionTime).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -24,6 +38,39 @@ object Bench {
       .foreach(df => df.limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
 
+    // Isolation (untimed — the metric is the sum of per-query dt): drop
+    // everything a query left behind so leftovers can't distort a later
+    // query's memory budget. Three layers, because each covers storage
+    // the others can't reach:
+    //  - clearCache(): Dataset persists registered in the CacheManager
+    //    (e.g. allPairsJaccardOn's MEMORY_AND_DISK corpus);
+    //  - getPersistentRDDs sweep: RDD-level persists the CacheManager
+    //    never sees — localCheckpoint() blocks (ConnectedComponents'
+    //    final labels generation) live here;
+    //  - System.gc(): broadcasts/shuffle state free via the weak-ref
+    //    ContextCleaner, which only runs when the JVM collects — 113
+    //    queries accumulate enough to age the heap otherwise (the
+    //    round-4 in-run-vs-isolated 3x drift on heavy queries).
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    val rt = Runtime.getRuntime
+    // timed run + untimed sweep; returns (sec, gcMsDuringRun, heapMbAfterSweep)
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = {
+      val gc0 = gcMillis()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val dt = (System.nanoTime() - t0) / 1e9
+      val gcd = gcMillis() - gc0
+      sweep()
+      (dt, gcd, (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+    }
+
     // Optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=q61,q78 — driver runs unfiltered. Matches the
     // full name or the qNNN id (exact, so "q11" never selects q110_*).
@@ -31,43 +78,44 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_')))
     }
-    val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolation (untimed — the metric is the sum of per-query dt):
-      // drop everything a query left behind so leftovers can't distort a
-      // later query's memory budget. Three layers, because each covers
-      // storage the others can't reach:
-      //  - clearCache(): Dataset persists registered in the CacheManager
-      //    (e.g. allPairsJaccardOn's MEMORY_AND_DISK corpus);
-      //  - getPersistentRDDs sweep: RDD-level persists the CacheManager
-      //    never sees — localCheckpoint() blocks (ConnectedComponents'
-      //    final labels generation) live here;
-      //  - System.gc(): broadcasts/shuffle state free via the weak-ref
-      //    ContextCleaner, which only runs when the JVM collects — 113
-      //    queries accumulate enough to age the heap otherwise (the
-      //    round-4 in-run-vs-isolated 3x drift on heavy queries).
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      System.gc()
-      name -> dt
-    }
+    val results = selected.map { case (name, fn) => name -> runOnce(fn) }
+
+    // Outlier re-run: any query >3x the suite median runs a second time
+    // (timed) — if t2 ~= median-scale, the first number was environmental
+    // (cold cache, concurrent load, GC debt), not a plan property.
+    val times = results.map(_._2._1).sorted
+    val median = if (times.isEmpty) 0.0 else times(times.length / 2)
+    val rerun: Map[String, Double] = results.collect {
+      case (name, (dt, _, _)) if median > 0 && dt > 3 * median =>
+        name -> selected.collectFirst { case (`name`, fn) => runOnce(fn)._1 }.getOrElse(-1.0)
+    }.toMap
+
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.map(_._2._1).sum
+    val gcSec = results.map(_._2._2).sum / 1000.0
+    val env = s""""env":{"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "default")}"""" +
+      s""","cpus":"$cpus","procs":${rt.availableProcessors()}""" +
+      s""","heap_max_mb":${rt.maxMemory() / (1024 * 1024)}}"""
+    val rerunJson = rerun.toSeq.sortBy(_._1).map { case (k, t2) =>
+      val t1 = results.collectFirst { case (`k`, (dt, _, _)) => dt }.getOrElse(-1.0)
+      "\"" + k.takeWhile(_ != '_') + "\":{\"t1\":" + f3(t1) + ",\"t2\":" + f3(t2) + "}"
+    }.mkString("{", ",", "}")
+
     // Full-name per-query map goes to a file (capture-size-proof);
     // stdout gets ONE compact line — query keys truncated to their qNN
-    // prefix — small enough (~1.5 KB for 105 queries) that a tail
-    // capture of the run log retains the whole line, headline first.
-    val full = results.map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$full}"""
+    // prefix — small enough (~2 KB for 113 queries) that a tail capture
+    // of the run log retains the whole line, headline first.
+    val full = results.map { case (k, (dt, gc, heap)) =>
+      "\"" + k + "\":{\"t\":" + f3(dt) + ",\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
+    }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
+      s""","n_queries":${results.size},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$full}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
+    val qs = results.map { case (k, (dt, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$qs}""")
     System.out.flush()
     Thread.sleep(200) // let stdout drain before shutdown log noise
     spark.stop()

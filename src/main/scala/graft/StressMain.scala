@@ -100,6 +100,33 @@ object StressMain {
         name -> sec
       }
       println(f"[stress] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} heavy queries at 10x sf0.1")
+
+      // Forced-distributed connected components: the size-adaptive
+      // driver fallback absorbs every test corpus (the 10x dup graph is
+      // ~hundreds of k directed edges, well under the 4M cutover), so
+      // the iterative join loop — the code that must carry a 100 TB dup
+      // graph — would otherwise never see a timed, growing workload.
+      // Time both paths on the SAME materialized edge list and report
+      // the ratio; a regression in the distributed loop shows up here
+      // before it shows up on a cluster.
+      val ccEdges = graft.queries.Dedup.allPairsJaccard(spark, StressDir, 0.5)
+        .select("a_id", "b_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nPairs = ccEdges.count()
+      def timeCC(label: String): Double = {
+        val t0 = System.nanoTime()
+        val rows = graft.operators.ConnectedComponents.minLabelPropagation(ccEdges).count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] cc_$label%-25s ${sec}%8.2f s  rows=$rows (pairs=$nPairs)")
+        sec
+      }
+      val ccAdaptive = timeCC("adaptive")
+      sys.props("graft.cc.driverFallbackEdges") = "0"
+      val ccForced =
+        try timeCC("forced_distributed")
+        finally sys.props.remove("graft.cc.driverFallbackEdges")
+      println(f"[stress] cc forced/adaptive ratio ${ccForced / ccAdaptive}%.2fx")
+      ccEdges.unpersist()
     }
     spark.stop()
   }

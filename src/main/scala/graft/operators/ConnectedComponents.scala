@@ -38,16 +38,27 @@ object ConnectedComponents {
     *        instead of the iterative join loop. Dedup edge lists are
     *        result-sized — usually thousands of pairs even for huge
     *        corpora — and the distributed loop's per-round fixed cost
-    *        (2 checkpoint jobs × O(log d) rounds) dwarfs an 8-byte/edge
-    *        collect at that size. 4M directed rows ≈ 64 MB on the
-    *        driver; the expensive stage (pair GENERATION) is untouched
-    *        and stays fully distributed either way.
+    *        (2 checkpoint jobs × O(log d) rounds) dwarfs a packed-array
+    *        collect at that size. Driver footprint at the 4M default,
+    *        all primitive arrays (no Row/boxing survives the collect):
+    *        16 B/directed edge packed collect (64 MB) + sorted id
+    *        dedup (≤64 MB) + int parent / long comp arrays over ≤8M
+    *        nodes (≤96 MB) + two result broadcasts (≤128 MB) — ≤~350 MB
+    *        transient, comfortable under an 8 GiB driver. The expensive
+    *        stage (pair GENERATION) is untouched and stays fully
+    *        distributed either way. The system property
+    *        `graft.cc.driverFallbackEdges` overrides the threshold
+    *        process-wide (stress harnesses set it to 0 to time the
+    *        distributed loop on graphs the fallback would absorb).
     * @return ("node", "comp") — comp is the min node id reachable;
     *         only nodes appearing in `edges` are labeled (singletons
     *         are their own component by definition and need no pass)
     */
   def minLabelPropagation(edges: DataFrame, maxIter: Int = 20,
       driverFallbackEdges: Long = 4000000L): DataFrame = {
+    val fallbackEdges = sys.props.get("graft.cc.driverFallbackEdges")
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+      .getOrElse(driverFallbackEdges)
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2)
     // Undirect via explode, NOT union(reversed): a union plans the edge
     // subtree twice, and when the edge list is itself an expensive pair
@@ -65,26 +76,64 @@ object ConnectedComponents {
     val directedCount = und.count()
     val longIds = edges.schema.take(2)
       .forall(_.dataType == org.apache.spark.sql.types.LongType)
-    if (longIds && directedCount <= driverFallbackEdges) {
+    if (longIds && directedCount <= fallbackEdges) {
       val spark = edges.sparkSession
       import spark.implicits._
-      val es = und.collect().map(r => (r.getLong(0), r.getLong(1)))
+      // Collect as packed primitive arrays — one Array[Long] per
+      // partition, interleaved (src, dst) — so nothing boxed reaches
+      // the driver: 16 bytes per directed edge, vs ~100+ B/edge for a
+      // collect() of GenericRows.
+      val parts: Array[Array[Long]] = und.as[(Long, Long)].rdd
+        .mapPartitions { it =>
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { case (a, b) => buf += a; buf += b }
+          Iterator.single(buf.result())
+        }.collect()
       und.unpersist()
-      // min-root union-find with iterative path compression — the same
-      // labels the loop below converges to (spec-checked against it)
-      val parent = scala.collection.mutable.HashMap[Long, Long]()
-      def find(x0: Long): Long = {
+      // Index-compress: sorted unique ids, so node index order == id
+      // order and the min-index root IS the min-id root the distributed
+      // loop converges to (spec-checked against it).
+      var total = 0
+      parts.foreach(a => total += a.length)
+      val all = new Array[Long](total)
+      var off = 0
+      parts.foreach { a => System.arraycopy(a, 0, all, off, a.length); off += a.length }
+      java.util.Arrays.sort(all)
+      var n = 0
+      var i = 0
+      while (i < all.length) {
+        if (n == 0 || all(i) != all(n - 1)) { all(n) = all(i); n += 1 }
+        i += 1
+      }
+      val ids = java.util.Arrays.copyOf(all, n)
+      // min-root union-find with path halving over primitive indices
+      val parent = new Array[Int](n)
+      i = 0; while (i < n) { parent(i) = i; i += 1 }
+      def find(x0: Int): Int = {
         var x = x0
-        while (parent.getOrElseUpdate(x, x) != x) x = parent(x)
-        var y = x0
-        while (parent(y) != x) { val p = parent(y); parent(y) = x; y = p }
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
         x
       }
-      es.foreach { case (a, b) =>
-        val ra = find(a); val rb = find(b)
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      parts.foreach { a =>
+        var j = 0
+        while (j < a.length) {
+          val ra = find(java.util.Arrays.binarySearch(ids, a(j)))
+          val rb = find(java.util.Arrays.binarySearch(ids, a(j + 1)))
+          if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+          j += 2
+        }
       }
-      return parent.keys.toSeq.map(k => (k, find(k))).toDF("node", "comp")
+      val comp = new Array[Long](n)
+      i = 0; while (i < n) { comp(i) = ids(find(i)); i += 1 }
+      // Materialize the labels distributed — broadcast the two primitive
+      // arrays and let executors emit rows, rather than building a boxed
+      // Seq[(Long, Long)] of up to 8M tuples on the driver.
+      val sc = spark.sparkContext
+      val idsB = sc.broadcast(ids)
+      val compB = sc.broadcast(comp)
+      return sc.range(0L, n.toLong)
+        .map(k => (idsB.value(k.toInt), compB.value(k.toInt)))
+        .toDF("node", "comp")
     }
 
     // localCheckpoint (eager) after every round: it materializes the

@@ -10,14 +10,15 @@ import org.apache.spark.sql.types._
   * and decoder reuse are explicit.
   *
   * Container-header metadata (PNG/JPEG/GIF dimensions + mime) is REAL
-  * byte parsing (`imageMeta`) — resolution filtering and resize
-  * planning work on actual payloads. Only pixel DECODE is a stub
-  * (`decodeStub`) — media codecs are not available in this
-  * environment — with everything Spark-side real and tested: the
-  * schema contract, partition-batched processing, decoder-per-
-  * partition amortization, and the feature-extraction column flow.
-  * Swap `decodeStub` for a real codec call (JNI/FFmpeg/javax.imageio)
-  * without touching the plumbing.
+  * byte parsing (`imageMeta`), and image pixel DECODE is REAL too:
+  * `decodeImage`/`resizeImage` use the JDK's built-in `javax.imageio`
+  * readers (PNG/JPEG/GIF/BMP ship with every JRE — no external codec
+  * needed). Image feature extraction grid-pools actual luminance
+  * values. Only AUDIO/VIDEO decode remains a deterministic fake
+  * (`decodeStub`/`frameSampleStub`) — the JDK has no mp3/mp4 codec —
+  * and unrecognized image payloads fall back to the same fake, so the
+  * pipeline never throws on corrupt media. Swap the fakes for a real
+  * codec call (JNI/FFmpeg) without touching the plumbing.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * collected; per-partition batches bound memory (`batchSize` rows at a
@@ -103,9 +104,62 @@ object Multimodal {
       .drop("probed")
   }
 
-  /** STUB decoder — deterministic fake: "decodes" payload bytes into a
-    * fixed-width feature vector (byte histogram projected to `dim`).
-    * Real implementation: decode → resize/frame-sample → embed. */
+  /** REAL pixel decode via the JDK's built-in ImageIO readers — PNG,
+    * JPEG, GIF, and BMP decoders ship with every JRE, so this needs no
+    * external codec. Returns null when no reader recognizes the payload
+    * (corrupt/truncated media, or a format the JRE lacks), in which case
+    * callers fall back to the deterministic byte-histogram fake so the
+    * pipeline keeps flowing instead of throwing mid-job. */
+  def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
+    if (payload == null) null
+    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    catch { case _: Throwable => null }
+
+  /** REAL image features from decoded pixels: grid-pooled mean
+    * luminance. The image is divided into a g×g cell grid
+    * (g = ⌊√dim⌋) and each cell averages the Rec.601 luma of its
+    * pixels — a fixed-width, resolution-independent signature suitable
+    * for the downstream similarity/dedup operators. Cells beyond g²
+    * stay 0 so the output is always exactly `dim` wide. */
+  def imageFeatures(img: java.awt.image.BufferedImage, dim: Int): Array[Float] = {
+    val g = math.max(1, math.sqrt(dim.toDouble).toInt)
+    val feat = new Array[Float](dim)
+    val counts = new Array[Int](dim)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(g - 1, y * g / h)
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xFF) * 299 + ((rgb >> 8) & 0xFF) * 587 +
+          (rgb & 0xFF) * 114) / 1000f / 255f
+        val cell = cy * g + math.min(g - 1, x * g / w)
+        feat(cell) += lum
+        counts(cell) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var i = 0
+    while (i < dim) { if (counts(i) > 0) feat(i) /= counts(i); i += 1 }
+    feat
+  }
+
+  /** Decode one media row to features: real pixel decode for images the
+    * JRE can read, deterministic byte-histogram fake otherwise
+    * (audio/video, corrupt payloads). */
+  def decodeFeatures(payload: Array[Byte], modality: String, dim: Int): Array[Float] =
+    if (modality == "image") {
+      val img = decodeImage(payload)
+      if (img != null) imageFeatures(img, dim) else decodeStub(payload, dim)
+    } else decodeStub(payload, dim)
+
+  /** FAKE decoder for payloads without a JDK codec (audio/video, and
+    * the fallback for unreadable images): deterministic byte histogram
+    * projected to `dim`. Real implementation: decode →
+    * resize/frame-sample → embed. */
   def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
     val feat = new Array[Float](dim)
     if (payload == null) return feat
@@ -120,9 +174,27 @@ object Multimodal {
     feat
   }
 
-  /** STUB resize — real impl: decode → scale to (w, h) → re-encode.
-    * Deterministic fake keeps byte length proportional to the target
-    * area so size-based planning downstream stays meaningful. */
+  /** REAL image resize: decode via ImageIO, bilinear-scale to (w, h),
+    * re-encode as PNG (the JDK PNG writer is lossless and always
+    * available). Falls back to the deterministic size-proportional fake
+    * when the payload isn't a readable image. */
+  def resizeImage(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = decodeImage(payload)
+    if (img == null) return resizeStub(payload, w, h)
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gfx = out.createGraphics()
+    gfx.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    gfx.drawImage(img, 0, 0, w, h, null)
+    gfx.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** FAKE resize for non-image payloads — keeps byte length
+    * proportional to the target area so size-based planning downstream
+    * stays meaningful. */
   def resizeStub(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
     if (payload == null) return Array.empty
     val targetLen = math.max(1, math.min(payload.length, (w.toLong * h / 64).toInt))
@@ -166,14 +238,16 @@ object Multimodal {
     import spark.implicits._
     media.select("media_id", "modality", "payload").as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder init happens here (stubbed)
+        // per-partition decoder init happens here (ImageIO readers are
+        // stateless statics; a JNI codec/model handle would be created
+        // once per partition at this point)
         rows.grouped(batchSize).flatMap { batch =>
           batch.map { case (id, modality, payload) =>
             val frames = modality match {
               case "video" => 8 // frame-sampled (stub: fixed count)
               case _       => 1
             }
-            DecodedMedia(id, modality, frames, dim, decodeStub(payload, dim))
+            DecodedMedia(id, modality, frames, dim, decodeFeatures(payload, modality, dim))
           }
         }
       }

@@ -161,7 +161,7 @@ object Dedup {
     * the blocked q28/q82 variants. */
   val AllPairsShingle = 4
 
-  private[queries] def allPairsJaccard(s: SparkSession, dir: String, threshold: Double): DataFrame =
+  private[graft] def allPairsJaccard(s: SparkSession, dir: String, threshold: Double): DataFrame =
     allPairsJaccardOn(docShingled(s, dir, AllPairsShingle).select(col("doc_id"), col("shh")), threshold)
 
   /** Core of [[allPairsJaccard]] over any (doc_id, shh) frame —

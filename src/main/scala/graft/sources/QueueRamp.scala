@@ -39,8 +39,12 @@ object QueueRamp {
     * queue was created by this call (≙ the mixin's create_queue
     * branch), false when it already existed. */
   def ensureQueue(name: String): Boolean = {
-    val created = !queues.containsKey(name)
-    q(name)
+    // the created flag is derived INSIDE the atomic computeIfAbsent —
+    // a check-then-act (containsKey, then create) would let two
+    // concurrent bootstrappers both observe "absent" and both report
+    // created=true, breaking the mixin's create/found distinction
+    var created = false
+    queues.computeIfAbsent(name, { _ => created = true; new Q })
     created
   }
 

@@ -36,6 +36,17 @@ object PipelineStats {
       successCount: Long = 0, errorCount: Long = 0,
       timeoutCount: Long = 0, processedCount: Long = 0)
 
+  /** One captured failure for the per-query drill-down — the
+    * reference's failed-message record (timestamp + error + traceback,
+    * `motorway/controller.py:216-225`), rendered at `/detail/<query>/`. */
+  final case class FailureRecord(
+      timestampMs: Long, messageId: String, error: String, traceback: String)
+
+  /** Failure log cap per query (the reference keeps a bounded
+    * failed-message dict; unbounded growth on a crash-looping stream
+    * would leak driver memory). */
+  val MaxFailures = 100
+
   /** Per-query rolling stats (≙ per-process stats group).
     *
     * `sourceLag` is the per-input-partition behind-the-head gauge —
@@ -56,7 +67,8 @@ object PipelineStats {
       peakWaiting: Long = 0,
       sourceLag: Map[String, Long] = Map.empty,
       batchDurationsMs: Vector[Long] = Vector.empty,
-      histogram: Map[Int, MinuteBucket] = Map.empty) {
+      histogram: Map[Int, MinuteBucket] = Map.empty,
+      failures: Vector[FailureRecord] = Vector.empty) {
     def avgTimeTakenMs: Double =
       if (batchDurationsMs.isEmpty) 0.0
       else batchDurationsMs.sum.toDouble / batchDurationsMs.size
@@ -142,11 +154,42 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
         peakWaiting = math.max(s.peakWaiting, waiting),
         sourceLag = if (lags.nonEmpty) lags else s.sourceLag,
         batchDurationsMs = (s.batchDurationsMs :+ durMs).takeRight(3600),
+        // zero the UPCOMING minute's bucket (reference controller.py:187)
+        // so a stream running past the 60-minute wrap never sums counts
+        // from the previous hour into the 3-minute lookback
         histogram = s.histogram.updated(minute, bucket.copy(
           successCount = bucket.successCount + rows,
-          processedCount = bucket.processedCount + rows))))
+          processedCount = bucket.processedCount + rows))
+          .updated((minute + 1) % 60, MinuteBucket())))
     }
   }
+
+  /** Per-message failure capture — the reference's failed-message
+    * drill-down data (`motorway/controller.py:216-225`): dead letters
+    * recorded here surface at `/detail/<query>/` with timestamp, error,
+    * and traceback. Wire a pipeline's dead-letter stream to this via
+    * [[deadLetterBatchHook]] or call directly from a sink. */
+  def recordDeadLetter(query: String, dl: graft.pipeline.DeadLetter,
+      timestampMs: Long = System.currentTimeMillis()): Unit =
+    stats.updateWith(query) { prev =>
+      val s = prev.getOrElse(QueryStats(query))
+      Some(s.copy(
+        failed = s.failed + 1,
+        failures = (s.failures :+ FailureRecord(timestampMs, dl.id, dl.errorMessage, dl.stackTrace))
+          .takeRight(MaxFailures)))
+    }
+
+  /** foreachBatch adapter for [[graft.pipeline.Pipeline.DeadLetterStream]]
+    * (plugs straight into `StreamSink.ForeachBatch`): records each
+    * batch's dead letters (driver-side take is bounded by the
+    * failure-log cap — dead letters are exceptional by contract). */
+  def deadLetterBatchHook(query: String): (org.apache.spark.sql.DataFrame, Long) => Unit =
+    (df, _) => df.take(MaxFailures).foreach { r =>
+      recordDeadLetter(query, graft.pipeline.DeadLetter(
+        r.getAs[String]("id"), r.getAs[String]("contentJson"),
+        r.getAs[String]("errorMessage"), r.getAs[String]("stackTrace"),
+        r.getAs[String]("operator")))
+    }
 
   override def onQueryTerminated(e: QueryTerminatedEvent): Unit = {
     e.exception.foreach { err =>
@@ -155,6 +198,10 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
         val s = prev.getOrElse(QueryStats(e.id.toString))
         val bucket = s.histogram.getOrElse(minute, MinuteBucket())
         Some(s.copy(failed = s.failed + 1,
+          failures = (s.failures :+ FailureRecord(
+            System.currentTimeMillis(), e.id.toString,
+            err.linesIterator.nextOption().getOrElse("query terminated"), err))
+            .takeRight(MaxFailures),
           histogram = s.histogram.updated(minute,
             bucket.copy(errorCount = bucket.errorCount + 1))))
       }

@@ -32,6 +32,23 @@ final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
     }
   })
 
+  server.createContext("/detail/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val name = java.net.URLDecoder.decode(
+        ex.getRequestURI.getPath.stripPrefix("/detail/").stripSuffix("/"), "UTF-8")
+      listener.snapshot.get(name) match {
+        case None =>
+          ex.sendResponseHeaders(404, -1); ex.close()
+        case Some(s) =>
+          val body = StatsServer.detailHtml(s).getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "text/html; charset=utf-8")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+      }
+    }
+  })
+
   server.createContext("/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       // the bare createContext("/") also catches unknown paths; keep
@@ -72,7 +89,8 @@ object StatsServer {
       val waiting = members.map(_.waiting).sum
       val processed = members.map(_.processed).sum
       val rows = members.sortBy(_.name).map { s =>
-        f"""<tr><td>${esc(s.name)}</td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
+        val href = java.net.URLEncoder.encode(s.name, "UTF-8")
+        f"""<tr><td><a href="/detail/$href/">${esc(s.name)}</a></td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
           f"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
           f"""<td>${s.avgTimeTakenMs}%.1f</td><td>${s.p95TimeTakenMs}%.1f</td></tr>"""
       }.mkString("\n")
@@ -93,5 +111,52 @@ object StatsServer {
        |</style></head><body><h1>Pipeline status</h1>
        |${if (groups.isEmpty) "<p>No queries running.</p>" else sections}
        |<p><a href="/api/status/">raw JSON</a></p></body></html>""".stripMargin
+  }
+
+  /** Per-query drill-down — parity with the reference's
+    * `/detail/<process>/` page (`motorway/webserver.py:53-64,87-104`):
+    * a live progress probe (current status, counts, per-source backlog,
+    * latency) plus the failed-message log with timestamp, error, and
+    * full traceback (`controller.py:216-225` failed-message capture;
+    * dead letters carry the traceback, `Message.scala`). */
+  private[streaming] def detailHtml(s: PipelineStats.QueryStats): String = {
+    def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    val nowMinute = PipelineStatsListener.wallClockMinute() % 60
+    val lagRows = s.sourceLag.toSeq.sortBy(_._1).map { case (src, l) =>
+      s"<tr><td>${esc(src)}</td><td>$l</td></tr>"
+    }.mkString("\n")
+    val lastBatch = s.batchDurationsMs.lastOption.getOrElse(0L)
+    val failureRows = s.failures.reverse.map { f =>
+      val ts = java.time.Instant.ofEpochMilli(f.timestampMs).toString
+      s"""<tr><td>$ts</td><td>${esc(f.messageId)}</td><td>${esc(f.error)}</td></tr>
+         |<tr><td colspan="3"><pre>${esc(f.traceback)}</pre></td></tr>""".stripMargin
+    }.mkString("\n")
+    s"""<!doctype html><html><head><meta charset="utf-8">
+       |<meta http-equiv="refresh" content="5">
+       |<title>${esc(s.name)} — detail</title>
+       |<style>
+       |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
+       |td,th{border:1px solid #ccc;padding:4px 10px;text-align:left;vertical-align:top}
+       |pre{margin:0;white-space:pre-wrap;color:#900}
+       |.st-available{color:#2a7}.st-busy{color:#b80}
+       |.st-overloaded{color:#d40}.st-failing{color:#c00}
+       |</style></head><body>
+       |<h1>${esc(s.name)} <span class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</span></h1>
+       |<h2>Currently processing</h2>
+       |<table>
+       |<tr><th>processed</th><td>${s.processed}</td></tr>
+       |<tr><th>success</th><td>${s.success}</td></tr>
+       |<tr><th>failed</th><td>${s.failed}</td></tr>
+       |<tr><th>waiting</th><td>${s.waiting}</td></tr>
+       |<tr><th>peak waiting</th><td>${s.peakWaiting}</td></tr>
+       |<tr><th>last batch ms</th><td>$lastBatch</td></tr>
+       |<tr><th>avg ms</th><td>${f"${s.avgTimeTakenMs}%.1f"}</td></tr>
+       |<tr><th>p95 ms</th><td>${f"${s.p95TimeTakenMs}%.1f"}</td></tr>
+       |</table>
+       |${if (lagRows.nonEmpty) s"<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>$lagRows</table>" else ""}
+       |<h2>Failed messages (${s.failures.size})</h2>
+       |${if (failureRows.isEmpty) "<p>None.</p>"
+          else s"<table><tr><th>timestamp</th><th>message id</th><th>error</th></tr>$failureRows</table>"}
+       |<p><a href="/">back to dashboard</a></p></body></html>""".stripMargin
   }
 }

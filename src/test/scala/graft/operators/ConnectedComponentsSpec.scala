@@ -41,6 +41,44 @@ class ConnectedComponentsSpec extends SparkSpecBase {
     assert(comps == Map(3L -> 3L, 5L -> 3L, 9L -> 3L))
   }
 
+  test("cutover boundary: driver path at threshold == directed count, distributed just below") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L), (22L, 20L))
+    val df = edges.toDF("src", "dst")
+    val directed = edges.size * 2L // explode emits both directions
+    def run(threshold: Long): Map[Long, Long] =
+      ConnectedComponents.minLabelPropagation(df, driverFallbackEdges = threshold)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L)
+    assert(run(directed) == expected)     // == threshold: driver union-find
+    assert(run(directed - 1) == expected) // just over: distributed loop
+  }
+
+  test("graft.cc.driverFallbackEdges system property overrides the threshold") {
+    import spark.implicits._
+    val df = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    sys.props("graft.cc.driverFallbackEdges") = "0"
+    try {
+      // threshold argument says driver path, but the property forces the
+      // distributed loop. Proof the loop actually ran: with maxIter=0 the
+      // distributed path stops at the SEED labels (comp = min(node, min
+      // neighbor)), which for the 1-2-3 chain leaves node 3 at 2 — the
+      // driver union-find ignores maxIter and would return 1.
+      val seeded = ConnectedComponents.minLabelPropagation(
+          df, maxIter = 0, driverFallbackEdges = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(seeded == Map(1L -> 1L, 2L -> 1L, 3L -> 2L),
+        "expected seed-only labels: the distributed path was not taken")
+      // and with the default maxIter it converges to the true components
+      val comps = ConnectedComponents.minLabelPropagation(df, driverFallbackEdges = Long.MaxValue)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(comps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    } finally sys.props.remove("graft.cc.driverFallbackEdges")
+  }
+
   test("random graphs match a union-find reference") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -71,6 +71,56 @@ class MultimodalSpec extends SparkSpecBase {
     assert(sims.nonEmpty && sims.forall(c => c >= -1.0001 && c <= 1.0001))
   }
 
+  // ---- REAL pixel decode (JDK javax.imageio — no external codec) ----
+
+  private def realPng(w: Int, h: Int)(pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixel(x, y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real PNG decodes to actual pixel values through the batched path") {
+    // 8x8: left half black, right half white — the 4x4 luminance grid
+    // must show ~0 in its left two columns and ~1 in its right two
+    val png = realPng(8, 8)((x, _) => if (x < 4) 0x000000 else 0xFFFFFF)
+    val rows = Seq(Row(1L, "image", "image/png", png, Row(null, null, null, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val feats = Multimodal.extractFeatures(df, dim = 16, batchSize = 4).collect()
+    assert(feats.length == 1)
+    val f = feats.head.features
+    for (r <- 0 until 4) {
+      assert(f(r * 4) < 0.01f && f(r * 4 + 1) < 0.01f, s"row $r left cells should be black: ${f.toSeq}")
+      assert(f(r * 4 + 2) > 0.99f && f(r * 4 + 3) > 0.99f, s"row $r right cells should be white: ${f.toSeq}")
+    }
+    assert(feats.head.featureDim == 16)
+    // decodeImage reports the true pixel dimensions
+    val img = Multimodal.decodeImage(png)
+    assert(img.getWidth == 8 && img.getHeight == 8)
+    // and a JPEG re-encode of the same image decodes too (JDK JPEG reader)
+    val jbaos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", jbaos)
+    assert(Multimodal.decodeImage(jbaos.toByteArray) != null)
+  }
+
+  test("real resize re-encodes to target dimensions; junk falls back to the fake") {
+    val png = realPng(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xFF0000 else 0x00FF00)
+    val resized = Multimodal.resizeImage(png, 4, 4)
+    val img = Multimodal.decodeImage(resized)
+    assert(img != null && img.getWidth == 4 && img.getHeight == 4)
+    assert(Multimodal.imageMeta(resized) == Multimodal.ImageMeta("image/png", 4, 4))
+    val junk = Array.tabulate[Byte](100)(_.toByte)
+    assert(Multimodal.resizeImage(junk, 4, 4).sameElements(Multimodal.resizeStub(junk, 4, 4)))
+  }
+
+  test("unreadable image payloads fall back to the deterministic histogram") {
+    val junk = Array.tabulate[Byte](64)(i => (i * 7).toByte)
+    assert(Multimodal.decodeImage(junk) == null)
+    assert(Multimodal.decodeFeatures(junk, "image", 16)
+      .sameElements(Multimodal.decodeStub(junk, 16)))
+  }
+
   // ---- REAL header parsing (no codec involved) ----
 
   private def pngBytes(w: Int, h: Int): Array[Byte] = {

@@ -61,4 +61,53 @@ class StatsServerSpec extends SparkSpecBase {
       spark.streams.removeListener(listener)
     }
   }
+
+  test("detail page renders a dead-lettered message's error and traceback") {
+    import graft.pipeline.Intersection
+    val listener = new PipelineStatsListener(() => 15)
+    spark.streams.addListener(listener)
+    val server = new StatsServer(listener)
+    try {
+      val poison = Intersection[String, String]("PoisonOp") { m =>
+        if (m.content.contains("BOOM")) throw new IllegalStateException("poisoned payload")
+        Iterator.single(m)
+      }
+      val input = MemoryStream[Message[String]](spark, 3)
+      val run = Pipeline(spark)
+        .addRamp("in", input.toDS())
+        .addIntersection("in", "out", poison)
+        .withDeadLetterStream()
+        .addSink("out", StreamSink.Memory(), "detail_probe")
+        .addSink(Pipeline.DeadLetterStream,
+          StreamSink.ForeachBatch(listener.deadLetterBatchHook("detail_probe")),
+          "detail_probe_dl")
+        .run()
+      input.addData(Seq(Message("1", "fine"), Message("2", "BOOM here")))
+      run.processAllAvailable()
+      run.stop()
+
+      def get(path: String): (Int, String) = {
+        val url = new java.net.URI(s"http://127.0.0.1:${server.boundPort}$path").toURL
+        val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        val code = conn.getResponseCode
+        val body = if (code == 200) new String(conn.getInputStream.readAllBytes(), "UTF-8") else ""
+        (code, body)
+      }
+      val (code, html) = get("/detail/detail_probe/")
+      assert(code == 200)
+      assert(html.contains("<h1>detail_probe"), "query header missing")
+      assert(html.contains("Currently processing"), "progress probe missing")
+      assert(html.contains("poisoned payload"), "dead letter error missing")
+      assert(html.contains("IllegalStateException"), "traceback missing")
+      assert(html.contains("st-failing"), "failing status not surfaced")
+      // dashboard rows link to the detail page
+      val (_, dash) = get("/")
+      assert(dash.contains("""href="/detail/detail_probe/""""), "dashboard detail link missing")
+      // unknown query 404s
+      assert(get("/detail/nope/")._1 == 404)
+    } finally {
+      server.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
 }

@@ -92,6 +92,11 @@ object Bench {
 
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).sum
+    // total with each outlier's time replaced by its best observed run —
+    // the environment-independent number when t2 << t1 (one-off stall)
+    val totalAdj = results.map { case (k, (dt, _, _)) =>
+      rerun.get(k).filter(_ >= 0).map(math.min(dt, _)).getOrElse(dt)
+    }.sum
     val gcSec = results.map(_._2._2).sum / 1000.0
     val env = s""""env":{"driver_mem":"${sys.env.getOrElse("SPARK_DRIVER_MEM", "default")}"""" +
       s""","cpus":"$cpus","procs":${rt.availableProcessors()}""" +
@@ -109,13 +114,13 @@ object Bench {
       "\"" + k + "\":{\"t\":" + f3(dt) + ",\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
     }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","n_queries":${results.size},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$full}"""
+      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$full}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val qs = results.map { case (k, (dt, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$qs}""")
     System.out.flush()
     Thread.sleep(200) // let stdout drain before shutdown log noise
     spark.stop()

@@ -380,40 +380,39 @@ object Similarity {
   }
 
   private[graft] def pqTop5(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.expr.PqExpressions.{pqAdc, pqDistTable, pqEncode}
     import s.implicits._
     val M = 8; val SubDim = 8; val K = 16; val TopCand = 256
     val c = corpus(s, dir)
     val sample = c.orderBy("vec_id").limit(2000).collect()
       .map(_.getSeq[Double](1).toArray)
-    val codebooks = (0 until M).flatMap { seg =>
+    // flat [seg][code][dim] codebook + per-codeword squared norms —
+    // a few KB, shipped into codegen as reference objects
+    val cbFlat = new Array[Double](M * K * SubDim)
+    val cbNorms = new Array[Double](M * K)
+    (0 until M).foreach { seg =>
       val sub = sample.map(v => v.slice(seg * SubDim, (seg + 1) * SubDim))
-      lloydL2(sub, K, iters = 8).zipWithIndex.map { case (cw, k) =>
-        (seg, k, cw, cw.map(x => x * x).sum)
+      lloydL2(sub, K, iters = 8).zipWithIndex.foreach { case (cw, k) =>
+        System.arraycopy(cw, 0, cbFlat, (seg * K + k) * SubDim, SubDim)
+        cbNorms(seg * K + k) = cw.map(x => x * x).sum
       }
     }
-    val cb = codebooks.toDF("seg", "code", "cw", "cw_n2")
-    def segments(v: Column): Column =
-      array((0 until M).map(m => slice(v, m * SubDim + 1, SubDim)): _*)
-    // encode: nearest codeword per (vector, segment). argmin L2 =
-    // argmax 2·dot − |cw|² (the |sub|² term is constant per group);
-    // max_by keeps it a partial-aggregable argmax, ties to smaller code
-    val codes = c.select(col("vec_id"), posexplode(segments(col("v"))).as(Seq("seg", "sub")))
-      .join(broadcast(cb), Seq("seg"))
-      .select(col("vec_id"), col("seg"), col("code"),
-        (lit(2.0) * dot(col("sub"), col("cw")) - col("cw_n2")).as("sc"))
-      .groupBy("vec_id", "seg")
-      .agg(max_by(col("code"), struct(col("sc"), (-col("code")).as("tb"))).as("code"))
-    // per-query distance tables: M×K partial distances (constant |qsub|²
-    // omitted — it shifts every candidate's total equally)
+    // encode: all M nearest-codeword argmins in ONE codegen call per
+    // vector (argmin L2 = argmax 2·dot − |cw|², ties to smaller code) —
+    // map-only, no Generate/shuffle; the old posexplode→broadcast-join→
+    // max_by dataflow built an M·K-row intermediate per vector
+    val codes = c.select(col("vec_id"),
+      pqEncode(col("v"), cbFlat, cbNorms, M, K, SubDim).as("codes"))
+    // per-query ADC tables: M×K partial distances in one call per query
+    // (constant |qsub|² omitted — it shifts every candidate equally)
     val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val dt = q.select(col("qid"), posexplode(segments(col("qv"))).as(Seq("seg", "qsub")))
-      .join(broadcast(cb), Seq("seg"))
-      .select(col("qid"), col("seg"), col("code"),
-        (col("cw_n2") - lit(2.0) * dot(col("qsub"), col("cw"))).as("pd"))
-    val adc = codes.join(broadcast(dt), Seq("seg", "code"))
+    val dts = q.select(col("qid"),
+      pqDistTable(col("qv"), cbFlat, cbNorms, M, K, SubDim).as("dt"))
+    // ADC scoring: corpus codes × broadcast 10-query tables, one M-add
+    // table-lookup kernel per (vector, query) — no shuffle until top-k
+    val adc = codes.crossJoin(broadcast(dts))
       .where(col("vec_id") =!= col("qid"))
-      .groupBy(col("qid"), col("vec_id"))
-      .agg(sum(col("pd")).as("adc"))
+      .select(col("qid"), col("vec_id"), pqAdc(col("codes"), col("dt"), K).as("adc"))
     val wCand = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
     val cand = adc.withColumn("ck", row_number().over(wCand))
       .where(col("ck") <= TopCand)

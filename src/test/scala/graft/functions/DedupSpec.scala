@@ -95,6 +95,50 @@ class DedupSpec extends SparkSpecBase {
     assert(found.contains((1L, 2L)))
   }
 
+  test("PPJoin property: 200 random corpora × random thresholds ≡ brute force") {
+    // The positional-filter bound (Dedup.allPairsJaccardOn candidate
+    // pruning) is the engine's most safety-critical pruning: a
+    // too-tight bound silently drops TRUE pairs at exactly one
+    // threshold/size combination. ScalaCheck corpora are tiny sets over
+    // a small universe (forcing collisions, ties, and boundary ceil
+    // arithmetic at many (|A|, |B|, rk, t) combinations); the brute
+    // force is computed driver-side from set definitions — an
+    // implementation independent of every Spark kernel under test.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      nDocs <- Gen.chooseNum(3, 8)
+      uni <- Gen.chooseNum(4, 12)
+      t <- Gen.choose(0.05, 0.95)
+      docs <- Gen.listOfN(nDocs,
+        Gen.nonEmptyListOf(Gen.chooseNum(1L, uni.toLong)).map(_.distinct.sorted.toArray))
+    } yield (docs, t)
+    var checked = 0
+    (0 until 210).foreach { i =>
+      genCase.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { case (docs, t) =>
+        val df = docs.zipWithIndex.map { case (sh, id) => (id.toLong, sh.toSeq) }
+          .toDF("doc_id", "shh")
+        val got = graft.queries.Dedup.allPairsJaccardOn(df, t).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val sets = docs.map(_.toSet)
+        val brute = (for {
+          a <- docs.indices
+          b <- docs.indices if a < b
+          inter = sets(a).intersect(sets(b)).size
+          j = inter.toDouble / (sets(a).size + sets(b).size - inter).toDouble
+          if j >= t
+        } yield ((a.toLong, b.toLong), j)).toMap
+        assert(got == brute,
+          s"case $i (t=$t): got=$got brute=$brute docs=${docs.map(_.toSeq).toSeq}")
+        checked += 1
+        if (i % 25 == 24) spark.catalog.clearCache() // drop per-case persists
+      }
+    }
+    assert(checked >= 200, s"generator produced only $checked cases")
+    spark.catalog.clearCache()
+  }
+
   test("q29 minhash query finds a planted near-duplicate") {
     import spark.implicits._
     val docs = Seq(

@@ -93,6 +93,32 @@ class PlanShapeSpec extends SparkSpecBase {
       s"unpartitioned window over unbounded input in: ${offenders.mkString(", ")}")
   }
 
+  // q102's encode/ADC stages are codegen kernels (PqEncode/PqAdc): the
+  // corpus side must stay map-only — no Generate (the old posexplode
+  // dataflow built an M·K-row intermediate per vector) and no
+  // aggregation between the scan and the candidate window.
+  test("q102_ann_pq plans no Generate (PQ kernel, not explode dataflow)") {
+    val plan = executed("q102_ann_pq")
+    assert(!plan.contains("Generate"), s"q102 plans a Generate:\n$plan")
+  }
+
+  // q80 references the tokenize+groupBy counts subtree three times (both
+  // sides of the head self-join plus the corpus total); its single-scan
+  // execution depends on ReuseExchange canonicalization firing. If a
+  // refactor ever breaks canonical equality, the corpus gets tokenized
+  // and aggregated up to 3x — this gate catches that silently-correct
+  // regression.
+  test("q80_zipf executes with a reused exchange (counts computed once)") {
+    val df = SparkEntry.queries("q80_zipf")(spark, sfDir)
+    // execute THIS QueryExecution (count() would plan a separate one and
+    // leave df's adaptive plan un-finalized) so AQE's runtime stage
+    // reuse is visible in the final plan
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("reuses"),
+      s"q80 executed plan shows no exchange reuse:\n$plan")
+  }
+
   // Merely PLANNING q33 must launch no Spark job: its corpus-size guard
   // is a broadcast-scalar assert_true inside the plan, not an eager
   // count() at build time.

@@ -80,13 +80,16 @@ object Bench {
     }
     val results = selected.map { case (name, fn) => name -> runOnce(fn) }
 
-    // Outlier re-run: any query >3x the suite median runs a second time
-    // (timed) — if t2 ~= median-scale, the first number was environmental
+    // Outlier re-run: any query slower than 3x the suite median (with a
+    // 2.5 s floor — the suite median is ~0.5 s of scheduling overhead,
+    // and sub-3 s queries aren't the anomaly class) runs a second time,
+    // timed — if t2 ~= median-scale, the first number was environmental
     // (cold cache, concurrent load, GC debt), not a plan property.
     val times = results.map(_._2._1).sorted
     val median = if (times.isEmpty) 0.0 else times(times.length / 2)
+    val outlierCut = math.max(3 * median, 2.5)
     val rerun: Map[String, Double] = results.collect {
-      case (name, (dt, _, _)) if median > 0 && dt > 3 * median =>
+      case (name, (dt, _, _)) if median > 0 && dt > outlierCut =>
         name -> selected.collectFirst { case (`name`, fn) => runOnce(fn)._1 }.getOrElse(-1.0)
     }.toMap
 

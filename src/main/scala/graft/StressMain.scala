@@ -69,7 +69,12 @@ object StressMain {
     "q104_shard_pack",
     // round 4: cell-bounded semantic dedup, source provenance,
     // two-level prefix-sum token mixing
-    "q107_semdedup", "q108_source_dup_matrix", "q109_token_budget_mix")
+    "q107_semdedup", "q108_source_dup_matrix", "q109_token_budget_mix",
+    // round 6: trained ANN indexes (k-means IVF, PQ codegen kernels) and
+    // the tokenizer-adjacent batch (two-level prefix-sum packing, DSIR,
+    // vocab/OOV, CDC chunking)
+    "q37b_ann_ivf_kmeans", "q102_ann_pq", "q110_sequence_pack",
+    "q111_dsir_weights", "q112_vocab_oov", "q113_cdc_chunks")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -87,6 +92,37 @@ object StressMain {
       val t0 = System.nanoTime()
       gen(spark, "/root/testdata/sf0.1")
       println(f"[stress] generated 10x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    if (mode == "ccmem") {
+      // Measure the driver union-find fallback footprint at a chosen
+      // edge count (default: the 1M directed-edge cutover; 4M measured
+      // ~1.4 GB whole-JVM peak, which is what sized the default DOWN
+      // from 4M). Node ids spread over ~2x the edge count — the
+      // array-width worst case. Peak heap is read from the JVM memory
+      // pools (reset before the run). NOTE: local mode shares one JVM,
+      // so the peak includes executor-side persists, an upper bound on
+      // the driver-only footprint.
+      import java.lang.management.ManagementFactory
+      import scala.jdk.CollectionConverters._
+      val undirectedEdges = args.lift(1).map(_.toLong).getOrElse(500000L)
+      val edges = spark.range(0L, undirectedEdges)
+        .select(col("id").as("src"),
+          pmod(col("id") * lit(2654435761L), lit(undirectedEdges * 2 + 37)).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      edges.count() // materialize so generation cost doesn't pollute the peak
+      val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+      System.gc()
+      pools.foreach(_.resetPeakUsage())
+      val base = pools.map(_.getPeakUsage.getUsed).sum / 1048576
+      val t0 = System.nanoTime()
+      val n = graft.operators.ConnectedComponents
+        .minLabelPropagation(edges, driverFallbackEdges = Long.MaxValue).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val peak = pools.map(_.getPeakUsage.getUsed).sum / 1048576
+      println(f"[stress] cc driver fallback at ${undirectedEdges * 2} directed edges: labeled=$n in ${sec}%.1f s, heap base $base MB -> peak $peak MB (delta ${peak - base} MB)")
+      edges.unpersist()
     }
     if (mode == "run" || mode == "all") {
       // untimed warmup (session/codegen init otherwise lands on query 1)

@@ -39,14 +39,21 @@ object ConnectedComponents {
     *        result-sized — usually thousands of pairs even for huge
     *        corpora — and the distributed loop's per-round fixed cost
     *        (2 checkpoint jobs × O(log d) rounds) dwarfs a packed-array
-    *        collect at that size. Driver footprint at the 4M default,
-    *        all primitive arrays (no Row/boxing survives the collect):
-    *        16 B/directed edge packed collect (64 MB) + sorted id
-    *        dedup (≤64 MB) + int parent / long comp arrays over ≤8M
-    *        nodes (≤96 MB) + two result broadcasts (≤128 MB) — ≤~350 MB
-    *        transient, comfortable under an 8 GiB driver. The expensive
-    *        stage (pair GENERATION) is untouched and stays fully
-    *        distributed either way. The system property
+    *        collect at that size. Dedup edge lists are result-sized —
+    *        usually thousands of pairs even for huge corpora — so 1M
+    *        covers every realistic case with a wide margin. Driver
+    *        footprint at the 1M default, all primitive arrays (no
+    *        Row/boxing survives the collect): 16 B/directed edge packed
+    *        collect + sorted id dedup + int parent / long comp arrays +
+    *        two result broadcasts — ~50 MB live. Measured
+    *        (`StressMain ccmem`, whole-local-JVM peak incl. the edge
+    *        persist and executor churn — an upper bound on the
+    *        driver-only share): ~330 MB at the 1M default over 750k
+    *        nodes, ~1.2 GB at 4M over 3M nodes — which is why the
+    *        default is 1M, not 4M; above it the distributed loop's
+    *        per-round cost amortizes anyway. The
+    *        expensive stage (pair GENERATION) is untouched and stays
+    *        fully distributed either way. The system property
     *        `graft.cc.driverFallbackEdges` overrides the threshold
     *        process-wide (stress harnesses set it to 0 to time the
     *        distributed loop on graphs the fallback would absorb).
@@ -55,7 +62,7 @@ object ConnectedComponents {
     *         are their own component by definition and need no pass)
     */
   def minLabelPropagation(edges: DataFrame, maxIter: Int = 20,
-      driverFallbackEdges: Long = 4000000L): DataFrame = {
+      driverFallbackEdges: Long = 1000000L): DataFrame = {
     val fallbackEdges = sys.props.get("graft.cc.driverFallbackEdges")
       .flatMap(s => scala.util.Try(s.toLong).toOption)
       .getOrElse(driverFallbackEdges)
@@ -81,12 +88,15 @@ object ConnectedComponents {
       import spark.implicits._
       // Collect as packed primitive arrays — one Array[Long] per
       // partition, interleaved (src, dst) — so nothing boxed reaches
-      // the driver: 16 bytes per directed edge, vs ~100+ B/edge for a
-      // collect() of GenericRows.
-      val parts: Array[Array[Long]] = und.as[(Long, Long)].rdd
+      // the driver (16 bytes per directed edge, vs ~100+ B/edge for a
+      // collect() of GenericRows) and nothing boxed is even allocated
+      // executor-side: reading the longs straight off the InternalRow
+      // skips the per-row Tuple2 an `as[(Long, Long)]` deserializer
+      // would churn through.
+      val parts: Array[Array[Long]] = und.queryExecution.toRdd
         .mapPartitions { it =>
           val buf = new scala.collection.mutable.ArrayBuilder.ofLong
-          it.foreach { case (a, b) => buf += a; buf += b }
+          it.foreach { row => buf += row.getLong(0); buf += row.getLong(1) }
           Iterator.single(buf.result())
         }.collect()
       und.unpersist()

@@ -32,6 +32,23 @@ final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
     }
   })
 
+  server.createContext("/api/detail/", new HttpHandler {
+    override def handle(ex: HttpExchange): Unit = {
+      val name = java.net.URLDecoder.decode(
+        ex.getRequestURI.getPath.stripPrefix("/api/detail/").stripSuffix("/"), "UTF-8")
+      listener.snapshot.get(name) match {
+        case None =>
+          ex.sendResponseHeaders(404, -1); ex.close()
+        case Some(s) =>
+          val body = StatsServer.detailJson(s).getBytes("UTF-8")
+          ex.getResponseHeaders.add("Content-Type", "application/json")
+          ex.sendResponseHeaders(200, body.length.toLong)
+          val os = ex.getResponseBody
+          try os.write(body) finally os.close()
+      }
+    }
+  })
+
   server.createContext("/detail/", new HttpHandler {
     override def handle(ex: HttpExchange): Unit = {
       val name = java.net.URLDecoder.decode(
@@ -111,6 +128,28 @@ object StatsServer {
        |</style></head><body><h1>Pipeline status</h1>
        |${if (groups.isEmpty) "<p>No queries running.</p>" else sections}
        |<p><a href="/api/status/">raw JSON</a></p></body></html>""".stripMargin
+  }
+
+  /** JSON twin of [[detailHtml]] — the reference's detail endpoint
+    * serves JSON to its bundled UI (`motorway/webserver.py:53-64`);
+    * same fields here for programmatic consumers. */
+  private[streaming] def detailJson(s: PipelineStats.QueryStats): String = {
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    val nowMinute = PipelineStatsListener.wallClockMinute() % 60
+    val lag = s.sourceLag.toSeq.sortBy(_._1)
+      .map { case (src, l) => s""""${esc(src)}":$l""" }.mkString("{", ",", "}")
+    val failures = s.failures.reverse.map { f =>
+      s"""{"timestamp":"${java.time.Instant.ofEpochMilli(f.timestampMs)}"""" +
+        s""","message_id":"${esc(f.messageId)}","error":"${esc(f.error)}"""" +
+        s""","traceback":"${esc(f.traceback)}"}"""
+    }.mkString("[", ",", "]")
+    s"""{"name":"${esc(s.name)}","status":"${s.state(nowMinute)}"""" +
+      s""","processed":${s.processed},"success":${s.success},"failed":${s.failed}""" +
+      s""","waiting":${s.waiting},"peak_waiting":${s.peakWaiting},"behind_latest":$lag,""" +
+      f""""avg_time_taken_ms":${s.avgTimeTakenMs}%.1f,"95_percentile_ms":${s.p95TimeTakenMs}%.1f,""" +
+      s""""last_batch_ms":${s.batchDurationsMs.lastOption.getOrElse(0L)}""" +
+      s""","failed_messages":$failures}"""
   }
 
   /** Per-query drill-down — parity with the reference's

@@ -103,8 +103,17 @@ class StatsServerSpec extends SparkSpecBase {
       // dashboard rows link to the detail page
       val (_, dash) = get("/")
       assert(dash.contains("""href="/detail/detail_probe/""""), "dashboard detail link missing")
-      // unknown query 404s
+      // JSON twin carries the same drill-down for programmatic consumers
+      val (jcode, json) = get("/api/detail/detail_probe/")
+      assert(jcode == 200)
+      assert(json.contains("\"name\":\"detail_probe\""))
+      assert(json.contains("\"status\":\"failing\""))
+      assert(json.contains("poisoned payload"))
+      assert(json.contains("IllegalStateException"))
+      assert(json.contains("\"failed_messages\":["))
+      // unknown query 404s on both routes
       assert(get("/detail/nope/")._1 == 404)
+      assert(get("/api/detail/nope/")._1 == 404)
     } finally {
       server.stop()
       spark.streams.removeListener(listener)

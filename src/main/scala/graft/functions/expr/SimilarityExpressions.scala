@@ -1,11 +1,11 @@
 package graft.functions.expr
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM kernels invoked from generated code. Scala objects emit static
@@ -164,6 +164,111 @@ object SimilarityKernels {
   }
 }
 
+/** IVF coarse-quantizer kernels. The dataflow formulation of centroid
+  * assignment — crossJoin(broadcast(centroids)) → per-pair cosine →
+  * max_by groupBy — re-shuffles every corpus vector NList times, each
+  * row carrying the full embedding array, to compute what is a per-row
+  * argmax over driver-resident state (FAISS keeps the coarse quantizer
+  * exactly there). These kernels make assignment and probe selection
+  * map-only: the centroid matrix rides into generated code as a
+  * reference object. Cosine is accumulated in the same interleaved
+  * order as [[SimilarityKernels.cosine]], so the assignment is
+  * bit-identical to the max_by formulation it replaces (which the q37
+  * DuckDB oracle replays value-for-value). */
+object IvfKernels {
+  private def cosineAt(v: ArrayData, cents: Array[Double], base: Int, dim: Int): Double = {
+    val n = math.min(v.numElements(), dim)
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getDouble(i)
+      val y = cents(base + i)
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    dot / math.sqrt(na * nb)
+  }
+
+  /** ids(argmax_ci cosine(v, cents[ci])) — strict `>` with an ascending
+    * scan keeps the smallest index on ties, matching
+    * `max_by(struct(dist, -cent_id))` (ids must be in ascending order). */
+  def nearestCentroid(v: ArrayData, cents: Array[Double], ids: Array[Long], dim: Int): Long = {
+    var best = 0
+    var bestCos = Double.NegativeInfinity
+    var ci = 0
+    while (ci * dim < cents.length) {
+      val cos = cosineAt(v, cents, ci * dim, dim)
+      if (cos > bestCos) { bestCos = cos; best = ci }
+      ci += 1
+    }
+    ids(best)
+  }
+
+  /** The `nprobe` centroid ids nearest to qv, ordered by (cosine DESC,
+    * id ASC) — same order as the row_number window this replaces. */
+  def probeCentroids(qv: ArrayData, cents: Array[Double], ids: Array[Long],
+      dim: Int, nprobe: Int): ArrayData = {
+    val k = ids.length
+    val cos = new Array[Double](k)
+    var ci = 0
+    while (ci < k) { cos(ci) = cosineAt(qv, cents, ci * dim, dim); ci += 1 }
+    val taken = new Array[Boolean](k)
+    val out = new Array[Long](math.min(nprobe, k))
+    var p = 0
+    while (p < out.length) {
+      var best = -1
+      var bestCos = Double.NegativeInfinity
+      ci = 0
+      while (ci < k) {
+        if (!taken(ci) && cos(ci) > bestCos) { bestCos = cos(ci); best = ci }
+        ci += 1
+      }
+      taken(best) = true
+      out(p) = ids(best)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** nearest_centroid(v) → bigint centroid id; centroids are constructor
+  * references (driver-resident quantizer state), not child expressions. */
+case class NearestCentroidId(child: Expression, cents: Array[Double],
+    ids: Array[Long], dim: Int) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_nearest_centroid"
+  override protected def nullSafeEval(v: Any): Any =
+    IvfKernels.nearestCentroid(v.asInstanceOf[ArrayData], cents, ids, dim)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val iRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expr.IvfKernels.nearestCentroid($v, $cRef, $iRef, $dim)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** probe_centroids(qv) → array<bigint> of the nprobe nearest centroid ids. */
+case class ProbeCentroidIds(child: Expression, cents: Array[Double],
+    ids: Array[Long], dim: Int, nprobe: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_probe_centroids"
+  override protected def nullSafeEval(v: Any): Any =
+    IvfKernels.probeCentroids(v.asInstanceOf[ArrayData], cents, ids, dim, nprobe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCents", cents, "double[]")
+    val iRef = ctx.addReferenceObj("ivfIds", ids, "long[]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.expr.IvfKernels.probeCentroids($v, $cRef, $iRef, $dim, $nprobe)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 abstract class BinaryKernelExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
   /** Fully-qualified static call target in [[SimilarityKernels]]. */
@@ -249,4 +354,8 @@ object SimilarityExpressions {
   def jaccardSortedLong(a: Column, b: Column): Column = c(JaccardSortedLong(e(a), e(b)))
   def intersectSortedLong(a: Column, b: Column): Column = c(IntersectSortedLong(e(a), e(b)))
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
+  def nearestCentroidId(v: Column, cents: Array[Double], ids: Array[Long], dim: Int): Column =
+    c(NearestCentroidId(e(v), cents, ids, dim))
+  def probeCentroidIds(qv: Column, cents: Array[Double], ids: Array[Long],
+      dim: Int, nprobe: Int): Column = c(ProbeCentroidIds(e(qv), cents, ids, dim, nprobe))
 }

@@ -167,39 +167,36 @@ object Similarity {
   // -- q37: IVF ANN (inverted-file index, the 100 TB scale path) --------
   // Coarse quantizer: nlist deterministic seed centroids (vectors with
   // the smallest ids — a stand-in for k-means on a sample); every corpus
-  // vector is assigned to its nearest centroid (one broadcast pass);
-  // each query probes the nprobe nearest centroid lists only. Recall vs
-  // brute force asserted in TextAndAnnSpec.
-  val q37 = GraftQuery("q37_ann_ivf", (s, dir) => {
-    val NList = 16; val NProbe = 4
-    val c = corpus(s, dir)
-    val centroids = c.orderBy("vec_id").limit(NList)
-      .select(col("vec_id").as("cent_id"), col("v").as("cent_v"))
-    // assign: argmax via max_by, not a row_number window — all candidate
-    // (vec, centroid) rows for a vector sit in the producing partition,
-    // so partial aggregation collapses them map-side: no sort, and the
-    // exchange carries one row per vector instead of NList rows. Ties
-    // break to the smallest cent_id ((dist, -cent_id) struct order),
-    // matching the window formulation this replaces.
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        cosineSim(col("v"), col("cent_v")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("v")),
-        struct(col("dist"), (-col("cent_id")).as("tb"))).as("m"))
-      .select(col("m.cent_id").as("cent_id"), col("vec_id"), col("m.v").as("v"))
-    // probe lists: nprobe nearest centroids per query
-    val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cent_id"),
-        cosineSim(col("qv"), col("cent_v")).as("qdist"))
-      .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= NProbe)
-      .select(col("qid"), col("qv"), col("cent_id"))
-    // search only the probed lists (join on centroid id = the IVF scan)
+  // vector is assigned to its nearest centroid; each query probes the
+  // nprobe nearest centroid lists only. Recall vs brute force asserted
+  // in TextAndAnnSpec.
+
+  /** Shared IVF search given driver-resident quantizer state (the FAISS
+    * shape: the coarse quantizer lives with the index, not in the data
+    * plane). Assignment and probe selection are map-only codegen kernels
+    * (the centroid matrix rides into generated code as a reference
+    * object), the tiny probe relation broadcasts, and candidates are
+    * scored inside the join projection — so the only corpus-wide
+    * exchange in the whole search is the final per-query top-k window
+    * over narrow (qid, cid, cos) rows. The earlier dataflow formulation
+    * (crossJoin(centroids) → max_by groupBy) re-shuffled every vector
+    * NList times with the embedding array on every row: 6.5× slower at
+    * 10× sf0.1. `cents` must be sorted by id ascending (kernel ties
+    * break to the earliest entry = smallest id, matching the max_by /
+    * row_number tie-break the oracle replays). */
+  private def ivfSearch(c: DataFrame, cents: Array[(Long, Array[Double])],
+      nprobe: Int): DataFrame = {
+    import graft.functions.expr.SimilarityExpressions.{nearestCentroidId, probeCentroidIds}
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
+    val dim = cents.head._2.length
+    val assigned = c.select(col("vec_id"), col("v"),
+      nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"))
+    val probes = c.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        explode(probeCentroidIds(col("v"), flat, ids, dim, nprobe)).as("cent_id"))
     val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    probes.join(assigned, Seq("cent_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         cosineSim(col("qv"), col("v")).as("cos"))
@@ -207,6 +204,17 @@ object Similarity {
       .where(col("rk") <= 5)
       .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
       .orderBy("qid", "rk")
+  }
+
+  val q37 = GraftQuery("q37_ann_ivf", (s, dir) => {
+    val NList = 16; val NProbe = 4
+    val c = corpus(s, dir)
+    // Quantizer bootstrap: NList rows to the driver (bounded by the
+    // index parameter, never the corpus — the same driver-sized state
+    // k-means training already holds for q37b).
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    ivfSearch(c, cents, NProbe)
   }, Some(
     // The whole IVF construction is deterministic (seed centroids,
     // argmax assignment with id tie-break, fixed probe count), so the
@@ -287,37 +295,10 @@ object Similarity {
   }
 
   private[graft] def ivfKmeansTop5(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
     val NList = 16; val NProbe = 4
     val c = corpus(s, dir)
     val trained = kmeansCentroids(c, NList, iters = 8, sampleN = 2000)
-    val centroids = trained.zipWithIndex
-      .map { case (v, i) => (i.toLong, v) }.toSeq
-      .toDF("cent_id", "cent_v")
-    val assigned = c.crossJoin(broadcast(centroids))
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        cosineSim(col("v"), col("cent_v")).as("dist"))
-      .groupBy(col("vec_id"))
-      .agg(max_by(struct(col("cent_id"), col("v")),
-        struct(col("dist"), (-col("cent_id")).as("tb"))).as("m"))
-      .select(col("m.cent_id").as("cent_id"), col("vec_id"), col("m.v").as("v"))
-    val q = c.where(col("vec_id") < 10).select(col("vec_id").as("qid"), col("v").as("qv"))
-    val wProbe = Window.partitionBy("qid").orderBy(col("qdist").desc, col("cent_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qv"), col("cent_id"),
-        cosineSim(col("qv"), col("cent_v")).as("qdist"))
-      .withColumn("rk", row_number().over(wProbe))
-      .where(col("rk") <= NProbe)
-      .select(col("qid"), col("qv"), col("cent_id"))
-    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    probes.join(assigned, Seq("cent_id"))
-      .where(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("cid"),
-        cosineSim(col("qv"), col("v")).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
-      .orderBy("qid", "rk")
+    ivfSearch(c, trained.zipWithIndex.map { case (v, i) => (i.toLong, v) }, NProbe)
   }
 
   private val bruteTop1Sql =

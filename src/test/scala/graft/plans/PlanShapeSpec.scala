@@ -102,6 +102,19 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Generate"), s"q102 plans a Generate:\n$plan")
   }
 
+  // IVF assignment is a map-only kernel (NearestCentroidId with the
+  // quantizer as driver state): the search plans NO aggregate at all.
+  // A HashAggregate reappearing means the crossJoin(centroids) → max_by
+  // dataflow is back — it re-shuffles every vector NList times with the
+  // embedding on every row (6.5× slower at 10× sf0.1).
+  test("q37/q37b IVF search plans no aggregate (kernel assignment, not max_by)") {
+    for (q <- Seq("q37_ann_ivf", "q37b_ann_ivf_kmeans")) {
+      val plan = executed(q)
+      assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
+        s"$q plans an aggregate (max_by assignment dataflow is back?):\n$plan")
+    }
+  }
+
   // q80 references the tokenize+groupBy counts subtree three times (both
   // sides of the head self-join plus the corpus total); its single-scan
   // execution depends on ReuseExchange canonicalization firing. If a

@@ -74,7 +74,9 @@ object StressMain {
     // the tokenizer-adjacent batch (two-level prefix-sum packing, DSIR,
     // vocab/OOV, CDC chunking)
     "q37b_ann_ivf_kmeans", "q102_ann_pq", "q110_sequence_pack",
-    "q111_dsir_weights", "q112_vocab_oov", "q113_cdc_chunks")
+    "q111_dsir_weights", "q112_vocab_oov", "q113_cdc_chunks",
+    // round 6: bloom-prefiltered incremental ingest, bipartite decontam
+    "q114_bloom_increment", "q115_neardup_decontam")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.{crossHash60, crossHash60Sql}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fourth corpus-curation batch: incremental-ingest operators — the
+  * shapes a pipeline needs once a corpus is LIVE and new batches arrive
+  * against a multi-TB base that must not be re-shuffled per ingest.
+  *
+  * q114 is the Bloom-prefilter pattern (the "BFF" n-gram bloom dedup
+  * popularized by Dolma, Soldaini et al. 2024): a compact sketch of the
+  * base corpus's span set stands in for the base on the probe path, so
+  * an incoming batch is prefiltered MAP-SIDE and only candidate hits
+  * ever reach an (exact) confirmation join.
+  */
+object Curation4 {
+
+  // -- q114: bloom-prefiltered incremental span dedup -------------------
+  // Split: base (~80%) vs incoming batch (~20%) by a deterministic hash
+  // slice of doc_id (the q103 benchmark-split pattern). Index build =
+  // two bounded jobs, like ANN quantizer training: a span count (sizes
+  // the sketch) and a treeAggregate bloom over the base's 8-token span
+  // hashes. Probe = per-doc, map-only: each batch doc's distinct spans
+  // are filtered through the sketch INSIDE the row (no explode of
+  // non-candidates), so the only data that leaves the batch scan is the
+  // candidate (doc, span) pairs — at realistic overlap rates a tiny
+  // fraction of the span volume. Confirmation is exact and keeps the
+  // result independent of the false-positive rate: the base scan
+  // semi-joins against the broadcast candidate span set (base spans
+  // never shuffle; matched spans are deduped and broadcast back). Bloom
+  // guarantees no false negatives, so candidates ⊇ true matches and
+  // the output equals the bloom-free join the oracle runs.
+  //
+  // 100 TB notes: at ~10 bits/span a single sketch covers ~10^9 base
+  // spans per GB of driver/executor memory; beyond that the span space
+  // hash-partitions into S independent sketches built and probed per
+  // range (same plumbing per shard). Dolma's production mode skips the
+  // confirm join entirely and accepts the fp rate — that variant is
+  // this plan minus the semi-join.
+  val q114 = GraftQuery("q114_bloom_increment", (s, dir) => {
+    import graft.functions.expr.BloomExpressions.bloomMightContainLong
+    val t = col("_t")
+    def spans(tokens: Column): Column =
+      array_distinct(transform(sequence(lit(0), size(tokens) - 8),
+        i => array_join(slice(tokens, i + 1, lit(8)), " ")))
+    val docs = Tables(s, dir).documents
+      .withColumn("_t", split(col("text"), " "))
+      .where(size(t) >= 8)
+      .withColumn("_slice", pmod(crossHash60(col("doc_id")), lit(5)))
+      .select(col("doc_id"), col("_slice"), spans(t).as("_sp"))
+    val baseSpans = docs.where(col("_slice") =!= 0)
+      .select(explode(col("_sp")).as("span"))
+
+    // Index build (bounded driver state, like the IVF quantizer): size,
+    // then the distributed treeAggregate sketch. ~10 bits/span at 1% fp.
+    val nSpans = math.max(baseSpans.count(), 1000L)
+    val bloom = baseSpans.select(xxhash64(col("span")).as("h"))
+      .stat.bloomFilter("h", nSpans, 0.01)
+
+    // Probe: in-row prefilter, then explode only the candidates.
+    val batch = docs.where(col("_slice") === 0)
+      .select(col("doc_id"), size(col("_sp")).cast(LongType).as("n_spans"),
+        filter(col("_sp"), sp => bloomMightContainLong(xxhash64(sp), bloom)).as("_cand"))
+    val cand = batch.select(col("doc_id"), explode(col("_cand")).as("span"))
+    val candSet = cand.select("span").distinct()
+    // Exact confirm: base scan stays map-side (semi vs broadcast set);
+    // only matched spans — bounded by |candSet| — are deduped.
+    val hit = baseSpans.join(broadcast(candSet), Seq("span"), "leftsemi").distinct()
+    val shared = cand.join(broadcast(hit), Seq("span"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    batch.select(col("doc_id"), col("n_spans"))
+      .join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_spans"), 6).as("share"))
+      .orderBy("doc_id")
+  }, Some(
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sl AS (SELECT doc_id, t, ${crossHash60Sql("doc_id")} % 5 = 0 AS is_batch
+       |       FROM d WHERE len(t) >= 8),
+       |sp AS (SELECT doc_id, is_batch,
+       |         unnest(list_distinct(list_transform(range(1, len(t) - 6),
+       |                i -> list_aggregate(t[i:i+7], 'string_agg', ' ')))) AS span
+       |       FROM sl),
+       |base_sp AS (SELECT DISTINCT span FROM sp WHERE NOT is_batch),
+       |bs AS (SELECT doc_id, span FROM sp WHERE is_batch)
+       |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans,
+       |  CAST(COUNT(x.span) AS BIGINT) AS n_shared,
+       |  round(CAST(COUNT(x.span) AS DOUBLE) / COUNT(*), 6) AS share
+       |FROM bs b LEFT JOIN base_sp x ON b.span = x.span
+       |GROUP BY b.doc_id ORDER BY doc_id""".stripMargin))
+
+  // -- q115: near-dup decontamination (bipartite PPJoin) ----------------
+  // q103 catches exact n-gram contamination; this catches the rest —
+  // train documents that are NEAR-duplicates of an eval-benchmark
+  // document (reformatted/paraphrase-adjacent leakage; the Llama/PaLM
+  // eval-hygiene class of check). Benchmark = a deterministic 5% hash
+  // slice (residue chosen so planted near-dups straddle the cut at all
+  // test SFs), train = the rest. The pair space is bipartite PPJoin
+  // ([[Dedup.crossCorpusJaccardOn]]): one canonical df-ordered prefix
+  // relation over the union, candidates only where a benchmark prefix
+  // token collides with a train prefix token — the benchmark side is
+  // eval-suite-sized and BROADCASTS, so the train-side prefix scan
+  // never shuffles for the candidate join. Prefix/length/positional
+  // filters are exact: output = the brute-force bipartite join the
+  // oracle runs, at threshold 0.4 on 4-token-shingle Jaccard.
+  val q115 = GraftQuery("q115_neardup_decontam", (s, dir) => {
+    val shingled = Dedup.docShingled(s, dir, Dedup.AllPairsShingle)
+      .select(col("doc_id"), col("shh"),
+        when(pmod(crossHash60(col("doc_id")), lit(20)) === 1, 0).otherwise(1).as("side"))
+    Dedup.crossCorpusJaccardOn(shingled, 0.4)
+      .select(col("a_id").as("bench_id"), col("b_id").as("train_id"), col("jaccard"))
+      .orderBy("bench_id", "train_id")
+  }, Some(
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |s AS (SELECT doc_id, ${crossHash60Sql("doc_id")} % 20 = 1 AS is_bench,
+       |        CASE WHEN len(t) >= 4
+       |             THEN list_distinct(list_transform(range(1, len(t) - 2),
+       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+       |             ELSE list_distinct(t) END AS sh
+       |      FROM d),
+       |p AS (SELECT a.doc_id AS bench_id, b.doc_id AS train_id,
+       |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS jaccard
+       |      FROM s a JOIN s b ON a.is_bench AND NOT b.is_bench)
+       |SELECT bench_id, train_id, jaccard FROM p WHERE jaccard >= 0.4
+       |ORDER BY bench_id, train_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q114, q115)
+}

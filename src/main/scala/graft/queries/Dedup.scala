@@ -215,6 +215,49 @@ object Dedup {
       .where(col("jaccard") >= threshold)
   }
 
+  /** Bipartite variant of [[allPairsJaccardOn]]: pairs ACROSS the two
+    * sides only (side 0 = the small probe corpus, e.g. an eval
+    * benchmark; side 1 = the large one). The prefix relation is built
+    * once over the union with ONE canonical document-frequency order —
+    * the PPJoin correctness requirement — and the candidate join takes
+    * side-0 collisions against side-1 collisions, so same-side pair
+    * space is never generated. Prefix + length + positional filters are
+    * exact (no recall loss), so the output equals the brute-force
+    * bipartite join the oracle runs. At scale the side-0 prefix
+    * relation is benchmark-sized and broadcasts; the side-1 scan
+    * stays partition-local. */
+  private[graft] def crossCorpusJaccardOn(d0: DataFrame, threshold: Double): DataFrame = {
+    val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = d.select(explode(col("shh")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val prefix = d.select(col("doc_id"), col("side"), size(col("shh")).as("sz"),
+        explode(col("shh")).as("sh"))
+      .join(dfreq, Seq("sh"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
+      .select(col("sh"), col("doc_id"), col("side"), col("sz"), col("rk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")))
+    val cand = prefix.where(col("side") === 1)
+      .select(col("sh"), col("doc_id").as("b_id"), col("sz").as("b_sz"), col("rk").as("b_rk"))
+      .join(broadcast(prefix.where(col("side") === 0)
+        .select(col("sh"), col("doc_id").as("a_id"), col("sz").as("a_sz"), col("rk").as("a_rk"))),
+        Seq("sh"))
+      .where(least(col("a_sz"), col("b_sz")).cast("double") >=
+          lit(threshold) * greatest(col("a_sz"), col("b_sz")).cast("double") &&
+        (lit(1) + least(col("a_sz") - col("a_rk"), col("b_sz") - col("b_rk"))) >= alpha)
+      .select(col("a_id"), col("b_id"))
+      .distinct()
+    cand
+      .join(broadcast(d.where(col("side") === 0)
+        .select(col("doc_id").as("a_id"), col("shh").as("a_sh"))), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("shh").as("b_sh")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // -- q28: exact n-gram (2-shingle) Jaccard, blocked on first token ----
   // The oracle-checkable exact variant; blocking keeps the pair space
   // ~|block|² instead of n². For unblocked recall at scale use q29.

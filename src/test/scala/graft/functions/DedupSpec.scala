@@ -139,6 +139,48 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("bipartite PPJoin property: 100 random splits ≡ brute force across sides") {
+    // crossCorpusJaccardOn routes side-0 prefixes against side-1
+    // prefixes with NO a_id < b_id constraint (a bench doc may have a
+    // larger id than its train near-dup) — that routing is new logic on
+    // top of the shared filters, so it gets its own brute-force gate.
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val genCase = for {
+      nDocs <- Gen.chooseNum(4, 9)
+      uni <- Gen.chooseNum(4, 12)
+      t <- Gen.choose(0.05, 0.95)
+      docs <- Gen.listOfN(nDocs,
+        Gen.nonEmptyListOf(Gen.chooseNum(1L, uni.toLong)).map(_.distinct.sorted.toArray))
+      sides <- Gen.listOfN(nDocs, Gen.oneOf(0, 1))
+    } yield (docs, sides, t)
+    var checked = 0
+    (0 until 110).foreach { i =>
+      genCase.apply(Gen.Parameters.default, Seed(1000L + i)).foreach { case (docs, sides, t) =>
+        val df = docs.zip(sides).zipWithIndex
+          .map { case ((sh, side), id) => (id.toLong, sh.toSeq, side) }
+          .toDF("doc_id", "shh", "side")
+        val got = graft.queries.Dedup.crossCorpusJaccardOn(df, t).collect()
+          .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+        val sets = docs.map(_.toSet)
+        val brute = (for {
+          a <- docs.indices if sides(a) == 0
+          b <- docs.indices if sides(b) == 1
+          inter = sets(a).intersect(sets(b)).size
+          j = inter.toDouble / (sets(a).size + sets(b).size - inter).toDouble
+          if j >= t
+        } yield ((a.toLong, b.toLong), j)).toMap
+        assert(got == brute,
+          s"case $i (t=$t): got=$got brute=$brute sides=$sides docs=${docs.map(_.toSeq).toSeq}")
+        checked += 1
+        if (i % 25 == 24) spark.catalog.clearCache()
+      }
+    }
+    assert(checked >= 100, s"generator produced only $checked cases")
+    spark.catalog.clearCache()
+  }
+
   test("q29 minhash query finds a planted near-duplicate") {
     import spark.implicits._
     val docs = Seq(

@@ -129,11 +129,22 @@ object StressMain {
     if (mode == "run" || mode == "all") {
       // untimed warmup (session/codegen init otherwise lands on query 1)
       SparkEntry.queries("q27_dedup_exact")(spark, StressDir).count()
+      // untimed sweep between queries (Bench's isolation layers): the
+      // heavy list persists several 10x shingled corpora — left to
+      // accumulate, later queries pay eviction churn and GC debt for
+      // earlier ones' blocks, and per-operator numbers stop being
+      // per-operator.
+      def sweep(): Unit = {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+        System.gc()
+      }
       val results = HeavyQueries.map { name =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(name)(spark, StressDir).count()
                 catch { case e: Throwable => println(s"[stress] $name FAILED: ${e.getMessage}"); -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        sweep()
         println(f"[stress] $name%-22s ${sec}%8.2f s  rows=$n")
         name -> sec
       }

@@ -46,17 +46,29 @@ object Curation4 {
     def spans(tokens: Column): Column =
       array_distinct(transform(sequence(lit(0), size(tokens) - 8),
         i => array_join(slice(tokens, i + 1, lit(8)), " ")))
+    // The shingled relation is referenced by the sizing count, the
+    // bloom build, the confirm-join base scan, and both batch passes —
+    // persist so the per-doc span materialization (split + 8-token
+    // concat + distinct, the dominant row work) runs once (the
+    // allPairsJaccardOn pattern; Bench/Stress sweeps unpersist it).
     val docs = Tables(s, dir).documents
       .withColumn("_t", split(col("text"), " "))
       .where(size(t) >= 8)
       .withColumn("_slice", pmod(crossHash60(col("doc_id")), lit(5)))
       .select(col("doc_id"), col("_slice"), spans(t).as("_sp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val baseSpans = docs.where(col("_slice") =!= 0)
       .select(explode(col("_sp")).as("span"))
 
-    // Index build (bounded driver state, like the IVF quantizer): size,
-    // then the distributed treeAggregate sketch. ~10 bits/span at 1% fp.
-    val nSpans = math.max(baseSpans.count(), 1000L)
+    // Index build (bounded driver state, like the IVF quantizer). The
+    // sketch is sized from a LIGHT scan — a base row count (column-
+    // pruned, no span explode) times a generous per-doc span cap — not
+    // an exact span count, which would cost a full explode pass of its
+    // own. Oversizing only lowers the fp rate; undersizing (docs far
+    // longer than the cap) only weakens pruning — the confirm join
+    // keeps the OUTPUT exact either way. ~10 bits/span at 1% fp.
+    val spanCapPerDoc = 256L
+    val nSpans = math.max(docs.where(col("_slice") =!= 0).count() * spanCapPerDoc, 1000L)
     val bloom = baseSpans.select(xxhash64(col("span")).as("h"))
       .stat.bloomFilter("h", nSpans, 0.01)
 

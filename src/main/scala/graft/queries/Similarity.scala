@@ -301,6 +301,46 @@ object Similarity {
     ivfSearch(c, trained.zipWithIndex.map { case (v, i) => (i.toLong, v) }, NProbe)
   }
 
+  // -- q116: corpus clustering for mix/curriculum design ----------------
+  // Partition the whole embedding corpus into NList cells (the
+  // cluster-balanced-sampling / curriculum prep step) and report
+  // per-cell composition. Assignment is the same map-only
+  // NearestCentroidId kernel as q37 over DETERMINISTIC seed centroids,
+  // so — unlike the probe-limited q37 oracle — this row replays the
+  // kernel's argmax for EVERY corpus vector in DuckDB (a corpus-wide
+  // bit-exactness gate on the kernel). One narrow shuffle: the
+  // per-cell aggregate of (cent_id, vec_id, label) rows. Aggregates
+  // are integer-exact (counts, id extrema) — no float-sum order
+  // dependence cross-engine.
+  val q116 = GraftQuery("q116_embed_clusters", (s, dir) => {
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16
+    val c = corpus(s, dir)
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val labeled = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
+    c.select(col("vec_id"),
+        nearestCentroidId(col("v"), cents.flatMap(_._2), cents.map(_._1),
+          cents.head._2.length).as("cent_id"))
+      .join(labeled, Seq("vec_id"))
+      .groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("label")).as("n_labels"),
+        min(col("vec_id")).as("min_vec"),
+        max(col("vec_id")).as("max_vec"))
+      .orderBy("cent_id")
+  }, Some(
+    """WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT c.vec_id, c.label, cent_id,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |        FROM c CROSS JOIN cent)
+      |SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  CAST(COUNT(DISTINCT label) AS BIGINT) AS n_labels,
+      |  min(vec_id) AS min_vec, max(vec_id) AS max_vec
+      |FROM asn WHERE rk = 1 GROUP BY cent_id ORDER BY cent_id""".stripMargin))
+
   private val bruteTop1Sql =
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |q AS (SELECT vec_id AS qid, v AS qv FROM c WHERE vec_id < 10),
@@ -476,5 +516,5 @@ object Similarity {
       |       exact_parts
       |FROM s JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102)
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116)
 }

@@ -10,15 +10,17 @@ import org.apache.spark.sql.types._
   * and decoder reuse are explicit.
   *
   * Container-header metadata (PNG/JPEG/GIF dimensions + mime) is REAL
-  * byte parsing (`imageMeta`), and image pixel DECODE is REAL too:
-  * `decodeImage`/`resizeImage` use the JDK's built-in `javax.imageio`
-  * readers (PNG/JPEG/GIF/BMP ship with every JRE — no external codec
-  * needed). Image feature extraction grid-pools actual luminance
-  * values. Only AUDIO/VIDEO decode remains a deterministic fake
-  * (`decodeStub`/`frameSampleStub`) — the JDK has no mp3/mp4 codec —
-  * and unrecognized image payloads fall back to the same fake, so the
-  * pipeline never throws on corrupt media. Swap the fakes for a real
-  * codec call (JNI/FFmpeg) without touching the plumbing.
+  * byte parsing (`imageMeta`); image pixel DECODE is REAL
+  * (`decodeImage`/`resizeImage` via the JDK's built-in `javax.imageio`
+  * PNG/JPEG/GIF/BMP readers, grid-pooled luminance features); and
+  * uncompressed AUDIO decode is REAL (`decodeAudio`/`audioFeatures`
+  * via the JDK's built-in `javax.sound.sampled` WAV/AIFF/AU PCM
+  * readers — RMS energy-envelope features). Only VIDEO — the JDK
+  * genuinely ships no container/codec — plus compressed audio
+  * (mp3/ogg) remain a deterministic fake (`decodeStub`/
+  * `frameSampleStub`), and unrecognized payloads fall back to the same
+  * fake, so the pipeline never throws on corrupt media. Swap the fakes
+  * for a real codec call (JNI/FFmpeg) without touching the plumbing.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * collected; per-partition batches bound memory (`batchSize` rows at a
@@ -147,13 +149,76 @@ object Multimodal {
     feat
   }
 
-  /** Decode one media row to features: real pixel decode for images the
-    * JRE can read, deterministic byte-histogram fake otherwise
-    * (audio/video, corrupt payloads). */
+  /** REAL audio decode via the JDK's built-in `javax.sound.sampled`
+    * readers — WAV/AIFF/AU PCM decoders ship with every JRE (no codec
+    * needed for uncompressed audio, which is also what a feature
+    * pipeline normalizes to first). Returns null when no reader
+    * recognizes the payload (mp3/ogg/corrupt), in which case callers
+    * fall back to the deterministic fake. */
+  def decodeAudio(payload: Array[Byte]): javax.sound.sampled.AudioInputStream =
+    if (payload == null) null
+    else try javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    catch { case _: Throwable => null }
+
+  /** REAL audio features from decoded PCM: the stream is cut into
+    * `dim` equal windows and each emits its RMS energy (mono-mixed,
+    * normalized to [-1, 1]) — the standard first-stage energy envelope,
+    * fixed-width and duration-independent like [[imageFeatures]].
+    * Supports 8-bit unsigned and 16-bit signed PCM, both endiannesses. */
+  def audioFeatures(in: javax.sound.sampled.AudioInputStream, dim: Int): Array[Float] = {
+    val fmt = in.getFormat
+    val bytes = in.readAllBytes()
+    val sampleBytes = math.max(1, fmt.getSampleSizeInBits / 8)
+    val channels = math.max(1, fmt.getChannels)
+    val frameBytes = sampleBytes * channels
+    val nFrames = bytes.length / frameBytes
+    val feat = new Array[Float](dim)
+    if (nFrames == 0) return feat
+    val sumSq = new Array[Double](dim)
+    val counts = new Array[Int](dim)
+    var f = 0
+    while (f < nFrames) {
+      var mixed = 0.0
+      var ch = 0
+      while (ch < channels) {
+        val off = f * frameBytes + ch * sampleBytes
+        val s =
+          if (sampleBytes == 1) (java.lang.Byte.toUnsignedInt(bytes(off)) - 128) / 128.0
+          else {
+            val lo = bytes(off + (if (fmt.isBigEndian) 1 else 0))
+            val hi = bytes(off + (if (fmt.isBigEndian) 0 else 1))
+            ((hi << 8) | java.lang.Byte.toUnsignedInt(lo)) / 32768.0
+          }
+        mixed += s
+        ch += 1
+      }
+      mixed /= channels
+      val w = math.min(dim - 1, f * dim / nFrames)
+      sumSq(w) += mixed * mixed
+      counts(w) += 1
+      f += 1
+    }
+    var i = 0
+    while (i < dim) {
+      if (counts(i) > 0) feat(i) = math.sqrt(sumSq(i) / counts(i)).toFloat
+      i += 1
+    }
+    feat
+  }
+
+  /** Decode one media row to features: real pixel decode for images,
+    * real PCM energy envelope for JRE-readable audio (WAV/AIFF/AU);
+    * deterministic byte-histogram fake otherwise (video — the JDK
+    * genuinely has no container/codec — plus mp3/ogg and corrupt
+    * payloads). */
   def decodeFeatures(payload: Array[Byte], modality: String, dim: Int): Array[Float] =
     if (modality == "image") {
       val img = decodeImage(payload)
       if (img != null) imageFeatures(img, dim) else decodeStub(payload, dim)
+    } else if (modality == "audio") {
+      val in = decodeAudio(payload)
+      if (in != null) audioFeatures(in, dim) else decodeStub(payload, dim)
     } else decodeStub(payload, dim)
 
   /** FAKE decoder for payloads without a JDK codec (audio/video, and

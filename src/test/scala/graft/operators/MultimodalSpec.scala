@@ -104,6 +104,44 @@ class MultimodalSpec extends SparkSpecBase {
     assert(Multimodal.decodeImage(jbaos.toByteArray) != null)
   }
 
+  /** Real little-endian 16-bit PCM WAV via the JDK's own writer. */
+  private def realWav(samples: Array[Short], sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val bytes = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      bytes(i * 2) = (samples(i) & 0xFF).toByte
+      bytes(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  test("real WAV decodes to the PCM energy envelope through the batched path") {
+    // 1600 samples: first half a full-scale square wave (RMS = 1.0),
+    // second half silence (RMS = 0) — the 4-window envelope must read
+    // ~[1, 1, 0, 0]
+    val samples = Array.tabulate[Short](1600)(i =>
+      if (i < 800) (if (i % 2 == 0) 32767 else -32767).toShort else 0)
+    val wav = realWav(samples)
+    val rows = Seq(Row(7L, "audio", "audio/wav", wav, Row(null, null, null, null)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), Multimodal.MediaSchema)
+    val f = Multimodal.extractFeatures(df, dim = 4, batchSize = 4).collect().head.features
+    assert(f(0) > 0.95f && f(1) > 0.95f, s"loud windows should read ~1: ${f.toSeq}")
+    assert(f(2) < 0.01f && f(3) < 0.01f, s"silent windows should read ~0: ${f.toSeq}")
+    // decodeAudio reports the true format
+    val in = Multimodal.decodeAudio(wav)
+    assert(in != null && in.getFormat.getSampleRate == 8000f &&
+      in.getFormat.getChannels == 1)
+    // non-PCM junk falls back to the deterministic fake, not an exception
+    val junk = Array.fill[Byte](64)(3)
+    assert(Multimodal.decodeFeatures(junk, "audio", 4).toSeq ==
+      Multimodal.decodeStub(junk, 4).toSeq)
+  }
+
   test("real resize re-encodes to target dimensions; junk falls back to the fake") {
     val png = realPng(8, 8)((x, y) => if ((x + y) % 2 == 0) 0xFF0000 else 0x00FF00)
     val resized = Multimodal.resizeImage(png, 4, 4)

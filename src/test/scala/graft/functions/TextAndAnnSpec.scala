@@ -101,6 +101,44 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(ivf.nonEmpty)
   }
 
+  test("IVF kernels: assignment/probe argmax ≡ window formulation, incl. planted ties") {
+    // The kernels' strict-> ascending scan must reproduce the
+    // (cos DESC, id ASC) row_number tie-break the q37/q116 oracles
+    // replay. Real corpora rarely produce EXACT cosine ties, so this
+    // plants them: duplicate centroid vectors (equal cosine to every
+    // query) must always resolve to the smaller id, and random cases
+    // sweep dimension/count combinations against a driver brute force.
+    import graft.functions.expr.IvfKernels
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val rnd = new scala.util.Random(11)
+    for (caseI <- 0 until 50) {
+      val dim = 2 + rnd.nextInt(6)
+      val k = 2 + rnd.nextInt(6)
+      val base = Array.fill(k, dim)(rnd.nextGaussian())
+      // plant: make centroid k-1 an exact copy of centroid 0
+      val cents = base.clone(); cents(k - 1) = cents(0).clone()
+      val ids = Array.tabulate(k)(_.toLong * 7) // non-contiguous, ascending
+      val flat = cents.flatten
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      def cos(a: Array[Double], b: Array[Double]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < dim) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+        d / math.sqrt(na * nb)
+      }
+      val cosines = cents.map(c => cos(v, c))
+      val order = ids.indices.sortBy(i => (-cosines(i), ids(i)))
+      val got = IvfKernels.nearestCentroid(new GenericArrayData(v), flat, ids, dim)
+      assert(got == ids(order.head), s"case $caseI: argmax $got != ${ids(order.head)}")
+      // the duplicate pair must never resolve to the larger id
+      if (order.head == k - 1) fail(s"case $caseI: tie resolved to the larger id")
+      val nprobe = 1 + rnd.nextInt(k)
+      val probes = IvfKernels.probeCentroids(new GenericArrayData(v), flat, ids, dim, nprobe)
+        .toLongArray.toSeq
+      assert(probes == order.take(nprobe).map(ids(_)),
+        s"case $caseI: probes $probes != ${order.take(nprobe).map(ids(_))}")
+    }
+  }
+
   test("trained (k-means) IVF quantizer improves the quantization objective; recall stays competitive") {
     // larger corpus so quantizer quality actually shows up
     val dir = "/root/testdata/sf0.01"

@@ -76,8 +76,9 @@ object StressMain {
     "q37b_ann_ivf_kmeans", "q102_ann_pq", "q110_sequence_pack",
     "q111_dsir_weights", "q112_vocab_oov", "q113_cdc_chunks",
     // round 6: bloom-prefiltered incremental ingest, bipartite decontam,
-    // corpus clustering
-    "q114_bloom_increment", "q115_neardup_decontam", "q116_embed_clusters")
+    // corpus clustering, BPE merge stats
+    "q114_bloom_increment", "q115_neardup_decontam", "q116_embed_clusters",
+    "q117_bpe_merges")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -141,5 +141,37 @@ object Curation4 {
        |SELECT bench_id, train_id, jaccard FROM p WHERE jaccard >= 0.4
        |ORDER BY bench_id, train_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q114, q115)
+  // -- q117: BPE merge statistics (tokenizer-training step) -------------
+  // The first merge iteration of BPE tokenizer training (Sennrich et
+  // al. 2016): count adjacent character pairs across the corpus
+  // weighted by word frequency, rank candidates by count. The scale
+  // shape is the algorithm's own asymmetry — one corpus scan feeds a
+  // VOCABULARY-sized word-frequency aggregate (map-side combine
+  // collapses repeats), and every later stage (per-word char-pair
+  // explode, pair aggregate, top-k) runs over vocab/alphabet-sized
+  // relations, never the corpus again. Subsequent merge iterations
+  // reuse the materialized word-frequency dict; the corpus is read
+  // once per training run, not per merge.
+  val q117 = GraftQuery("q117_bpe_merges", (s, dir) => {
+    val pairs = when(length(col("word")) >= 2,
+      transform(sequence(lit(1), length(col("word")) - 1),
+        i => col("word").substr(i, lit(2))))
+      .otherwise(array())
+    Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(col("n"), explode(pairs).as("pair"))
+      .groupBy("pair").agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }, Some(
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS n FROM w GROUP BY word),
+      |p AS (SELECT n, unnest(list_transform(range(1, length(word)),
+      |        i -> substr(word, CAST(i AS INTEGER), 2))) AS pair
+      |      FROM wc WHERE length(word) >= 2)
+      |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+      |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q114, q115, q117)
 }

@@ -94,7 +94,12 @@ object Curation5 {
 
   // -- q119: int8 scalar quantization of the embedding corpus -----------
   // Per-dimension affine int8 codes (the faiss ScalarQuantizer / SQ8
-  // shape): train = one corpus pass for per-dim min/max — posexplode to
+  // shape). Complements q98, which is per-VECTOR max-abs scaling (a
+  // row-local storage transform, no training): SQ8 trains per-DIM
+  // ranges over the whole corpus, so codes are comparable across
+  // vectors and integer dot products rank correctly — the property
+  // q121's search relies on. Train = one corpus pass for per-dim
+  // min/max — posexplode to
   // (dim, x) partial-aggregates map-side, so the shuffle is 64 rows per
   // partition regardless of corpus size — assembled into two dim-length
   // arrays riding back as a 1-row broadcast; encode = map-only
@@ -107,7 +112,9 @@ object Curation5 {
   // ties differ across engines. Inputs are float32 → DOUBLE casts are
   // exact; min/max of floats are floats; the whole chain is a fixed
   // IEEE expression tree.
-  val q119 = q("q119_embed_int8",
+  /** Shared SQ8 trainer+encoder CTE prefix (DuckDB side): `qv` is the
+    * coded corpus — (vec_id, q: int8-range codes as BIGINTs). */
+  private val SqCtes =
     """WITH dims AS (
       |  SELECT i AS dim, min(embedding[i]) AS mn, max(embedding[i]) AS mx
       |  FROM embeddings,
@@ -121,13 +128,12 @@ object Curation5 {
       |           THEN least(CAST(floor((CAST(embedding[i] AS DOUBLE) - mins[i]) * 255.0
       |                  / (maxs[i] - mins[i])) AS BIGINT), 254) - 127
       |           ELSE 0 END) AS q
-      |  FROM embeddings CROSS JOIN st)
-      |SELECT vec_id,
-      |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
-      |  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS q_energy,
-      |  CAST(len(list_filter(q, x -> x = -127)) AS BIGINT) AS n_lo,
-      |  CAST(len(list_filter(q, x -> x = 254 - 127)) AS BIGINT) AS n_hi
-      |FROM qv ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      |  FROM embeddings CROSS JOIN st)""".stripMargin
+
+  /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). One
+    * posexplode training pass (map-side-combined 64-row shuffle), one
+    * broadcast stats row, map-only encode. */
+  private def sqCoded(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir).embeddings
     val dims = emb
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
@@ -145,8 +151,18 @@ object Curation5 {
           lit(254L)) - lit(127L))
         .otherwise(lit(0L))
     })
-    emb.crossJoin(broadcast(st))
-      .select(col("vec_id"), code.as("q"))
+    emb.crossJoin(broadcast(st)).select(col("vec_id"), code.as("q"))
+  }
+
+  val q119 = q("q119_embed_int8",
+    s"""$SqCtes
+      |SELECT vec_id,
+      |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+      |  CAST(list_aggregate(list_transform(q, x -> x * x), 'sum') AS BIGINT) AS q_energy,
+      |  CAST(len(list_filter(q, x -> x = -127)) AS BIGINT) AS n_lo,
+      |  CAST(len(list_filter(q, x -> x = 254 - 127)) AS BIGINT) AS n_hi
+      |FROM qv ORDER BY vec_id""".stripMargin) { (s, dir) =>
+    sqCoded(s, dir)
       .select(col("vec_id"),
         aggregate(col("q"), lit(0L), (a, x) => a + x).as("q_sum"),
         aggregate(col("q"), lit(0L), (a, x) => a + x * x).as("q_energy"),
@@ -155,7 +171,58 @@ object Curation5 {
       .orderBy("vec_id")
   }
 
+  // -- q121: ANN search over int8 codes (SQ8 symmetric distance) --------
+  // The search half of q119: brute-force top-5 by integer dot product
+  // over the quantized corpus — the faiss IndexScalarQuantizer shape,
+  // 4× less scan bandwidth than the float baseline (q31) and the
+  // realistic refinement stage under an IVF route (q37's cells compose
+  // with these codes unchanged). Codes are encoded once (map-only,
+  // persisted narrow relation — 64 small ints per row) and the query
+  // side is a filtered subset of the same relation, so training and
+  // encoding never run twice. Scoring follows q31's broadcast shape:
+  // the ≤10-query code set broadcasts, the corpus scans once, and the
+  // per-query head is a qid-partitioned window (bounded partition
+  // count; the documented brute baseline — IVF bounds the scan when
+  // the corpus outgrows it).
+  //
+  // Unlike every float ANN index (q37b/q102 need an exact-NN witness
+  // oracle), SQ8 scores are INTEGERS — dot ∈ [-64·127², 64·127²] —
+  // so ranking, ties (broken by cid), and the scores themselves are
+  // bit-exact cross-engine: the oracle checks the full top-5, not a
+  // recall proxy.
+  val q121 = q("q121_ann_sq8",
+    s"""$SqCtes,
+      |qs AS (SELECT vec_id AS qid, q AS qc FROM qv WHERE vec_id < 10),
+      |sc AS (SELECT qid, v.vec_id AS cid,
+      |         CAST(list_aggregate(list_transform(range(1, len(qc) + 1),
+      |                i -> qc[i] * v.q[i]), 'sum') AS BIGINT) AS dot
+      |       FROM qv v CROSS JOIN qs WHERE v.vec_id <> qid),
+      |rk AS (SELECT qid, cid, dot,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INTEGER) AS rk
+      |       FROM sc)
+      |SELECT qid, cid, rk, dot FROM rk WHERE rk <= 5 ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val coded = sqCoded(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qc"))
+    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val scored = coded.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), col("dot"))
+      .orderBy("qid", "rk")
+  }
+
   // -- q120: PII redaction (email / phone / IPv4 scrub) -----------------
+  // Pattern-specific PII scrubbing over the document corpus; q53 is the
+  // generic numeric-sequence mask over the event payloads — this one
+  // targets the concrete identifier classes (email/phone/IP) a corpus
+  // release gate names, and fingerprints the redacted text.
   // The release-gate scrub: count and redact PII patterns, emit the
   // redacted text's fingerprint so the oracle verifies the REPLACEMENT
   // itself, not just the counts. The synthetic corpus contains no PII,
@@ -211,5 +278,5 @@ object Curation5 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q118, q119, q120)
+  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121)
 }

@@ -43,6 +43,18 @@ object StreamingCurationMain {
       else Iterator.single(m)
     }
 
+    // PII scrub: the q120 release-gate redaction running live —
+    // stateless, so the batch expression drops into the stream
+    // unchanged (same patterns, same replacement tokens)
+    val scrub = Intersection[String, String]("PiiScrub") { m =>
+      import graft.queries.Curation5.{EmailRe, IpRe, PhoneRe}
+      val r = m.content
+        .replaceAll(EmailRe, "<EMAIL>")
+        .replaceAll(PhoneRe, "<PHONE>")
+        .replaceAll(IpRe, "<IP>")
+      Iterator.single(m.copy(content = r))
+    }
+
     // exact dedup on content fingerprint: keyed state remembers seen
     // fingerprints; only the first occurrence is emitted
     val dedup = new StatefulIntersection[String, (String, String), Boolean, (String, String)] {
@@ -59,9 +71,10 @@ object StreamingCurationMain {
     val run = Pipeline(spark)
       .addRamp("docs", input.toDS())
       .addIntersection("docs", "gated", gate)
+      .addIntersection("gated", "scrubbed", scrub)
       // language-ID + fingerprint as a relational stage (full Catalyst
       // surface over the stream — native langid kernel, no UDF)
-      .addRelational[String, Message[(String, String)]]("gated", "tagged") { ds =>
+      .addRelational[String, Message[(String, String)]]("scrubbed", "tagged") { ds =>
         import org.apache.spark.sql.functions._
         ds.select(col("id"), col("content"), col("eventTime"),
           graft.functions.expr.TextExpressions.langId(col("content")).as("pred"),
@@ -83,7 +96,8 @@ object StreamingCurationMain {
       "the quick brown fox jumps over a lazy dog",        // exact dup -> deduped
       "word word word word word word",                    // low diversity -> reject
       "too short",                                        // reject
-      "der hund und die katze sind nicht zu haus")        // keeps (de)
+      "der hund und die katze sind nicht zu haus",        // keeps (de)
+      "reach me at fox@example.com about the brown dog")  // keeps, email scrubbed
     input.addData(docs.zipWithIndex.map { case (d, i) => Message(i.toString, d) })
     run.processAllAvailable()
 

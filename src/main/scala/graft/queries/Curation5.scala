@@ -236,9 +236,12 @@ object Curation5 {
   // Patterns are RE2∩java.util.regex common dialect (character
   // classes, bounded repeats, \b, non-capturing groups only — no
   // backrefs/lookaround), so Spark and DuckDB match identically.
-  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val PhoneRe = "\\b555-[0-9]{4}\\b"
-  private val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  /** Shared with the streaming scrub stage (StreamingCurationMain):
+    * RE2∩java.util.regex common dialect, identical semantics batch,
+    * stream, and oracle-side. */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\b555-[0-9]{4}\\b"
+  val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
 
   val q120 = q("q120_pii_scrub",
     s"""WITH aug AS (SELECT doc_id, text ||

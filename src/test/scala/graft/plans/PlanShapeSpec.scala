@@ -115,6 +115,15 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  // q118's head must be a TakeOrderedAndProject (per-partition top-k
+  // merged on the driver — the q80 pattern): a Sort+Limit planning as a
+  // global sort would shuffle every matching doc at 100 TB.
+  test("q118_bm25_topk head is TakeOrderedAndProject, not a global sort") {
+    val plan = executed("q118_bm25_topk")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q118 top-k did not plan TakeOrderedAndProject:\n$plan")
+  }
+
   // q80 references the tokenize+groupBy counts subtree three times (both
   // sides of the head self-join plus the corpus total); its single-scan
   // execution depends on ReuseExchange canonicalization firing. If a

@@ -80,7 +80,8 @@ object StressMain {
     "q114_bloom_increment", "q115_neardup_decontam", "q116_embed_clusters",
     "q117_bpe_merges",
     // round 6: retrieval scoring, embedding compression, PII scrub
-    "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8")
+    "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8",
+    "q122_ann_ivf_sq8")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -113,8 +113,9 @@ object Curation5 {
   // exact; min/max of floats are floats; the whole chain is a fixed
   // IEEE expression tree.
   /** Shared SQ8 trainer+encoder CTE prefix (DuckDB side): `qv` is the
-    * coded corpus — (vec_id, q: int8-range codes as BIGINTs). */
-  private val SqCtes =
+    * coded corpus — (vec_id, q: int8-range codes as BIGINTs). Shared
+    * with q122's IVF-SQ8 composition in [[Similarity]]. */
+  private[queries] val SqCtes =
     """WITH dims AS (
       |  SELECT i AS dim, min(embedding[i]) AS mn, max(embedding[i]) AS mx
       |  FROM embeddings,
@@ -130,20 +131,24 @@ object Curation5 {
       |           ELSE 0 END) AS q
       |  FROM embeddings CROSS JOIN st)""".stripMargin
 
-  /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). One
-    * posexplode training pass (map-side-combined 64-row shuffle), one
-    * broadcast stats row, map-only encode. */
-  private def sqCoded(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables(s, dir).embeddings
-    val dims = emb
+  /** SQ8 trainer (Spark side): the 1-row (mins, maxs) stats relation —
+    * one posexplode pass whose per-dim min/max partial-aggregates
+    * map-side (64-row shuffle at any corpus size). Broadcast it. */
+  private[queries] def sqStats(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings
       .select(posexplode(col("embedding")).as(Seq("dim", "x")))
       .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-    val st = dims.agg(
-      transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-        e => e.getField("mn").cast(DoubleType)).as("mins"),
-      transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-        e => e.getField("mx").cast(DoubleType)).as("maxs"))
-    val code = transform(col("embedding"), (x, i) => {
+      .agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
+          e => e.getField("mn").cast(DoubleType)).as("mins"),
+        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
+          e => e.getField("mx").cast(DoubleType)).as("maxs"))
+
+  /** SQ8 encoder expression over a vector column (float or double —
+    * element casts to double are exact either way); expects the
+    * broadcast [[sqStats]] row's `mins`/`maxs` in scope. */
+  private[queries] def sqCode(arr: Column): Column =
+    transform(arr, (x, i) => {
       val mn = element_at(col("mins"), i + 1)
       val mx = element_at(col("maxs"), i + 1)
       when(mx > mn,
@@ -151,8 +156,11 @@ object Curation5 {
           lit(254L)) - lit(127L))
         .otherwise(lit(0L))
     })
-    emb.crossJoin(broadcast(st)).select(col("vec_id"), code.as("q"))
-  }
+
+  /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). */
+  private def sqCoded(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir).embeddings.crossJoin(broadcast(sqStats(s, dir)))
+      .select(col("vec_id"), sqCode(col("embedding")).as("q"))
 
   val q119 = q("q119_embed_int8",
     s"""$SqCtes

@@ -516,5 +516,73 @@ object Similarity {
       |       exact_parts
       |FROM s JOIN e USING (l_returnflag) ORDER BY l_returnflag""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116)
+  // -- q122: IVF-routed SQ8 search (the composed serving index) ---------
+  // q37's coarse quantizer routes, q119's int8 codes score — the
+  // IVF-SQ composition faiss ships as its default large-scale index:
+  // the probe bounds WHICH vectors are scanned (nprobe/nlist of the
+  // corpus), the codes bound the BYTES per scanned vector (4× under
+  // float32). One map-only pass computes cell + code per vector (the
+  // SQ stats row and the centroid matrix both ride into the
+  // projection — broadcast + codegen reference object); candidates
+  // are an equi-join on the cell id; scores are integer dot products,
+  // so — like q121 and unlike every float index — the ORACLE REPLAYS
+  // THE WHOLE INDEX EXACTLY: deterministic seed centroids (the
+  // q37-proven bit-equal cosine), floor-based codes, integer ranking
+  // with cid tie-break. Full top-5 check, no recall proxy.
+  val q122 = GraftQuery("q122_ann_ivf_sq8", (s, dir) => {
+    import graft.functions.expr.SimilarityExpressions.{nearestCentroidId, probeCentroidIds}
+    val NList = 16; val NProbe = 4
+    val c = corpus(s, dir)
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
+    val dim = cents.head._2.length
+    val st = broadcast(Curation5.sqStats(s, dir))
+    // one corpus pass: cell assignment + int8 encode in the same
+    // map-only projection; the embedding is dropped right here
+    val assigned = c.crossJoin(st)
+      .select(col("vec_id"),
+        nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"),
+        Curation5.sqCode(col("v")).as("q"))
+    val probes = c.where(col("vec_id") < 10).crossJoin(st)
+      .select(col("vec_id").as("qid"), Curation5.sqCode(col("v")).as("qc"),
+        explode(probeCentroidIds(col("v"), flat, ids, dim, NProbe)).as("cent_id"))
+    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= 5)
+      .select(col("qid"), col("cid"), col("rk"), col("dot"))
+      .orderBy("qid", "rk")
+  }, Some(
+    s"""${Curation5.SqCtes},
+      |cfull AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, qv.q
+      |          FROM embeddings e JOIN qv USING (vec_id)),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM cfull ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT f.vec_id, f.q, cent_id,
+      |          row_number() OVER (PARTITION BY f.vec_id
+      |            ORDER BY list_cosine_similarity(f.v, cent_v) DESC, cent_id) AS rk
+      |        FROM cfull f CROSS JOIN cent),
+      |assigned AS (SELECT cent_id, vec_id, q FROM asn WHERE rk = 1),
+      |queries AS (SELECT vec_id AS qid, v AS qvec, q AS qc FROM cfull WHERE vec_id < 10),
+      |pr AS (SELECT qid, qc, cent_id,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY list_cosine_similarity(qvec, cent_v) DESC, cent_id) AS rk
+      |       FROM queries CROSS JOIN cent),
+      |probes AS (SELECT qid, qc, cent_id FROM pr WHERE rk <= 4),
+      |sc AS (SELECT p.qid, a.vec_id AS cid,
+      |         CAST(list_aggregate(list_transform(range(1, len(p.qc) + 1),
+      |                i -> p.qc[i] * a.q[i]), 'sum') AS BIGINT) AS dot
+      |       FROM probes p JOIN assigned a USING (cent_id)
+      |       WHERE a.vec_id <> p.qid),
+      |r AS (SELECT qid, cid, dot,
+      |        row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS rk FROM sc)
+      |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, dot
+      |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122)
 }

@@ -49,8 +49,18 @@ object CorpusCurationMain {
       .where(col("n_tokens") >= 10 && col("distinct_ratio") >= 0.2)
     stamp("quality filter", quality.count())
 
+    // 1b. PII scrub (the q120 release gate, map-only — Catalyst fuses
+    // it into the same stage): redact before anything downstream ever
+    // materializes the raw text
+    val scrubbed = {
+      import graft.queries.Curation5.{EmailRe, IpRe, PhoneRe}
+      quality.withColumn("text",
+        regexp_replace(regexp_replace(regexp_replace(col("text"),
+          lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")), lit(IpRe), lit("<IP>")))
+    }
+
     // 2. language id (heuristic; rows keep their prediction)
-    val withLang = quality
+    val withLang = scrubbed
       .withColumn("pred", TextAnalysis.langId(col("text")))
       .withColumn("pred_lang", col("pred.lang")).drop("pred")
     stamp("language id", withLang.count())

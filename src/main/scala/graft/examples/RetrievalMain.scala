@@ -1,0 +1,63 @@
+package graft.examples
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Side-by-side retrieval demo over the engine's index family — the
+  * report a user runs before picking an index for a corpus:
+  *
+  *   - float brute force (q31): the recall ceiling, full scan bandwidth
+  *   - SQ8 brute (q121): same scan shape, 4× less bandwidth
+  *   - IVF-SQ8 (q122): probe-bounded scan + int8 codes — the shape
+  *     that survives 100 TB
+  *   - BM25 (q118): the lexical side of hybrid retrieval
+  *
+  * For each ANN variant it prints per-query overlap@5 against the float
+  * baseline (how much fidelity the compression/probing trades) and the
+  * wall time of the whole 10-query batch. The test embeddings are
+  * unit-norm (q75), so q31's cosine ranking and the codes' dot ranking
+  * are the same metric — overlap measures quantization loss alone, and
+  * random unit vectors are its worst case (tightly packed neighbors;
+  * real embedding corpora separate further and overlap runs higher).
+  * `sbt "runMain graft.examples.RetrievalMain [sfDir]"`.
+  */
+object RetrievalMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-retrieval")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def top5(name: String): (Map[Long, Seq[Long]], Double) = {
+      val t0 = System.nanoTime()
+      val rows = SparkEntry.queries(name)(spark, sfDir)
+        .select("qid", "cid", "rk").as[(Long, Long, Int)].collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      (rows.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap, sec)
+    }
+
+    val (base, tBase) = top5("q31_ann_brute")
+    println(f"[retrieval] float brute (q31):    ${tBase}%6.2f s  (recall ceiling)")
+    for ((name, label) <- Seq(
+        "q121_ann_sq8" -> "SQ8 brute (q121): ",
+        "q122_ann_ivf_sq8" -> "IVF-SQ8   (q122): ")) {
+      val (got, sec) = top5(name)
+      val overlaps = base.keySet.toSeq.sorted.map { qid =>
+        qid -> got.getOrElse(qid, Seq.empty).count(base(qid).toSet).toDouble / 5.0
+      }
+      val mean = overlaps.map(_._2).sum / overlaps.size
+      println(f"[retrieval] $label${sec}%6.2f s  overlap@5 vs float: mean ${mean}%.2f  " +
+        overlaps.map { case (q, o) => f"q$q=${o}%.1f" }.mkString(" "))
+    }
+
+    println("[retrieval] BM25 lexical top-5 (q118):")
+    SparkEntry.queries("q118_bm25_topk")(spark, sfDir).show(5, truncate = false)
+    spark.stop()
+  }
+}

@@ -16,28 +16,29 @@ object StressMain {
   val Copies = 10
   val KeyStride = 10000000L
 
-  def gen(spark: SparkSession, src: String): Unit = {
+  def gen(spark: SparkSession, src: String, dir: String = StressDir,
+      copies: Int = Copies): Unit = {
     val t = Tables(spark, src)
     def replicate(df: DataFrame, keyCols: Seq[String]): DataFrame =
-      (0 until Copies).map { k =>
+      (0 until copies).map { k =>
         keyCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * KeyStride)))
       }.reduce(_ unionByName _)
 
     // multi-file layout (the realistic shape at scale — also what makes
     // scans parallelizable, unlike the single-row-group test files)
     replicate(t.lineitem, Seq("l_orderkey")).repartition(32)
-      .write.mode("overwrite").parquet(s"$StressDir/lineitem.parquet")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     replicate(t.orders, Seq("o_orderkey", "o_custkey")).repartition(16)
-      .write.mode("overwrite").parquet(s"$StressDir/orders.parquet")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     replicate(t.customer, Seq("c_custkey")).repartition(8)
-      .write.mode("overwrite").parquet(s"$StressDir/customer.parquet")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
     replicate(t.events.withColumn("event_id", col("event_id")), Seq("event_id", "user_id"))
-      .repartition(16).write.mode("overwrite").parquet(s"$StressDir/events.parquet")
+      .repartition(16).write.mode("overwrite").parquet(s"$dir/events.parquet")
     replicate(t.documents, Seq("doc_id")).repartition(16)
-      .write.mode("overwrite").parquet(s"$StressDir/documents.parquet")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     // embeddings: shift ids and perturb values deterministically so the
     // copies are near-dups (exercising the dedup thresholds), not exact
-    val emb = (0 until Copies).map { k =>
+    val emb = (0 until copies).map { k =>
       t.embeddings
         .withColumn("vec_id", col("vec_id") + lit(k * KeyStride))
         .withColumn("embedding",
@@ -45,12 +46,12 @@ object StressMain {
             (x, i) => x + (pmod(xxhash64(col("vec_id"), i, lit(k)), lit(100)) - lit(50))
               .cast("float") / lit(5000.0f)))
     }.reduce(_ unionByName _)
-    emb.repartition(8).write.mode("overwrite").parquet(s"$StressDir/embeddings.parquet")
+    emb.repartition(8).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     // small dims copied as-is
-    t.nation.write.mode("overwrite").parquet(s"$StressDir/nation.parquet")
-    t.region.write.mode("overwrite").parquet(s"$StressDir/region.parquet")
-    t.supplier.write.mode("overwrite").parquet(s"$StressDir/supplier.parquet")
-    t.part.write.mode("overwrite").parquet(s"$StressDir/part.parquet")
+    t.nation.write.mode("overwrite").parquet(s"$dir/nation.parquet")
+    t.region.write.mode("overwrite").parquet(s"$dir/region.parquet")
+    t.supplier.write.mode("overwrite").parquet(s"$dir/supplier.parquet")
+    t.part.write.mode("overwrite").parquet(s"$dir/part.parquet")
   }
 
   val HeavyQueries = Seq(
@@ -131,19 +132,64 @@ object StressMain {
       println(f"[stress] cc driver fallback at ${undirectedEdges * 2} directed edges: labeled=$n in ${sec}%.1f s, heap base $base MB -> peak $peak MB (delta ${peak - base} MB)")
       edges.unpersist()
     }
+    // untimed sweep between timed queries (Bench's isolation layers):
+    // the heavy list persists several 10x shingled corpora — left to
+    // accumulate, later queries pay eviction churn and GC debt for
+    // earlier ones' blocks, and per-operator numbers stop being
+    // per-operator.
+    def sweep(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
+    if (mode == "curve") {
+      // Scaling-curve mode: run one representative operator per family
+      // at 1x (sf0.1 as generated), 3x, and 10x, and report the growth
+      // exponent alpha where t ~ N^alpha between successive scales
+      // (alpha = log(t_b/t_a) / log(b/a); 1.0 = linear, 2.0 =
+      // quadratic). Best-of-2 per point — this VM has 10-20x noise
+      // windows, one sample proves nothing. At these absolute times
+      // (0.3-4 s) the fixed per-job scheduling floor deflates alpha
+      // below its asymptote at the small end, so the 3x->10x leg is the
+      // informative one; a pair-space operator whose pruning failed
+      // would still stick out immediately (alpha -> 2).
+      val dirs = Map(1 -> "/root/testdata/sf0.1", 3 -> "/tmp/graft_stress3", 10 -> StressDir)
+      for ((c, d) <- Seq(3 -> dirs(3), 10 -> dirs(10)))
+        if (!new java.io.File(s"$d/documents.parquet").exists()) {
+          val t0 = System.nanoTime()
+          gen(spark, dirs(1), d, c)
+          println(f"[stress] generated ${c}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+      val curveQueries = Seq(
+        "q01_pricing_summary",   // scan + hash agg
+        "q27_dedup_exact",       // single hash-shuffle groupBy
+        "q80_zipf",              // token explode + vocab agg + top-k
+        "q100_allpairs_jaccard", // prefix-filtered exact pair space
+        "q84_dup_clusters",      // pairs + connected components
+        "q37_ann_ivf",           // kernel-assigned index search
+        "q119_embed_int8",       // map-only train+encode
+        "q110_sequence_pack")    // two-level prefix sum
+      SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
+      def timeBestOf2(q: String, dir: String): Double =
+        (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          SparkEntry.queries(q)(spark, dir).count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          sweep(); sec
+        }.min
+      println(f"[stress] ${"operator"}%-24s ${"1x"}%7s ${"3x"}%7s ${"10x"}%7s   a(1->3) a(3->10)")
+      curveQueries.foreach { q =>
+        val t = Seq(1, 3, 10).map(s => s -> timeBestOf2(q, dirs(s))).toMap
+        val a13 = math.log(t(3) / t(1)) / math.log(3.0)
+        val a310 = math.log(t(10) / t(3)) / math.log(10.0 / 3.0)
+        println(f"[stress] $q%-24s ${t(1)}%6.2fs ${t(3)}%6.2fs ${t(10)}%6.2fs   ${a13}%7.2f ${a310}%8.2f")
+      }
+    }
+
     if (mode == "run" || mode == "all") {
       // untimed warmup (session/codegen init otherwise lands on query 1)
       SparkEntry.queries("q27_dedup_exact")(spark, StressDir).count()
-      // untimed sweep between queries (Bench's isolation layers): the
-      // heavy list persists several 10x shingled corpora — left to
-      // accumulate, later queries pay eviction churn and GC debt for
-      // earlier ones' blocks, and per-operator numbers stop being
-      // per-operator.
-      def sweep(): Unit = {
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc()
-      }
       val results = HeavyQueries.map { name =>
         val t0 = System.nanoTime()
         val n = try SparkEntry.queries(name)(spark, StressDir).count()

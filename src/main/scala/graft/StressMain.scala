@@ -154,8 +154,17 @@ object StressMain {
       // below its asymptote at the small end, so the 3x->10x leg is the
       // informative one; a pair-space operator whose pruning failed
       // would still stick out immediately (alpha -> 2).
-      val dirs = Map(1 -> "/root/testdata/sf0.1", 3 -> "/tmp/graft_stress3", 10 -> StressDir)
-      for ((c, d) <- Seq(3 -> dirs(3), 10 -> dirs(10)))
+      // optional extra scale point (e.g. `curve 30`): deeper points
+      // sharpen the exponent (less overhead-dominated) and push the dup
+      // graph past the 1M-directed-edge cutover, so the DISTRIBUTED
+      // connected-components loop gets a curve point too.
+      val scales = Seq(1, 3, 10) ++ args.lift(1).map(_.toInt).filter(_ > 10)
+      val dirs = scales.map {
+        case 1  => 1 -> "/root/testdata/sf0.1"
+        case 10 => 10 -> StressDir
+        case c  => c -> s"/tmp/graft_stress$c"
+      }.toMap
+      for (c <- scales.filter(_ > 1); d = dirs(c))
         if (!new java.io.File(s"$d/documents.parquet").exists()) {
           val t0 = System.nanoTime()
           gen(spark, dirs(1), d, c)
@@ -178,12 +187,17 @@ object StressMain {
           val sec = (System.nanoTime() - t0) / 1e9
           sweep(); sec
         }.min
-      println(f"[stress] ${"operator"}%-24s ${"1x"}%7s ${"3x"}%7s ${"10x"}%7s   a(1->3) a(3->10)")
+      val legs = scales.zip(scales.tail)
+      println(f"[stress] ${"operator"}%-24s " +
+        scales.map(s => f"${s + "x"}%7s").mkString(" ") + "   " +
+        legs.map { case (a, b) => f"${s"a($a->$b)"}%8s" }.mkString(" "))
       curveQueries.foreach { q =>
-        val t = Seq(1, 3, 10).map(s => s -> timeBestOf2(q, dirs(s))).toMap
-        val a13 = math.log(t(3) / t(1)) / math.log(3.0)
-        val a310 = math.log(t(10) / t(3)) / math.log(10.0 / 3.0)
-        println(f"[stress] $q%-24s ${t(1)}%6.2fs ${t(3)}%6.2fs ${t(10)}%6.2fs   ${a13}%7.2f ${a310}%8.2f")
+        val t = scales.map(s => s -> timeBestOf2(q, dirs(s))).toMap
+        val as = legs.map { case (a, b) =>
+          math.log(t(b) / t(a)) / math.log(b.toDouble / a) }
+        println(f"[stress] $q%-24s " +
+          scales.map(s => f"${t(s)}%6.2fs").mkString(" ") + "   " +
+          as.map(a => f"$a%8.2f").mkString(" "))
       }
     }
 

@@ -158,14 +158,19 @@ object StressMain {
       // sharpen the exponent (less overhead-dominated) and push the dup
       // graph past the 1M-directed-edge cutover, so the DISTRIBUTED
       // connected-components loop gets a curve point too.
-      val scales = Seq(1, 3, 10) ++ args.lift(1).map(_.toInt).filter(_ > 10)
+      val extra = args.lift(1).map(_.toInt)
+      extra.filter(_ <= 10).foreach(s =>
+        println(s"[stress] extra scale $s ignored (must exceed the built-in 10x point)"))
+      val scales = Seq(1, 3, 10) ++ extra.filter(_ > 10)
       val dirs = scales.map {
         case 1  => 1 -> "/root/testdata/sf0.1"
         case 10 => 10 -> StressDir
         case c  => c -> s"/tmp/graft_stress$c"
       }.toMap
+      // sentinel = the LAST table gen() writes, so an interrupted
+      // generation is re-run rather than silently skipped half-complete
       for (c <- scales.filter(_ > 1); d = dirs(c))
-        if (!new java.io.File(s"$d/documents.parquet").exists()) {
+        if (!new java.io.File(s"$d/part.parquet").exists()) {
           val t0 = System.nanoTime()
           gen(spark, dirs(1), d, c)
           println(f"[stress] generated ${c}x data in ${(System.nanoTime() - t0) / 1e9}%.1f s")

@@ -52,12 +52,8 @@ object CorpusCurationMain {
     // 1b. PII scrub (the q120 release gate, map-only — Catalyst fuses
     // it into the same stage): redact before anything downstream ever
     // materializes the raw text
-    val scrubbed = {
-      import graft.queries.Curation5.{EmailRe, IpRe, PhoneRe}
-      quality.withColumn("text",
-        regexp_replace(regexp_replace(regexp_replace(col("text"),
-          lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")), lit(IpRe), lit("<IP>")))
-    }
+    val scrubbed =
+      quality.withColumn("text", graft.queries.Curation5.scrubExpr(col("text")))
 
     // 2. language id (heuristic; rows keep their prediction)
     val withLang = scrubbed

@@ -14,11 +14,15 @@ import org.apache.spark.sql.SparkSession
   *
   * For each ANN variant it prints per-query overlap@5 against the float
   * baseline (how much fidelity the compression/probing trades) and the
-  * wall time of the whole 10-query batch. The test embeddings are
-  * unit-norm (q75), so q31's cosine ranking and the codes' dot ranking
-  * are the same metric — overlap measures quantization loss alone, and
-  * random unit vectors are its worst case (tightly packed neighbors;
-  * real embedding corpora separate further and overlap runs higher).
+  * END-TO-END wall time of the 10-query batch — including each index's
+  * one-off train/encode work, which q31 doesn't pay; it is a
+  * cold-start comparison, not a per-query-latency one (amortize the
+  * build over a real query stream before reading it that way). The
+  * test embeddings are unit-norm (q75), so q31's cosine ranking and
+  * the codes' dot ranking agree up to the affine code offset —
+  * overlap is dominated by int8 quantization loss, and random unit
+  * vectors are its worst case (tightly packed neighbors; real
+  * embedding corpora separate further and overlap runs higher).
   * `sbt "runMain graft.examples.RetrievalMain [sfDir]"`.
   */
 object RetrievalMain {
@@ -43,7 +47,8 @@ object RetrievalMain {
     }
 
     val (base, tBase) = top5("q31_ann_brute")
-    println(f"[retrieval] float brute (q31):    ${tBase}%6.2f s  (recall ceiling)")
+    println(f"[retrieval] float brute (q31):    ${tBase}%6.2f s  (recall ceiling; no build step)")
+    println("[retrieval] compressed-index times below INCLUDE one-off train/encode work")
     for ((name, label) <- Seq(
         "q121_ann_sq8" -> "SQ8 brute (q121): ",
         "q122_ann_ivf_sq8" -> "IVF-SQ8   (q122): ")) {

@@ -47,12 +47,7 @@ object StreamingCurationMain {
     // stateless, so the batch expression drops into the stream
     // unchanged (same patterns, same replacement tokens)
     val scrub = Intersection[String, String]("PiiScrub") { m =>
-      import graft.queries.Curation5.{EmailRe, IpRe, PhoneRe}
-      val r = m.content
-        .replaceAll(EmailRe, "<EMAIL>")
-        .replaceAll(PhoneRe, "<PHONE>")
-        .replaceAll(IpRe, "<IP>")
-      Iterator.single(m.copy(content = r))
+      Iterator.single(m.copy(content = graft.queries.Curation5.scrubString(m.content)))
     }
 
     // exact dedup on content fingerprint: keyed state remembers seen

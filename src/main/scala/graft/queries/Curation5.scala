@@ -244,12 +244,26 @@ object Curation5 {
   // Patterns are RE2∩java.util.regex common dialect (character
   // classes, bounded repeats, \b, non-capturing groups only — no
   // backrefs/lookaround), so Spark and DuckDB match identically.
-  /** Shared with the streaming scrub stage (StreamingCurationMain):
-    * RE2∩java.util.regex common dialect, identical semantics batch,
-    * stream, and oracle-side. */
+  /** Shared with the batch/streaming scrub stages (CorpusCurationMain,
+    * StreamingCurationMain): RE2∩java.util.regex common dialect,
+    * identical semantics batch, stream, and oracle-side. */
   val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val PhoneRe = "\\b555-[0-9]{4}\\b"
   val IpRe    = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** The canonical redaction chain (email → phone → IP, in that order —
+    * email first so an address's digit-bearing domain can't be half
+    * eaten by the IP pattern). q120, both curation examples, and the
+    * streaming stage all run THIS expression; pattern or order changes
+    * happen here once. */
+  def scrubExpr(c: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(c,
+      lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")), lit(IpRe), lit("<IP>"))
+
+  /** JVM-string twin of [[scrubExpr]] for row-at-a-time stages (the
+    * streaming Intersection) — same patterns, same order, same tokens. */
+  def scrubString(s: String): String =
+    s.replaceAll(EmailRe, "<EMAIL>").replaceAll(PhoneRe, "<PHONE>").replaceAll(IpRe, "<IP>")
 
   val q120 = q("q120_pii_scrub",
     s"""WITH aug AS (SELECT doc_id, text ||
@@ -276,8 +290,7 @@ object Curation5 {
         .when(inj === 3, concat(lit(" host 10.0."), (col("doc_id") % 256).cast("string"),
           lit("."), ((col("doc_id") + 13) % 256).cast("string"), lit(" up")))
         .otherwise(lit("")))
-    val red = regexp_replace(regexp_replace(regexp_replace(col("t"),
-      lit(EmailRe), lit("<EMAIL>")), lit(PhoneRe), lit("<PHONE>")), lit(IpRe), lit("<IP>"))
+    val red = scrubExpr(col("t"))
     Tables(s, dir).documents
       .select(col("doc_id"), aug.as("t"))
       .select(col("doc_id"),

@@ -538,7 +538,13 @@ object Similarity {
     val ids = cents.map(_._1)
     val flat = cents.flatMap(_._2)
     val dim = cents.head._2.length
-    val st = broadcast(Curation5.sqStats(s, dir))
+    // persist the 1-row stats relation: it feeds BOTH the corpus encode
+    // and the query encode, and a cache hit is guaranteed by plan
+    // canonicalization where bare ReuseExchange is not (the q80 lesson)
+    // — without it a reuse miss would re-run the corpus-wide posexplode
+    // aggregate twice. Bench/Stress sweeps unpersist it.
+    val st = broadcast(Curation5.sqStats(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // one corpus pass: cell assignment + int8 encode in the same
     // map-only projection; the embedding is dropped right here
     val assigned = c.crossJoin(st)

@@ -95,11 +95,12 @@ class Curation5Spec extends SparkSpecBase {
       (3L, "ip 10.1.2.3 then 555-0000 then x@y.zz end"),
       (4L, "<x@y.io> (10.0.0.1) [555-9999]")
     ).toDF("doc_id", "text")
-    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-    val phoneRe = "\\b555-[0-9]{4}\\b"
-    val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
-    val red = regexp_replace(regexp_replace(regexp_replace(col("text"),
-      lit(emailRe), lit("<EMAIL>")), lit(phoneRe), lit("<PHONE>")), lit(ipRe), lit("<IP>"))
+    // the PRODUCTION patterns and chain — local copies would keep this
+    // spec green while a pattern edit silently regressed q120
+    val emailRe = Curation5.EmailRe
+    val phoneRe = Curation5.PhoneRe
+    val ipRe = Curation5.IpRe
+    val red = Curation5.scrubExpr(col("text"))
     val out = rows.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).as("n_email"),
@@ -111,6 +112,15 @@ class Curation5Spec extends SparkSpecBase {
     assert(out(1)._2 == 2 && out(1)._3 == 1 && out(1)._4 == 0)
     assert(out(2)._2 == 1 && out(2)._3 == 1 && out(2)._4 == 1)
     assert(out(3)._2 == 1 && out(3)._3 == 1 && out(3)._4 == 1)
+    // the row-at-a-time string twin (the streaming stage) redacts
+    // identically to the column expression
+    val byId = Seq(1L -> "plain words only",
+      2L -> "two mails a@b.io and c.d@e-f.org plus 555-1234",
+      3L -> "ip 10.1.2.3 then 555-0000 then x@y.zz end",
+      4L -> "<x@y.io> (10.0.0.1) [555-9999]").toMap
+    out.foreach { case (id, _, _, _, r) =>
+      assert(r == Curation5.scrubString(byId(id)), s"string/column scrub diverge for doc $id")
+    }
     // nothing scrubbable survives any redacted string
     out.map(_._5).foreach { r =>
       assert(!r.matches(s".*$emailRe.*"), s"email survives: $r")

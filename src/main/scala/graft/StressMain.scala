@@ -82,7 +82,7 @@ object StressMain {
     "q117_bpe_merges",
     // round 6: retrieval scoring, embedding compression, PII scrub
     "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8",
-    "q122_ann_ivf_sq8")
+    "q122_ann_ivf_sq8", "q123_knn_label")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -194,7 +194,7 @@ object StressMain {
         }.min
       val legs = scales.zip(scales.tail)
       println(f"[stress] ${"operator"}%-24s " +
-        scales.map(s => f"${s + "x"}%7s").mkString(" ") + "   " +
+        scales.map(s => f"${s"${s}x"}%7s").mkString(" ") + "   " +
         legs.map { case (a, b) => f"${s"a($a->$b)"}%8s" }.mkString(" "))
       curveQueries.foreach { q =>
         val t = scales.map(s => s -> timeBestOf2(q, dirs(s))).toMap

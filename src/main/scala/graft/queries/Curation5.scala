@@ -302,5 +302,60 @@ object Curation5 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121)
+  // -- q123: kNN label transfer over SQ8 codes --------------------------
+  // The auto-labeling / label-propagation step (transfer a curated
+  // seed set's labels to unlabeled data by nearest-neighbor vote —
+  // the quality-classifier bootstrap in modern curation stacks): each
+  // query vector takes the majority label of its 10 nearest neighbors
+  // under the SQ8 integer dot, ties to the smallest label. Neighbor
+  // search is q121's shape (codes persist once, query codes
+  // broadcast); the vote aggregate is (queries × labels)-sized; label
+  // attachment broadcasts the tiny neighbor set against the corpus
+  // scan, never shuffling the corpus. Votes, ranking, and tie-breaks
+  // are all integers — the oracle replays the classifier exactly.
+  val q123 = q("q123_knn_label",
+    s"""$SqCtes,
+      |qs AS (SELECT vec_id AS qid, q AS qc FROM qv WHERE vec_id < 20),
+      |sc AS (SELECT qid, v.vec_id AS cid,
+      |         CAST(list_aggregate(list_transform(range(1, len(qc) + 1),
+      |                i -> qc[i] * v.q[i]), 'sum') AS BIGINT) AS dot
+      |       FROM qv v CROSS JOIN qs WHERE v.vec_id <> qid),
+      |nn AS (SELECT qid, cid FROM (
+      |         SELECT qid, cid, row_number() OVER (PARTITION BY qid
+      |           ORDER BY dot DESC, cid) AS rk FROM sc) WHERE rk <= 10),
+      |votes AS (SELECT qid, e.label, COUNT(*) AS votes
+      |          FROM nn JOIN embeddings e ON nn.cid = e.vec_id
+      |          GROUP BY qid, e.label),
+      |pred AS (SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes FROM (
+      |           SELECT qid, label, votes, row_number() OVER (PARTITION BY qid
+      |             ORDER BY votes DESC, label) AS r FROM votes) WHERE r = 1)
+      |SELECT p.qid, e.label AS true_label, p.pred_label, p.votes
+      |FROM pred p JOIN embeddings e ON p.qid = e.vec_id ORDER BY p.qid""".stripMargin) { (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val coded = sqCoded(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
+    val qs = coded.where(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("q").as("qc"))
+    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    val nn = coded.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
+      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 10)
+      .select("qid", "cid")
+    // label attachment: corpus scan ⋈ broadcast(tiny neighbor set)
+    val votes = labels.withColumnRenamed("vec_id", "cid").join(broadcast(nn), Seq("cid"))
+      .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
+    val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
+    val pred = votes.withColumn("r", row_number().over(wVote)).where(col("r") === 1)
+      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "true_label")
+      .join(broadcast(pred), Seq("qid"))
+      .select("qid", "true_label", "pred_label", "votes")
+      .orderBy("qid")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123)
 }

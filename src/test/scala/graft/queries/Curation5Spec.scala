@@ -42,6 +42,17 @@ class Curation5Spec extends SparkSpecBase {
     }
   }
 
+  test("sqCode edge cases: constant dim -> 0, range extremes -> ±127") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Seq(3.25f, 5.0f, -1.0f))).toDF("embedding")
+      .withColumn("mins", typedLit(Seq(3.25, 0.0, -1.0)))
+      .withColumn("maxs", typedLit(Seq(3.25, 5.0, 1.0)))
+    val q = df.select(Curation5.sqCode(col("embedding")).as("q")).as[Seq[Long]].head()
+    assert(q(0) == 0L, "mx == mn must code to 0, not divide by zero")
+    assert(q(1) == 127L, "x == mx hits the 254 cap -> +127")
+    assert(q(2) == -127L, "x == mn -> -127")
+  }
+
   test("q121: SQ8 ranking tracks the float ranking (recall@5 and argmax)") {
     import spark.implicits._
     // ranking-fidelity sanity (the analogue of the float indexes'

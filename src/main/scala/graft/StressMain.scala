@@ -82,7 +82,7 @@ object StressMain {
     "q117_bpe_merges",
     // round 6: retrieval scoring, embedding compression, PII scrub
     "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8",
-    "q122_ann_ivf_sq8", "q123_knn_label")
+    "q122_ann_ivf_sq8", "q123_knn_label", "q124_ivf_ingest")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -590,5 +590,63 @@ object Similarity {
       |SELECT qid, cid, CAST(rk AS INTEGER) AS rk, dot
       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122)
+  // -- q124: incremental IVF ingest + drift (live-index maintenance) ----
+  // The embeddings-side twin of q114's incremental-ingest pattern: a
+  // live ANN index never re-trains per batch — the coarse quantizer is
+  // FROZEN on the base corpus, the incoming batch (a deterministic
+  // hash slice, the q114 split) is assigned to existing cells by the
+  // same map-only kernel, and the per-cell occupancy comparison is the
+  // retrain signal (a drifting batch piles into cells the base left
+  // sparse, degrading probe recall — faiss's add-vs-train operational
+  // split). One corpus pass: conditional base/batch counts partial-
+  // aggregate into an nlist-row relation; totals ride back as a 1-row
+  // broadcast; drift = |batch_share − base_share| per cell is two
+  // exact integer divisions and one subtraction — deterministic, so
+  // the oracle replays the whole maintenance report.
+  val q124 = GraftQuery("q124_ivf_ingest", (s, dir) => {
+    import graft.QueryDsl.crossHash60
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16
+    val c = corpus(s, dir)
+      .withColumn("is_batch", pmod(crossHash60(col("vec_id")), lit(5)) === 0)
+    // quantizer trains on the BASE slice only (the batch must not
+    // shift the cells it is being measured against)
+    val cents = c.where(!col("is_batch")).orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
+    val dim = cents.head._2.length
+    val counts = c
+      .select(nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"), col("is_batch"))
+      .groupBy("cent_id")
+      .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("base_n"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("batch_n"))
+    val totals = counts.agg(sum(col("base_n")).as("base_t"), sum(col("batch_n")).as("batch_t"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("cent_id"), col("base_n"), col("batch_n"),
+        abs(col("batch_n").cast("double") / col("batch_t").cast("double") -
+          col("base_n").cast("double") / col("base_t").cast("double")).as("drift"))
+      .orderBy("cent_id")
+  }, Some(
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |            ${graft.QueryDsl.crossHash60Sql("vec_id")} % 5 = 0 AS is_batch
+      |          FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c
+      |         WHERE NOT is_batch ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT c.vec_id, c.is_batch, cent_id,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |        FROM c CROSS JOIN cent),
+      |counts AS (SELECT cent_id,
+      |             CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS base_n,
+      |             CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS batch_n
+      |           FROM asn WHERE rk = 1 GROUP BY cent_id),
+      |t AS (SELECT CAST(SUM(base_n) AS BIGINT) AS base_t,
+      |             CAST(SUM(batch_n) AS BIGINT) AS batch_t FROM counts)
+      |SELECT cent_id, base_n, batch_n,
+      |  abs(CAST(batch_n AS DOUBLE) / CAST(batch_t AS DOUBLE)
+      |    - CAST(base_n AS DOUBLE) / CAST(base_t AS DOUBLE)) AS drift
+      |FROM counts CROSS JOIN t ORDER BY cent_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124)
 }

@@ -202,7 +202,11 @@ object IvfKernels {
     var ci = 0
     while (ci * dim < cents.length) {
       val cos = cosineAt(v, cents, ci * dim, dim)
-      if (cos > bestCos) { bestCos = cos; best = ci }
+      // Double.compare implements Spark's SQL double ordering (NaN is
+      // greater than everything and equal to itself) — a zero-norm
+      // vector's NaN cosine ranks like the max_by dataflow ranked it
+      // instead of being silently skipped.
+      if (java.lang.Double.compare(cos, bestCos) > 0) { bestCos = cos; best = ci }
       ci += 1
     }
     ids(best)
@@ -221,10 +225,17 @@ object IvfKernels {
     var p = 0
     while (p < out.length) {
       var best = -1
-      var bestCos = Double.NegativeInfinity
+      var bestCos = Double.NaN
       ci = 0
       while (ci < k) {
-        if (!taken(ci) && cos(ci) > bestCos) { bestCos = cos(ci); best = ci }
+        // Spark double ordering (NaN greatest, ties → smallest id via
+        // strict > on an ascending scan); best can no longer stay -1
+        // once any untaken slot remains, so NaN cosines from zero-norm
+        // vectors rank first instead of crashing the selection loop.
+        if (!taken(ci) && (best == -1 ||
+            java.lang.Double.compare(cos(ci), bestCos) > 0)) {
+          bestCos = cos(ci); best = ci
+        }
         ci += 1
       }
       taken(best) = true

@@ -165,9 +165,19 @@ object Multimodal {
     * `dim` equal windows and each emits its RMS energy (mono-mixed,
     * normalized to [-1, 1]) — the standard first-stage energy envelope,
     * fixed-width and duration-independent like [[imageFeatures]].
-    * Supports 8-bit unsigned and 16-bit signed PCM, both endiannesses. */
+    * Supports 8-bit (signed or unsigned) and 16-bit signed PCM, both
+    * endiannesses. Returns null for anything else AudioSystem can read
+    * but this decoder can't (24/32-bit, float PCM, µ-law/a-law) so the
+    * caller falls back to the deterministic stub instead of silently
+    * misreading 2 of N bytes per sample. */
   def audioFeatures(in: javax.sound.sampled.AudioInputStream, dim: Int): Array[Float] = {
     val fmt = in.getFormat
+    val enc = fmt.getEncoding
+    val pcmSigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+    val pcmUnsigned = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+    val bits = fmt.getSampleSizeInBits
+    if (!(pcmSigned || pcmUnsigned) || (bits != 8 && bits != 16) ||
+        (bits == 16 && !pcmSigned)) return null
     val bytes = in.readAllBytes()
     val sampleBytes = math.max(1, fmt.getSampleSizeInBits / 8)
     val channels = math.max(1, fmt.getChannels)
@@ -184,8 +194,11 @@ object Multimodal {
       while (ch < channels) {
         val off = f * frameBytes + ch * sampleBytes
         val s =
-          if (sampleBytes == 1) (java.lang.Byte.toUnsignedInt(bytes(off)) - 128) / 128.0
-          else {
+          if (sampleBytes == 1) {
+            // AIFF ships 8-bit PCM signed; WAV ships it unsigned.
+            if (pcmSigned) bytes(off) / 128.0
+            else (java.lang.Byte.toUnsignedInt(bytes(off)) - 128) / 128.0
+          } else {
             val lo = bytes(off + (if (fmt.isBigEndian) 1 else 0))
             val hi = bytes(off + (if (fmt.isBigEndian) 0 else 1))
             ((hi << 8) | java.lang.Byte.toUnsignedInt(lo)) / 32768.0
@@ -218,7 +231,8 @@ object Multimodal {
       if (img != null) imageFeatures(img, dim) else decodeStub(payload, dim)
     } else if (modality == "audio") {
       val in = decodeAudio(payload)
-      if (in != null) audioFeatures(in, dim) else decodeStub(payload, dim)
+      val feat = if (in != null) audioFeatures(in, dim) else null
+      if (feat != null) feat else decodeStub(payload, dim)
     } else decodeStub(payload, dim)
 
   /** FAKE decoder for payloads without a JDK codec (audio/video, and

@@ -215,14 +215,17 @@ object Curation5 {
       .select(col("vec_id").as("qid"), col("q").as("qc"))
     val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
+    // bounded-heap head (graft.functions.TopK): per-(partition, qid)
+    // k-heaps merged map-side — no full per-query sort, no corpus-sized
+    // shuffle into ≤|queries| reducers; integer dots carry exactly.
     val scored = coded.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("dot").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), col("dot"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopK.topKLong(5)(col("cid"), col("dot")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("cid"), (col("pos") + 1).as("rk"),
+        col("e._2").as("dot"))
       .orderBy("qid", "rk")
   }
 
@@ -339,12 +342,15 @@ object Curation5 {
       .select(col("vec_id").as("qid"), col("q").as("qc"))
     val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
-    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    // neighbor head via bounded-heap top-k (graft.functions.TopK) — the
+    // corpus-sized scored relation never shuffles into ≤|queries| tasks
     val nn = coded.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
-      .withColumn("rk", row_number().over(wTop)).where(col("rk") <= 10)
-      .select("qid", "cid")
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKLong(10)(col("cid"), col("dot")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._1").as("cid"))
     // label attachment: corpus scan ⋈ broadcast(tiny neighbor set)
     val votes = labels.withColumnRenamed("vec_id", "cid").join(broadcast(nn), Seq("cid"))
       .groupBy("qid", "label").agg(count(lit(1)).as("votes"))

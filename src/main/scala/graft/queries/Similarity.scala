@@ -38,6 +38,10 @@ object Similarity {
     graft.functions.expr.DedupExpressions.rademacherSig(v, bits)
 
   // -- q31: brute-force cosine top-5 for query vectors vec_id < 10 ------
+  // Head = bounded-heap partial top-k (graft.functions.TopK): the scored
+  // corpus is scanned and discarded per-partition — only k-row partials
+  // shuffle, vs the row_number window's full corpus shuffle into
+  // ≤|queries| reducers. Same (cos DESC, cid ASC) order, same hashes.
   val q31 = GraftQuery("q31_ann_brute", (s, dir) => {
     val c = corpus(s, dir)
     val q = c.select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -46,10 +50,11 @@ object Similarity {
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         cosineSim(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rk", row_number().over(w))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+    scored.groupBy("qid")
+      .agg(graft.functions.TopK.topKDouble(5)(col("cid"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("cid"), (col("pos") + 1).as("rk"),
+        round(col("e._2"), 4).as("score"))
       .orderBy("qid", "rk")
   }, Some(
     """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -90,6 +90,12 @@ final class StatsServer(listener: PipelineStatsListener, port: Int = 0) {
 }
 
 object StatsServer {
+  /** Locale-independent "%.1f" — the f-interpolator uses the JVM
+    * default locale, which can emit comma decimals ("12,3") and break
+    * the JSON endpoints on non-English hosts. */
+  private def f1(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+
   /** Server-rendered dashboard: the reference's group view
     * (`webserver.py:110-148`) — group = name up to the first '-',
     * per-group waiting/processed totals and the worst member state. */
@@ -108,8 +114,8 @@ object StatsServer {
       val rows = members.sortBy(_.name).map { s =>
         val href = java.net.URLEncoder.encode(s.name, "UTF-8")
         f"""<tr><td><a href="/detail/$href/">${esc(s.name)}</a></td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
-          f"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
-          f"""<td>${s.avgTimeTakenMs}%.1f</td><td>${s.p95TimeTakenMs}%.1f</td></tr>"""
+          s"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
+          s"""<td>${f1(s.avgTimeTakenMs)}</td><td>${f1(s.p95TimeTakenMs)}</td></tr>"""
       }.mkString("\n")
       s"""<section><h2>${esc(group)} <span class="st-$groupState">$groupState</span></h2>
          |<p>processed $processed &middot; waiting $waiting</p>
@@ -147,7 +153,7 @@ object StatsServer {
     s"""{"name":"${esc(s.name)}","status":"${s.state(nowMinute)}"""" +
       s""","processed":${s.processed},"success":${s.success},"failed":${s.failed}""" +
       s""","waiting":${s.waiting},"peak_waiting":${s.peakWaiting},"behind_latest":$lag,""" +
-      f""""avg_time_taken_ms":${s.avgTimeTakenMs}%.1f,"95_percentile_ms":${s.p95TimeTakenMs}%.1f,""" +
+      s""""avg_time_taken_ms":${f1(s.avgTimeTakenMs)},"95_percentile_ms":${f1(s.p95TimeTakenMs)},""" +
       s""""last_batch_ms":${s.batchDurationsMs.lastOption.getOrElse(0L)}""" +
       s""","failed_messages":$failures}"""
   }
@@ -189,8 +195,8 @@ object StatsServer {
        |<tr><th>waiting</th><td>${s.waiting}</td></tr>
        |<tr><th>peak waiting</th><td>${s.peakWaiting}</td></tr>
        |<tr><th>last batch ms</th><td>$lastBatch</td></tr>
-       |<tr><th>avg ms</th><td>${f"${s.avgTimeTakenMs}%.1f"}</td></tr>
-       |<tr><th>p95 ms</th><td>${f"${s.p95TimeTakenMs}%.1f"}</td></tr>
+       |<tr><th>avg ms</th><td>${f1(s.avgTimeTakenMs)}</td></tr>
+       |<tr><th>p95 ms</th><td>${f1(s.p95TimeTakenMs)}</td></tr>
        |</table>
        |${if (lagRows.nonEmpty) s"<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>$lagRows</table>" else ""}
        |<h2>Failed messages (${s.failures.size})</h2>

@@ -141,6 +141,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"q80 executed plan shows no exchange reuse:\n$plan")
   }
 
+  // The brute-ANN heads (q31/q121/q123's neighbor stage) use the
+  // bounded-heap partial top-k (graft.functions.TopK), not a
+  // row_number window: a Window here means every scored corpus row
+  // shuffles into ≤|queries| partitions and sorts on one task. The
+  // aggregate must also partial map-side (two ObjectHashAggregate
+  // levels), so only k-row partials reach the exchange.
+  for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label"))
+    test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
+      val plan = executed(q)
+      assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q head did not plan the TopK ObjectHashAggregate:\n$plan")
+      assert(plan.contains("partial_"),
+        s"$q TopK aggregate is not map-side partial:\n$plan")
+    }
+
   // Merely PLANNING q33 must launch no Spark job: its corpus-size guard
   // is a broadcast-scalar assert_true inside the plan, not an eager
   // count() at build time.

@@ -24,10 +24,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark has no native
-    * type for: read it as nanos-since-epoch and truncate to micros
-    * (integer `div`, no double round-trip — ns epochs exceed a double's
-    * 53-bit mantissa). Matches DuckDB's ns→us floor semantics.
+  /** `events.ts` arrives in whatever physical form the generator used —
+    * TIMESTAMP(NANOS) (no native Spark type: read as nanos-since-epoch
+    * and truncate to micros with integer `div`, matching DuckDB's ns→us
+    * floor) or micros without `isAdjustedToUTC` (Spark 4 infers
+    * TIMESTAMP_NTZ, which `unix_micros`/`unix_millis` reject). Both are
+    * normalized to TIMESTAMP here, once, so every query sees one type;
+    * the session timezone is UTC, so the NTZ wall-clock reading is the
+    * same instant the generator wrote.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -35,7 +39,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // TIMESTAMP(NANOS) file
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _ => df // already a timestamp (e.g. rewritten tables)
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => df // already TIMESTAMP
     }
   }
   def documents: DataFrame  = t("documents")

@@ -354,14 +354,47 @@ object Curation5 {
     // label attachment: corpus scan ⋈ broadcast(tiny neighbor set)
     val votes = labels.withColumnRenamed("vec_id", "cid").join(broadcast(nn), Seq("cid"))
       .groupBy("qid", "label").agg(count(lit(1)).as("votes"))
-    val wVote = Window.partitionBy("qid").orderBy(col("votes").desc, col("label"))
-    val pred = votes.withColumn("r", row_number().over(wVote)).where(col("r") === 1)
-      .select(col("qid"), col("label").as("pred_label"), col("votes"))
+    // vote argmax as a struct-max aggregate, not a row_number window:
+    // lexicographic max of (votes, -label) = most votes, ties to the
+    // SMALLEST label — the oracle's ORDER BY votes DESC, label — with
+    // map-side partials and no per-qid sort. Exact integers throughout.
+    val pred = votes.groupBy("qid")
+      .agg(max(struct(col("votes"), (-col("label")).as("nl"))).as("m"))
+      .select(col("qid"), (-col("m.nl")).as("pred_label"), col("m.votes").as("votes"))
     labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "true_label")
       .join(broadcast(pred), Seq("qid"))
       .select("qid", "true_label", "pred_label", "votes")
       .orderBy("qid")
   }
 
-  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123)
+  // -- q125: BM25 with a runtime query relation -------------------------
+  // The general form of q118 (see [[graft.operators.Bm25]]): the query
+  // set is a RELATION built at runtime, not terms baked into the plan —
+  // the retrieval API a user actually calls. Five queries exercise the
+  // surface: q118's own 4-term query, short high-idf and mixed-df
+  // queries, a stopword-only query (idf floor), and a term absent from
+  // the corpus (produces no rows for that qid — same in both engines).
+  // Scale shape and determinism are the operator's (scalar-broadcast
+  // term set, in-row sparse postings, term-key equi-joins, DECIMAL(18,9)
+  // order-free term sum, bounded-heap per-query head).
+  private val Bm25Queries = Seq(
+    0L -> Seq("join", "window", "stream", "hash"),
+    1L -> Seq("vector", "scan"),
+    2L -> Seq("customer", "query", "batch"),
+    3L -> Seq("the", "a"),
+    4L -> Seq("nosuchterm"))
+
+  val q125 = q("q125_bm25_queries",
+    graft.operators.Bm25.oracleSql(
+      Bm25Queries.map { case (qid, ts) =>
+        s"($qid, [${ts.map(t => s"'$t'").mkString(",")}])"
+      }.mkString(", "),
+      k = 10)) { (s, dir) =>
+    import s.implicits._
+    val queries = Bm25Queries.toDF("qid", "terms")
+    graft.operators.Bm25.bm25(
+      Tables(s, dir).documents.select("doc_id", "text"), queries, k = 10)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123, q125)
 }

@@ -95,6 +95,32 @@ class Curation5Spec extends SparkSpecBase {
     assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q125: generic BM25 reproduces q118's ranking for the q118 query") {
+    import spark.implicits._
+    // qid 0 IS q118's query — the runtime-relation path must rank the
+    // same documents in the same order as the fixed-term plan (scores
+    // differ only in final ulps: q125 sums per-term contributions in
+    // rounded DECIMAL(18,9), q118 in a fixed-order double chain)
+    val out = Curation5.q125.run(spark, sfDir)
+    val generic = out.where(col("qid") === 0).orderBy("rk")
+      .select("doc_id").as[Long].collect().toSeq
+    val fixed = Curation5.q118.run(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSeq.take(generic.length)
+    assert(generic.nonEmpty, "q125 returned nothing for the q118 query")
+    assert(generic == fixed,
+      s"generic BM25 ranking diverges from q118: $generic vs $fixed")
+    // a query whose term is absent from the corpus contributes no rows
+    assert(out.where(col("qid") === 4).isEmpty,
+      "absent-term query must produce no rows")
+    // scores within each query arrive in non-increasing rank order
+    val byQ = out.select("qid", "rk", "score").as[(Long, Int, Double)]
+      .collect().groupBy(_._1)
+    byQ.values.foreach { rows =>
+      val s = rows.sortBy(_._2).map(_._3)
+      assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
   test("q120: redacted text retains no scrubbable pattern, counts match plants") {
     import spark.implicits._
     // adversarial completeness on a constructed batch: multiple PII

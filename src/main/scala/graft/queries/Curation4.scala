@@ -173,5 +173,83 @@ object Curation4 {
       |SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
       |FROM p GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q114, q115, q117)
+  // -- q126: BPE merge LOOP (tokenizer training, first 10 merges) -------
+  // The iterated form of q117 (Sennrich et al. 2016): q117 ranks the
+  // candidates of merge-iteration 1; this runs the training loop —
+  // argmax pair, apply merge, re-derive pairs — for 10 iterations. The
+  // algorithm's scale asymmetry is the plan: the CORPUS is read once
+  // (word-frequency aggregate, map-side combine collapses repeats);
+  // every iteration after that runs over the persisted VOCABULARY-sized
+  // dict (a web corpus has ~10^7 distinct words vs ~10^11 tokens), so
+  // 10 merges = 10 small bounded jobs, not 10 corpus scans. Driver
+  // state per iteration is ONE argmax row (the k-means-loop precedent).
+  //
+  // Determinism: symbol sequences are serialized with DOUBLE-space
+  // separators (' a  b ') so applying a merge is a plain substring
+  // replace — each symbol owns its delimiters, so matches are disjoint
+  // and left-to-right replace is the exact pairwise-greedy BPE merge in
+  // BOTH engines (runs like 'a a a a' → 'aa aa'; regex lookarounds
+  // would need PCRE, which DuckDB's RE2 lacks). Argmax ties break on
+  // (a, b) byte order; counts are exact integers. The oracle unrolls
+  // the same 10 stages as CTEs and replays the loop bit-identically.
+  private val BpeIters = 10
+
+  val q126 = GraftQuery("q126_bpe_merge_loop", (s, dir) => {
+    import s.implicits._
+    val chars = transform(sequence(lit(1), length(col("word"))),
+      i => col("word").substr(i, lit(1)))
+    val base = Tables(s, dir).documents
+      .select(explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), array_join(chars, "  "), lit(" ")).as("w"), col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var dict = base.select(col("w"), col("n"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (it <- 1 to BpeIters) {
+      val syms = split(trim(col("w")), "  ")
+      val pairs = when(size(syms) >= 2,
+        transform(sequence(lit(1), size(syms) - 1),
+          i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+        .otherwise(array().cast("array<struct<a:string,b:string>>"))
+      val best = dict.select(col("n"), explode(pairs).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((it, a, b, cnt))
+      dict = dict.withColumn("w",
+        org.apache.spark.sql.functions.replace(
+          col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
+    }
+    merges.result().toDF("it", "a", "b", "cnt").orderBy("it")
+  }, Some {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+             |  WHERE length(word) >= 1 GROUP BY word),
+             |d0 AS (SELECT ' ' || list_aggregate(list_transform(range(1, length(word) + 1),
+             |    i -> substr(word, CAST(i AS INTEGER), 1)), 'string_agg', '  ') || ' ' AS w, n
+             |  FROM w0)""".stripMargin
+    for (i <- 1 to BpeIters) {
+      val p = s"d${i - 1}"
+      sb ++= s""",
+               |p$i AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
+               |  FROM (SELECT string_split(trim(w), '  ') AS s, n,
+               |          unnest(range(1, len(string_split(trim(w), '  ')))) AS i FROM $p)
+               |  GROUP BY s[i], s[i + 1]),
+               |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+               |d$i AS (SELECT replace(w, ' ' || a || '  ' || b || ' ',
+               |                       ' ' || a || b || ' ') AS w, n
+               |  FROM $p CROSS JOIN b$i)""".stripMargin
+    }
+    sb ++= "\nSELECT * FROM (" +
+      (1 to BpeIters).map(i =>
+        s"SELECT CAST($i AS INTEGER) AS it, a, b, cnt FROM b$i").mkString(" UNION ALL ") +
+      ") ORDER BY it"
+    sb.toString
+  })
+
+  val all: Seq[GraftQuery] = Seq(q114, q115, q117, q126)
 }

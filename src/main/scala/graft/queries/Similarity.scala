@@ -653,5 +653,121 @@ object Similarity {
       |    - CAST(base_n AS DOUBLE) / CAST(base_t AS DOUBLE)) AS drift
       |FROM counts CROSS JOIN t ORDER BY cent_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124)
+  // -- q127: IVF retrain-and-swap (the loop q124's drift signal closes) -
+  // q124 reports drift; this ACTS on it — the index-maintenance
+  // decision a live ANN service runs: if the worst per-cell drift
+  // exceeds the retrain threshold, re-seed the coarse quantizer over
+  // the UNION corpus (base + ingested batch) and emit the new index's
+  // occupancy beside the old one — the swap report an operator reviews
+  // (and an automated swap consumes) before flipping serving traffic.
+  //
+  // Exactness over float Lloyd: a mean-update step is order-dependent
+  // float arithmetic DuckDB cannot replay bit-identically (the q37b
+  // lesson), so the GATED retrain is the deterministic reseed — per
+  // hash slot, the union vector with the smallest (crossHash60, vec_id)
+  // becomes a seed, so batch vectors are eligible and the new quantizer
+  // is a pure function of the data. Lloyd REFINEMENT of these seeds
+  // stays available via [[kmeansCentroids]] (recall-banded in specs,
+  // like q37b/q102). Everything gated is exact: assignment argmax is
+  // the bit-equal cosine kernel (q116-proven), occupancies are integer
+  // counts, the trigger compares a round(6) drift maximum computed by
+  // the same IEEE chain in both engines.
+  //
+  // Scale shape: two corpus passes (old-assign, new-assign), both
+  // map-only kernel projections into nlist-sized aggregates; seeds are
+  // a slot-wise struct-min aggregate (map-side partials, 16-row
+  // result); the trigger is a 1-row scalar. Driver state = 2×NList
+  // centroid rows + one drift maximum — bounded at any corpus size.
+  val q127 = GraftQuery("q127_ivf_retrain_swap", (s, dir) => {
+    import graft.QueryDsl.crossHash60
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16; val DriftT = 0.05
+    val c = corpus(s, dir)
+      .withColumn("is_batch", pmod(crossHash60(col("vec_id")), lit(5)) === 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldCents = c.where(!col("is_batch")).orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val dim = oldCents.head._2.length
+    val oldAsn = c.select(col("vec_id"), col("is_batch"),
+      nearestCentroidId(col("v"), oldCents.flatMap(_._2), oldCents.map(_._1), dim)
+        .as("cent_id"))
+    val counts = oldAsn.groupBy("cent_id")
+      .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("base_n"),
+        sum(when(col("is_batch"), 1L).otherwise(0L)).as("batch_n"))
+    val totals = counts.agg(sum(col("base_n")).as("base_t"), sum(col("batch_n")).as("batch_t"))
+    val maxDrift = counts.crossJoin(broadcast(totals))
+      .agg(round(max(abs(col("batch_n").cast("double") / col("batch_t").cast("double") -
+        col("base_n").cast("double") / col("base_t").cast("double"))), 6))
+      .collect()(0).getDouble(0)
+    val retrained = maxDrift > DriftT
+    val oldRep = oldAsn.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+      .select(lit("old").as("side"), col("cent_id"), col("n_vecs"))
+    val report =
+      if (!retrained) oldRep
+      else {
+        // deterministic union reseed: per hash slot, argmin (h, vec_id)
+        val seedIds = c
+          .select(col("vec_id"), crossHash60(col("vec_id")).as("h"))
+          .withColumn("slot", pmod(col("h"), lit(NList)))
+          .groupBy("slot")
+          .agg(min(struct(col("h"), col("vec_id"))).as("m"))
+          .select(col("m.vec_id").as("vec_id"))
+        val newCents = c.join(seedIds, Seq("vec_id")).orderBy("vec_id").collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        val newRep = c.select(col("vec_id"),
+            nearestCentroidId(col("v"), newCents.flatMap(_._2), newCents.map(_._1), dim)
+              .as("cent_id"))
+          .groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
+          .select(lit("new").as("side"), col("cent_id"), col("n_vecs"))
+        oldRep.unionAll(newRep)
+      }
+    report
+      .withColumn("max_drift", lit(maxDrift))
+      .withColumn("retrained", lit(retrained))
+      .orderBy(col("side").desc, col("cent_id"))
+  }, Some(
+    s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |            ${graft.QueryDsl.crossHash60Sql("vec_id")} % 5 = 0 AS is_batch,
+      |            ${graft.QueryDsl.crossHash60Sql("vec_id")} AS h
+      |          FROM embeddings),
+      |oldcent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c
+      |            WHERE NOT is_batch ORDER BY vec_id LIMIT 16),
+      |oasn AS (SELECT vec_id, is_batch, cent_id FROM (
+      |           SELECT c.vec_id, c.is_batch, cent_id,
+      |             row_number() OVER (PARTITION BY c.vec_id
+      |               ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |           FROM c CROSS JOIN oldcent) WHERE rk = 1),
+      |counts AS (SELECT cent_id,
+      |             CAST(SUM(CASE WHEN is_batch THEN 0 ELSE 1 END) AS BIGINT) AS base_n,
+      |             CAST(SUM(CASE WHEN is_batch THEN 1 ELSE 0 END) AS BIGINT) AS batch_n
+      |           FROM oasn GROUP BY cent_id),
+      |t AS (SELECT CAST(SUM(base_n) AS BIGINT) AS base_t,
+      |             CAST(SUM(batch_n) AS BIGINT) AS batch_t FROM counts),
+      |md AS (SELECT round(max(abs(CAST(batch_n AS DOUBLE) / CAST(batch_t AS DOUBLE)
+      |              - CAST(base_n AS DOUBLE) / CAST(base_t AS DOUBLE))), 6) AS max_drift
+      |       FROM counts CROSS JOIN t),
+      |seed AS (SELECT vec_id FROM (
+      |           SELECT vec_id, row_number() OVER (PARTITION BY h % 16
+      |             ORDER BY h, vec_id) AS rk FROM c) WHERE rk = 1),
+      |newcent AS (SELECT c.vec_id AS cent_id, c.v AS cent_v
+      |            FROM c JOIN seed ON c.vec_id = seed.vec_id),
+      |nasn AS (SELECT vec_id, cent_id FROM (
+      |           SELECT c.vec_id, cent_id,
+      |             row_number() OVER (PARTITION BY c.vec_id
+      |               ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS rk
+      |           FROM c CROSS JOIN newcent) WHERE rk = 1),
+      |oldrep AS (SELECT 'old' AS side, cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |           FROM oasn GROUP BY cent_id),
+      |newrep AS (SELECT 'new' AS side, cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+      |           FROM nasn GROUP BY cent_id),
+      |rep AS (SELECT * FROM oldrep
+      |        UNION ALL
+      |        SELECT * FROM newrep WHERE (SELECT max_drift FROM md) > 0.05)
+      |SELECT side, cent_id, n_vecs,
+      |  (SELECT max_drift FROM md) AS max_drift,
+      |  (SELECT max_drift > 0.05 FROM md) AS retrained
+      |FROM rep ORDER BY side DESC, cent_id""".stripMargin))
+
+  val all: Seq[GraftQuery] =
+    Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124, q127)
 }

@@ -202,6 +202,38 @@ class TextAndAnnSpec extends SparkSpecBase {
     assert(witness == bruteTop1, s"PQ rank-1 != brute top-1: $witness vs $bruteTop1")
   }
 
+  test("q127 swap report: complete partitions, consistent trigger across SFs") {
+    import spark.implicits._
+    // both trigger branches live in the test data: sf0.001 stays under
+    // the 0.05 drift threshold (old index only), sf0.01 exceeds it
+    // (old + new occupancy side by side)
+    for ((dir, expectRetrain) <- Seq("/root/testdata/sf0.001" -> false,
+                                     "/root/testdata/sf0.01" -> true)) {
+      val rep = Similarity.q127.run(spark, dir)
+        .select("side", "cent_id", "n_vecs", "max_drift", "retrained")
+        .as[(String, Long, Long, Double, Boolean)].collect()
+      val corpusN = graft.Tables(spark, dir).embeddings.count()
+      val sides = rep.groupBy(_._1)
+      assert(rep.forall(_._5 == expectRetrain), s"$dir: unexpected trigger state")
+      // every index side is a complete partition of the corpus
+      sides.foreach { case (side, rows) =>
+        assert(rows.map(_._3).sum == corpusN,
+          s"$dir/$side occupancies don't partition the corpus")
+      }
+      if (expectRetrain) {
+        assert(sides.keySet == Set("old", "new"), s"$dir: swap report missing a side")
+        assert(rep.forall(_._4 > 0.05), "retrained but max_drift under threshold")
+        // the new quantizer is genuinely re-seeded over the union —
+        // its cell ids cannot all coincide with the base-only seeds
+        val oldIds = sides("old").map(_._2).toSet
+        val newIds = sides("new").map(_._2).toSet
+        assert(newIds != oldIds, "reseed produced the identical quantizer")
+      } else {
+        assert(sides.keySet == Set("old"), s"$dir: unexpected new-index rows")
+      }
+    }
+  }
+
   test("hyperplane signatures: similar vectors get close signatures") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)

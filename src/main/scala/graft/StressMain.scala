@@ -206,6 +206,42 @@ object StressMain {
       }
     }
 
+    if (mode == "bloomshard" || mode == "all") {
+      // Sharded-bloom path (q114's >10^9-span scale plumbing): build S
+      // hash-partitioned sketches with per-shard timings, probe with
+      // per-span shard routing, and check the confirmed output is
+      // IDENTICAL to the single-sketch path — the property that makes
+      // shard count a pure memory knob. Peak sketch memory per
+      // task/driver is one shard, so S scales the span capacity
+      // linearly at constant per-JVM footprint.
+      val S = 4
+      val dir = StressDir
+      if (!new java.io.File(s"$dir/part.parquet").exists()) gen(spark, "/root/testdata/sf0.1")
+      val single = graft.queries.Curation4.bloomIncrement(spark, dir, shards = 1)
+        .collect().toSeq
+      sweep()
+      val (docs, baseDocs) = graft.queries.Curation4.bloomSpanDocs(spark, dir)
+      val baseSpans = docs.where(col("_slice") =!= 0)
+        .select(explode(col("_sp")).as("span"))
+      val perShard = math.max(baseDocs * 256L / S, 1000L)
+      (0 until S).foreach { sh =>
+        val t0 = System.nanoTime()
+        val bf = graft.queries.Curation4.buildShardBloom(baseSpans, S, sh, perShard)
+        println(f"[stress] bloomshard build $sh/$S ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+          f"(${bf.bitSize() / 8 / 1024} KiB sketch)")
+      }
+      sweep()
+      val t0 = System.nanoTime()
+      val sharded = graft.queries.Curation4.bloomIncrement(spark, dir, shards = S)
+        .collect().toSeq
+      println(f"[stress] bloomshard probe+confirm S=$S ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+        f"rows=${sharded.size}")
+      require(sharded == single,
+        s"sharded output diverged: ${sharded.size} rows vs ${single.size}")
+      println(s"[stress] bloomshard S=$S output == S=1 output (${single.size} rows)")
+      sweep()
+    }
+
     if (mode == "run" || mode == "all") {
       // untimed warmup (session/codegen init otherwise lands on query 1)
       SparkEntry.queries("q27_dedup_exact")(spark, StressDir).count()

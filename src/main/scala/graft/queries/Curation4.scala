@@ -37,45 +37,80 @@ object Curation4 {
   // 100 TB notes: at ~10 bits/span a single sketch covers ~10^9 base
   // spans per GB of driver/executor memory; beyond that the span space
   // hash-partitions into S independent sketches built and probed per
-  // range (same plumbing per shard). Dolma's production mode skips the
-  // confirm join entirely and accepts the fp rate — that variant is
-  // this plan minus the semi-join.
-  val q114 = GraftQuery("q114_bloom_increment", (s, dir) => {
-    import graft.functions.expr.BloomExpressions.bloomMightContainLong
+  // range — IMPLEMENTED: [[bloomIncrement]] takes the shard count, the
+  // probe routes each span to its own shard's sketch, and the output is
+  // S-independent (StressMain's bloomshard mode times per-shard builds
+  // and checks S=4 ≡ S=1). Dolma's production mode skips the confirm
+  // join entirely and accepts the fp rate — that variant is this plan
+  // minus the semi-join.
+  /** The shingled doc relation (persisted) plus the observed base-doc
+    * count — the sizing metric rides the cache-materialization job via
+    * observe() (the ConnectedComponents trick): ONE pass tokenizes,
+    * shingles, fills the cache, and reports the base-doc count — no
+    * separate filtered count job over the materialized relation. */
+  private[graft] def bloomSpanDocs(s: SparkSession, dir: String): (DataFrame, Long) = {
     val t = col("_t")
     def spans(tokens: Column): Column =
       array_distinct(transform(sequence(lit(0), size(tokens) - 8),
         i => array_join(slice(tokens, i + 1, lit(8)), " ")))
-    // The shingled relation is referenced by the sizing count, the
-    // bloom build, the confirm-join base scan, and both batch passes —
-    // persist so the per-doc span materialization (split + 8-token
-    // concat + distinct, the dominant row work) runs once (the
-    // allPairsJaccardOn pattern; Bench/Stress sweeps unpersist it).
+    val obs = org.apache.spark.sql.Observation()
     val docs = Tables(s, dir).documents
       .withColumn("_t", split(col("text"), " "))
       .where(size(t) >= 8)
       .withColumn("_slice", pmod(crossHash60(col("doc_id")), lit(5)))
       .select(col("doc_id"), col("_slice"), spans(t).as("_sp"))
+      .observe(obs, sum(when(col("_slice") =!= 0, 1L).otherwise(0L)).as("base_docs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    docs.count() // materialize + observe in one job
+    (docs, obs.get("base_docs").asInstanceOf[Long])
+  }
+
+  /** One shard's sketch: built over only the base spans whose hash lands
+    * in shard `sh` of `shards` — a column-pruned, shard-filtered pass, so
+    * peak sketch memory anywhere (executor merge tree, driver, probe-side
+    * plan reference) is ONE shard, never the full span space. */
+  private[graft] def buildShardBloom(baseSpans: DataFrame, shards: Int, sh: Int,
+      expected: Long): org.apache.spark.util.sketch.BloomFilter =
+    baseSpans
+      .where(pmod(xxhash64(col("span")), lit(shards)) === sh)
+      .select(xxhash64(col("span")).as("h"))
+      .stat.bloomFilter("h", math.max(expected, 1000L), 0.01)
+
+  /** The incremental span-dedup dataflow behind q114, parameterized by
+    * sketch shard count. `shards = 1` is q114's single-sketch path; at
+    * >10^9 base spans (~1 GB of sketch at 10 bits/span) the span space
+    * hash-partitions into S independent sketches built and probed per
+    * range — same plumbing per shard, and the in-row probe routes each
+    * span to ITS shard's sketch, so candidates (and after the exact
+    * confirm join, the output) are identical for every S. */
+  private[graft] def bloomIncrement(s: SparkSession, dir: String, shards: Int): DataFrame = {
+    import graft.functions.expr.BloomExpressions.bloomMightContainLong
+    val (docs, baseDocs) = bloomSpanDocs(s, dir)
     val baseSpans = docs.where(col("_slice") =!= 0)
       .select(explode(col("_sp")).as("span"))
 
     // Index build (bounded driver state, like the IVF quantizer). The
-    // sketch is sized from a LIGHT scan — a base row count (column-
-    // pruned, no span explode) times a generous per-doc span cap — not
-    // an exact span count, which would cost a full explode pass of its
-    // own. Oversizing only lowers the fp rate; undersizing (docs far
-    // longer than the cap) only weakens pruning — the confirm join
-    // keeps the OUTPUT exact either way. ~10 bits/span at 1% fp.
+    // sketch is sized from the OBSERVED base row count (no span
+    // explode) times a generous per-doc span cap — not an exact span
+    // count, which would cost a full explode pass of its own.
+    // Oversizing only lowers the fp rate; undersizing (docs far longer
+    // than the cap) only weakens pruning — the confirm join keeps the
+    // OUTPUT exact either way. ~10 bits/span at 1% fp.
     val spanCapPerDoc = 256L
-    val nSpans = math.max(docs.where(col("_slice") =!= 0).count() * spanCapPerDoc, 1000L)
-    val bloom = baseSpans.select(xxhash64(col("span")).as("h"))
-      .stat.bloomFilter("h", nSpans, 0.01)
+    val nSpans = math.max(baseDocs * spanCapPerDoc, 1000L)
+    val blooms = (0 until shards).map(sh =>
+      buildShardBloom(baseSpans, shards, sh, nSpans / shards)).toArray
 
-    // Probe: in-row prefilter, then explode only the candidates.
+    // Probe: in-row prefilter routed to the span's own shard, then
+    // explode only the candidates.
+    def mightContain(sp: Column): Column =
+      if (shards == 1) bloomMightContainLong(xxhash64(sp), blooms(0))
+      else blooms.zipWithIndex.map { case (bf, sh) =>
+        pmod(xxhash64(sp), lit(shards)) === sh && bloomMightContainLong(xxhash64(sp), bf)
+      }.reduce(_ || _)
     val batch = docs.where(col("_slice") === 0)
       .select(col("doc_id"), size(col("_sp")).cast(LongType).as("n_spans"),
-        filter(col("_sp"), sp => bloomMightContainLong(xxhash64(sp), bloom)).as("_cand"))
+        filter(col("_sp"), sp => mightContain(sp)).as("_cand"))
     val cand = batch.select(col("doc_id"), explode(col("_cand")).as("span"))
     val candSet = cand.select("span").distinct()
     // Exact confirm: base scan stays map-side (semi vs broadcast set);
@@ -89,7 +124,10 @@ object Curation4 {
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         round(coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_spans"), 6).as("share"))
       .orderBy("doc_id")
-  }, Some(
+  }
+
+  val q114 = GraftQuery("q114_bloom_increment",
+    (s, dir) => bloomIncrement(s, dir, shards = 1), Some(
     s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sl AS (SELECT doc_id, t, ${crossHash60Sql("doc_id")} % 5 = 0 AS is_batch
        |       FROM d WHERE len(t) >= 8),

@@ -82,7 +82,10 @@ object StressMain {
     "q117_bpe_merges",
     // round 6: retrieval scoring, embedding compression, PII scrub
     "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8",
-    "q122_ann_ivf_sq8", "q123_knn_label", "q124_ivf_ingest")
+    "q122_ann_ivf_sq8", "q123_knn_label", "q124_ivf_ingest",
+    // round 8: runtime-relation BM25, BPE training loop, IVF
+    // retrain-and-swap
+    "q125_bm25_queries", "q126_bpe_merge_loop", "q127_ivf_retrain_swap")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

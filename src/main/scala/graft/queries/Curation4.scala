@@ -230,7 +230,55 @@ object Curation4 {
   // would need PCRE, which DuckDB's RE2 lacks). Argmax ties break on
   // (a, b) byte order; counts are exact integers. The oracle unrolls
   // the same 10 stages as CTEs and replays the loop bit-identically.
+  //
+  // Size-adaptive iteration (the ConnectedComponents cutover pattern):
+  // a vocabulary under the cutover collects once and the merge loop
+  // runs driver-local (10 iterations = string ops over a dict that
+  // fits trivially in memory — measured, the 10-job distributed loop
+  // was pure per-job scheduling floor at test vocab sizes); above the
+  // cutover (web-scale ~10^7-word vocabs) the loop runs as 10 bounded
+  // Spark jobs over the persisted dict. Identical semantics (Java
+  // String.replace = Spark replace = DuckDB replace on the disjoint-
+  // match encoding); a Bpe spec compares the paths, and
+  // -Dgraft.bpe.driverFallbackWords=0 forces the distributed loop.
   private val BpeIters = 10
+
+  /** Driver-local BPE merge loop over a collected (padded-word, n)
+    * dict — bit-identical to the distributed loop and the oracle. */
+  private[graft] def bpeMergesLocal(dict0: Array[(String, Long)],
+      iters: Int): Seq[(Int, String, String, Long)] = {
+    var dict = dict0
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    var it = 1
+    var exhausted = false
+    while (it <= iters && !exhausted) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      dict.foreach { case (w, n) =>
+        val syms = w.trim.split("  ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        // argmax with the oracle's tie-break: cnt DESC, a ASC, b ASC
+        val ((a, b), cnt) = counts.foldLeft(Option.empty[((String, String), Long)]) {
+          case (acc, e @ ((ea, eb), ec)) => acc match {
+            case Some(((pa, pb), pc))
+              if ec < pc || (ec == pc && (ea > pa || (ea == pa && eb >= pb))) => acc
+            case _ => Some(e)
+          }
+        }.get
+        out += ((it, a, b, cnt))
+        dict = dict.map { case (w, n) => (w.replace(s" $a  $b ", s" $a$b "), n) }
+        it += 1
+      }
+    }
+    out.result()
+  }
 
   val q126 = GraftQuery("q126_bpe_merge_loop", (s, dir) => {
     import s.implicits._
@@ -242,26 +290,36 @@ object Curation4 {
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(concat(lit(" "), array_join(chars, "  "), lit(" ")).as("w"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var dict = base.select(col("w"), col("n"))
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (it <- 1 to BpeIters) {
-      val syms = split(trim(col("w")), "  ")
-      val pairs = when(size(syms) >= 2,
-        transform(sequence(lit(1), size(syms) - 1),
-          i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
-        .otherwise(array().cast("array<struct<a:string,b:string>>"))
-      val best = dict.select(col("n"), explode(pairs).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-      merges += ((it, a, b, cnt))
-      dict = dict.withColumn("w",
-        org.apache.spark.sql.functions.replace(
-          col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
-    }
-    merges.result().toDF("it", "a", "b", "cnt").orderBy("it")
+    val cutover = sys.props.get("graft.bpe.driverFallbackWords")
+      .map(_.toInt).getOrElse(100000)
+    // one bounded probe job: ≤ cutover+1 rows decide the path (and
+    // materialize the cache the distributed path would reuse)
+    val head = base.limit(cutover + 1).as[(String, Long)].collect()
+    val merges =
+      if (head.length <= cutover) bpeMergesLocal(head, BpeIters)
+      else {
+        var dict = base.select(col("w"), col("n"))
+        val out = Seq.newBuilder[(Int, String, String, Long)]
+        for (it <- 1 to BpeIters) {
+          val syms = split(trim(col("w")), "  ")
+          val pairs = when(size(syms) >= 2,
+            transform(sequence(lit(1), size(syms) - 1),
+              i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+            .otherwise(array().cast("array<struct<a:string,b:string>>"))
+          val best = dict.select(col("n"), explode(pairs).as("p"))
+            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()(0)
+          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+          out += ((it, a, b, cnt))
+          dict = dict.withColumn("w",
+            org.apache.spark.sql.functions.replace(
+              col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
+        }
+        out.result()
+      }
+    merges.toDF("it", "a", "b", "cnt").orderBy("it")
   }, Some {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n

@@ -34,6 +34,18 @@ class BpeSpec extends SparkSpecBase {
     assert(rows == Seq(" aa  aa ", " aa  a ", " b  a  b "))
   }
 
+  test("driver-local and distributed merge loops produce identical merges") {
+    import spark.implicits._
+    val local = Curation4.q126.run(spark, sfDir)
+      .as[(Int, String, String, Long)].collect().toSeq
+    sys.props("graft.bpe.driverFallbackWords") = "0"
+    val distributed =
+      try Curation4.q126.run(spark, sfDir).as[(Int, String, String, Long)].collect().toSeq
+      finally sys.props.remove("graft.bpe.driverFallbackWords")
+    assert(local == distributed,
+      s"cutover paths diverge:\n$local\nvs\n$distributed")
+  }
+
   test("q126 composes multi-character symbols across iterations") {
     import spark.implicits._
     val merges = Curation4.q126.run(spark, sfDir)

@@ -264,7 +264,8 @@ object Similarity {
   // rows-only. The full top-5 list stays available via
   // [[ivfKmeansTop5]] (recall-banded against q37 in TextAndAnnSpec).
   private[graft] def kmeansCentroids(
-      c: DataFrame, k: Int, iters: Int, sampleN: Int): Array[Array[Double]] = {
+      c: DataFrame, k: Int, iters: Int, sampleN: Int,
+      init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     def normalize(v: Array[Double]): Array[Double] = {
       var s = 0.0; var i = 0
       while (i < v.length) { s += v(i) * v(i); i += 1 }
@@ -273,7 +274,11 @@ object Similarity {
     }
     val sample = c.orderBy("vec_id").limit(sampleN).collect()
       .map(r => normalize(r.getSeq[Double](1).toArray))
-    var cents = sample.take(k).map(_.clone())
+    // init: caller-provided starting centroids (e.g. q127's drift-
+    // triggered union reseed, Lloyd-refined here); default = first k
+    // of the deterministic sample
+    var cents = init.map(_.map(v => normalize(v.clone())))
+      .getOrElse(sample.take(k).map(_.clone()))
     val dim = if (sample.nonEmpty) sample(0).length else 0
     for (_ <- 0 until iters) {
       val sums = Array.fill(k)(new Array[Double](dim))

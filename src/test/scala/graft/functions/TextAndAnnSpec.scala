@@ -234,6 +234,45 @@ class TextAndAnnSpec extends SparkSpecBase {
     }
   }
 
+  test("q127 retrain completes with Lloyd: refining the union reseed improves the objective") {
+    import graft.QueryDsl.crossHash60
+    // sf0.01 is the SF where q127's drift trigger fires — replay its
+    // union reseed, then run Lloyd FROM those seeds on the union corpus
+    // (the refinement step the q127 scaladoc names) and check the
+    // spherical-k-means objective strictly improves. This is the
+    // non-gated half of retrain-and-swap: the gated report uses the
+    // deterministic reseed; Lloyd is the quality pass on top.
+    val dir = "/root/testdata/sf0.01"
+    val c = graft.Tables(spark, dir).embeddings
+      .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))
+    import spark.implicits._
+    val seedIds = c
+      .select(col("vec_id"), crossHash60(col("vec_id")).as("h"))
+      .withColumn("slot", pmod(col("h"), lit(16)))
+      .groupBy("slot").agg(min(struct(col("h"), col("vec_id"))).as("m"))
+      .select(col("m.vec_id")).as[Long].collect().toSet
+    val seeds = c.filter(col("vec_id").isInCollection(seedIds)).orderBy("vec_id")
+      .collect().map(r => r.getSeq[Double](1).toArray)
+    assert(seeds.length == 16, s"expected 16 union seeds, got ${seeds.length}")
+    def objective(cents: Array[Array[Double]]): Double = {
+      val cdf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+        .toDF("cent_id", "cent_v")
+      c.crossJoin(broadcast(cdf))
+        .select(col("vec_id"), VectorFunctions.cosineSim(col("v"), col("cent_v")).as("d"))
+        .groupBy("vec_id").agg(max(col("d")).as("m"))
+        .agg(avg(col("m"))).collect()(0).getDouble(0)
+    }
+    def normalize(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum); if (n == 0) v else v.map(_ / n)
+    }
+    val refined = graft.queries.Similarity.kmeansCentroids(
+      c, k = 16, iters = 8, sampleN = 2000, init = Some(seeds))
+    val seedObj = objective(seeds.map(normalize))
+    val refinedObj = objective(refined)
+    assert(refinedObj > seedObj + 1e-6,
+      s"Lloyd from the union reseed did not improve: $refinedObj vs $seedObj")
+  }
+
   test("hyperplane signatures: similar vectors get close signatures") {
     import spark.implicits._
     val v = Array.tabulate(64)(i => math.sin(i * 1.7) * 2)

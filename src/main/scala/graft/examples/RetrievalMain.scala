@@ -63,6 +63,20 @@ object RetrievalMain {
 
     println("[retrieval] BM25 lexical top-5 (q118):")
     SparkEntry.queries("q118_bm25_topk")(spark, sfDir).show(5, truncate = false)
+
+    // the runtime-relation form a retrieval user actually calls:
+    // bm25(corpus, queries, k) over an ad-hoc query table
+    println("[retrieval] BM25 with a runtime query relation (operators.Bm25):")
+    val t0 = System.nanoTime()
+    val queries = Seq(
+      0L -> Seq("join", "window", "stream", "hash"),
+      1L -> Seq("vector", "scan"),
+      2L -> Seq("customer", "query", "batch")).toDF("qid", "terms")
+    val hits = graft.operators.Bm25.bm25(
+      graft.Tables(spark, sfDir).documents.select("doc_id", "text"), queries, k = 3)
+      .collect()
+    println(f"[retrieval] 3-query batch in ${(System.nanoTime() - t0) / 1e9}%6.2f s:")
+    hits.foreach(r => println(s"[retrieval]   $r"))
     spark.stop()
   }
 }

@@ -693,20 +693,32 @@ object Similarity {
     val oldCents = c.where(!col("is_batch")).orderBy("vec_id").limit(NList).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val dim = oldCents.head._2.length
-    val oldAsn = c.select(col("vec_id"), col("is_batch"),
-      nearestCentroidId(col("v"), oldCents.flatMap(_._2), oldCents.map(_._1), dim)
-        .as("cent_id"))
-    val counts = oldAsn.groupBy("cent_id")
+    // ONE corpus pass produces the nlist-row per-cell counts; drift,
+    // the trigger, and the old-index occupancy report all derive from
+    // the collected rows driver-side (bounded: nlist) — no second scan
+    // for the report, no scalar-broadcast round trip for the trigger.
+    val counts = c.select(col("vec_id"), col("is_batch"),
+        nearestCentroidId(col("v"), oldCents.flatMap(_._2), oldCents.map(_._1), dim)
+          .as("cent_id"))
+      .groupBy("cent_id")
       .agg(sum(when(col("is_batch"), 0L).otherwise(1L)).as("base_n"),
         sum(when(col("is_batch"), 1L).otherwise(0L)).as("batch_n"))
-    val totals = counts.agg(sum(col("base_n")).as("base_t"), sum(col("batch_n")).as("batch_t"))
-    val maxDrift = counts.crossJoin(broadcast(totals))
-      .agg(round(max(abs(col("batch_n").cast("double") / col("batch_t").cast("double") -
-        col("base_n").cast("double") / col("base_t").cast("double"))), 6))
-      .collect()(0).getDouble(0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val baseT = counts.map(_._2).sum.toDouble
+    val batchT = counts.map(_._3).sum.toDouble
+    // same IEEE chain as the oracle (two exact integer-ratio divisions,
+    // one subtraction), same HALF_UP 6-decimal rounding as round(x, 6)
+    val rawDrift =
+      if (batchT == 0.0 || baseT == 0.0) 0.0 // empty slice: nothing to compare
+      else counts.foldLeft(0.0) { case (m, (_, bn, in)) =>
+        math.max(m, math.abs(in / batchT - bn / baseT))
+      }
+    val maxDrift =
+      BigDecimal(rawDrift).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val retrained = maxDrift > DriftT
-    val oldRep = oldAsn.groupBy("cent_id").agg(count(lit(1)).as("n_vecs"))
-      .select(lit("old").as("side"), col("cent_id"), col("n_vecs"))
+    import s.implicits._
+    val oldRep = counts.map { case (cid, bn, in) => ("old", cid, bn + in) }.toSeq
+      .toDF("side", "cent_id", "n_vecs")
     val report =
       if (!retrained) oldRep
       else {

@@ -243,17 +243,18 @@ object Curation4 {
   // -Dgraft.bpe.driverFallbackWords=0 forces the distributed loop.
   private val BpeIters = 10
 
-  /** Driver-local BPE merge loop over a collected (padded-word, n)
-    * dict — bit-identical to the distributed loop and the oracle. */
-  private[graft] def bpeMergesLocal(dict0: Array[(String, Long)],
-      iters: Int): Seq[(Int, String, String, Long)] = {
+  /** Driver-local BPE training loop over a collected (word, padded, n)
+    * dict — bit-identical to the distributed loop and the oracle.
+    * Returns the merge sequence AND the post-merge dict. */
+  private[graft] def bpeTrainLocal(dict0: Array[(String, String, Long)],
+      iters: Int): (Seq[(Int, String, String, Long)], Array[(String, String, Long)]) = {
     var dict = dict0
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var it = 1
     var exhausted = false
     while (it <= iters && !exhausted) {
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      dict.foreach { case (w, n) =>
+      dict.foreach { case (_, w, n) =>
         val syms = w.trim.split("  ")
         var i = 0
         while (i < syms.length - 1) {
@@ -273,14 +274,19 @@ object Curation4 {
           }
         }.get
         out += ((it, a, b, cnt))
-        dict = dict.map { case (w, n) => (w.replace(s" $a  $b ", s" $a$b "), n) }
+        dict = dict.map { case (word, w, n) => (word, w.replace(s" $a  $b ", s" $a$b "), n) }
         it += 1
       }
     }
-    out.result()
+    (out.result(), dict)
   }
 
-  val q126 = GraftQuery("q126_bpe_merge_loop", (s, dir) => {
+  /** Train BPE over the corpus vocabulary (size-adaptive loop) and
+    * return (merge sequence, trained token map). The token map —
+    * (word, n_tok) with n_tok = symbol count under the learned merges —
+    * is the tokenizer artifact q128 applies back to the corpus. */
+  private[graft] def bpeTrainedDict(s: SparkSession, dir: String)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     import s.implicits._
     val chars = transform(sequence(lit(1), length(col("word"))),
       i => col("word").substr(i, lit(1)))
@@ -288,47 +294,57 @@ object Curation4 {
       .select(explode(split(col("text"), " ")).as("word"))
       .where(length(col("word")) >= 1)
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "), array_join(chars, "  "), lit(" ")).as("w"), col("n"))
+      .select(col("word"),
+        concat(lit(" "), array_join(chars, "  "), lit(" ")).as("w"), col("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cutover = sys.props.get("graft.bpe.driverFallbackWords")
       .map(_.toInt).getOrElse(100000)
     // one bounded probe job: ≤ cutover+1 rows decide the path (and
     // materialize the cache the distributed path would reuse)
-    val head = base.limit(cutover + 1).as[(String, Long)].collect()
-    val merges =
-      if (head.length <= cutover) bpeMergesLocal(head, BpeIters)
-      else {
-        var dict = base.select(col("w"), col("n"))
-        val out = Seq.newBuilder[(Int, String, String, Long)]
-        for (it <- 1 to BpeIters) {
-          val syms = split(trim(col("w")), "  ")
-          val pairs = when(size(syms) >= 2,
-            transform(sequence(lit(1), size(syms) - 1),
-              i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
-            .otherwise(array().cast("array<struct<a:string,b:string>>"))
-          val best = dict.select(col("n"), explode(pairs).as("p"))
-            .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-            .agg(sum(col("n")).as("cnt"))
-            .orderBy(col("cnt").desc, col("a"), col("b"))
-            .limit(1).collect()(0)
-          val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
-          out += ((it, a, b, cnt))
-          dict = dict.withColumn("w",
-            org.apache.spark.sql.functions.replace(
-              col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
-        }
-        out.result()
+    val head = base.limit(cutover + 1).as[(String, String, Long)].collect()
+    if (head.length <= cutover) {
+      val (merges, dictF) = bpeTrainLocal(head, BpeIters)
+      val tok = dictF.map { case (word, w, _) =>
+        (word, w.trim.split("  ").length.toLong) }.toSeq.toDF("word", "n_tok")
+      (merges, tok)
+    } else {
+      var dict = base.select(col("word"), col("w"), col("n"))
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      for (it <- 1 to BpeIters) {
+        val syms = split(trim(col("w")), "  ")
+        val pairs = when(size(syms) >= 2,
+          transform(sequence(lit(1), size(syms) - 1),
+            i => struct(element_at(syms, i).as("a"), element_at(syms, i + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))
+        val best = dict.select(col("n"), explode(pairs).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (best.getString(0), best.getString(1), best.getLong(2))
+        out += ((it, a, b, cnt))
+        dict = dict.withColumn("w",
+          org.apache.spark.sql.functions.replace(
+            col("w"), lit(s" $a  $b "), lit(s" $a$b ")))
       }
-    merges.toDF("it", "a", "b", "cnt").orderBy("it")
-  }, Some {
+      (out.result(),
+        dict.select(col("word"),
+          size(split(trim(col("w")), "  ")).cast(LongType).as("n_tok")))
+    }
+  }
+
+  /** Shared DuckDB CTE chain for the BPE training loop: w0 (word
+    * frequencies), d0..dN (dict states, carrying the original word),
+    * pI/bI (per-iteration pair stats and argmax). */
+  private def bpeCtes(iters: Int): String = {
     val sb = new StringBuilder
     sb ++= """WITH w0 AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n
              |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
              |  WHERE length(word) >= 1 GROUP BY word),
-             |d0 AS (SELECT ' ' || list_aggregate(list_transform(range(1, length(word) + 1),
+             |d0 AS (SELECT word, ' ' || list_aggregate(list_transform(range(1, length(word) + 1),
              |    i -> substr(word, CAST(i AS INTEGER), 1)), 'string_agg', '  ') || ' ' AS w, n
              |  FROM w0)""".stripMargin
-    for (i <- 1 to BpeIters) {
+    for (i <- 1 to iters) {
       val p = s"d${i - 1}"
       sb ++= s""",
                |p$i AS (SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(n) AS BIGINT) AS cnt
@@ -336,16 +352,55 @@ object Curation4 {
                |          unnest(range(1, len(string_split(trim(w), '  ')))) AS i FROM $p)
                |  GROUP BY s[i], s[i + 1]),
                |b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
-               |d$i AS (SELECT replace(w, ' ' || a || '  ' || b || ' ',
-               |                       ' ' || a || b || ' ') AS w, n
+               |d$i AS (SELECT word, replace(w, ' ' || a || '  ' || b || ' ',
+               |                             ' ' || a || b || ' ') AS w, n
                |  FROM $p CROSS JOIN b$i)""".stripMargin
     }
-    sb ++= "\nSELECT * FROM (" +
+    sb.toString
+  }
+
+  val q126 = GraftQuery("q126_bpe_merge_loop", (s, dir) => {
+    import s.implicits._
+    bpeTrainedDict(s, dir)._1.toDF("it", "a", "b", "cnt").orderBy("it")
+  }, Some {
+    bpeCtes(BpeIters) +
+      "\nSELECT * FROM (" +
       (1 to BpeIters).map(i =>
         s"SELECT CAST($i AS INTEGER) AS it, a, b, cnt FROM b$i").mkString(" UNION ALL ") +
       ") ORDER BY it"
-    sb.toString
   })
 
-  val all: Seq[GraftQuery] = Seq(q114, q115, q117, q126)
+  // -- q128: tokenize UNDER the trained tokenizer (apply the merges) ----
+  // The consumer side of q126: token counts per document under the
+  // learned BPE — the number that token-budget planning (q109/q110's
+  // packing and mixing) actually needs, where the whitespace count is
+  // only a proxy. Training produces a vocabulary-sized token map
+  // (word → post-merge symbol count); application is a broadcast
+  // equi-join of that map against the corpus word stream plus one
+  // per-doc aggregate — the corpus is scanned once and never carries
+  // tokenizer state. Exact integers end to end; the oracle re-derives
+  // the same merges (shared CTE chain) and replays the join.
+  val q128 = GraftQuery("q128_bpe_tokenize", (s, dir) => {
+    val (_, tok) = bpeTrainedDict(s, dir)
+    Tables(s, dir).documents
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .join(broadcast(tok), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_tok")).as("n_tokens"))
+      .orderBy("doc_id")
+  }, Some {
+    bpeCtes(BpeIters) +
+      s""",
+         |tok AS (SELECT word, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_tok
+         |        FROM d$BpeIters),
+         |docw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+         |FROM docw JOIN tok USING (word)
+         |WHERE length(word) >= 1
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  })
+
+  val all: Seq[GraftQuery] = Seq(q114, q115, q117, q126, q128)
 }

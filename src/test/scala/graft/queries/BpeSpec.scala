@@ -46,6 +46,30 @@ class BpeSpec extends SparkSpecBase {
       s"cutover paths diverge:\n$local\nvs\n$distributed")
   }
 
+  test("q128: trained-tokenizer counts are bounded by chars below, words above") {
+    import spark.implicits._
+    val out = Curation4.q128.run(spark, sfDir)
+      .as[(Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val docs = graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"),
+        size(filter(split(col("text"), " "), w => length(w) >= 1)).cast("long").as("nw"),
+        length(regexp_replace(col("text"), lit(" "), lit(""))).cast("long").as("nc"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    out.foreach { case (id, nWords, nTokens) =>
+      val (nw, nc) = docs(id)
+      assert(nWords == nw, s"doc $id word count $nWords != $nw")
+      // every word is >= 1 token; merges only ever shrink the char split
+      assert(nTokens >= nWords && nTokens <= nc,
+        s"doc $id tokens $nTokens outside [$nWords, $nc]")
+    }
+    // 10 merges on this corpus must actually compress: strictly fewer
+    // tokens than characters in total
+    val totTok = out.map(_._3).sum
+    val totChar = docs.values.map(_._2).sum
+    assert(totTok < totChar, s"no compression: $totTok tokens vs $totChar chars")
+  }
+
   test("q126 composes multi-character symbols across iterations") {
     import spark.implicits._
     val merges = Curation4.q126.run(spark, sfDir)

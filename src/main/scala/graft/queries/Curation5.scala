@@ -396,5 +396,66 @@ object Curation5 {
       Tables(s, dir).documents.select("doc_id", "text"), queries, k = 10)
   }
 
-  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123, q125)
+  // -- q129: hybrid retrieval — RRF fusion of BM25 and SQ8 ANN ----------
+  // The fusion step of hybrid search ([[graft.operators.Rrf]]): the
+  // lexical run is BM25 top-50 for the q118 query (via the runtime-
+  // relation operator), the dense run is the SQ8 integer-dot top-50
+  // for query vector 0 (q121's shape), and RRF combines them on rank
+  // alone — no score calibration across modalities. On the test corpus
+  // vec_id is taken as the document key (the operator itself is
+  // key-agnostic; a production pipeline joins embeddings to doc ids),
+  // so documents past the text corpus carry only dense evidence —
+  // exactly RRF's partial-evidence case. Both runs arrive pre-top-k'd
+  // (bounded-heap heads), fusion touches (queries × 50 × 2) rows, and
+  // every fused score is a rounded-rational decimal sum — bit-exact
+  // cross-engine, ranks and tie-breaks integer.
+  val q129 = q("q129_hybrid_rrf", {
+    val lexSql = graft.operators.Bm25.oracleSql(
+      "(0, ['join','window','stream','hash'])", k = 50)
+    s"""WITH lex AS (SELECT qid, doc_id AS id, rk FROM ($lexSql)),
+       |dense AS (SELECT qid, cid AS id, rk FROM (
+       |  $SqCtes,
+       |  qs AS (SELECT vec_id AS qid, q AS qc FROM qv WHERE vec_id = 0),
+       |  sc AS (SELECT qid, v.vec_id AS cid,
+       |           CAST(list_aggregate(list_transform(range(1, len(qc) + 1),
+       |                  i -> qc[i] * v.q[i]), 'sum') AS BIGINT) AS dot
+       |         FROM qv v CROSS JOIN qs WHERE v.vec_id <> qid),
+       |  r0 AS (SELECT qid, cid,
+       |           CAST(row_number() OVER (PARTITION BY qid
+       |             ORDER BY dot DESC, cid) AS INTEGER) AS rk FROM sc)
+       |  SELECT qid, cid, rk FROM r0 WHERE rk <= 50)),
+       |c AS (SELECT qid, id, round(CAST(1 AS DOUBLE) / (60 + rk), 9) AS w FROM lex
+       |      UNION ALL
+       |      SELECT qid, id, round(CAST(1 AS DOUBLE) / (60 + rk), 9) AS w FROM dense),
+       |agg AS (SELECT qid, id,
+       |          CAST(SUM(CAST(w AS DECIMAL(18,9))) AS DOUBLE) AS score
+       |        FROM c GROUP BY qid, id),
+       |r AS (SELECT qid, id, score,
+       |        CAST(row_number() OVER (PARTITION BY qid
+       |          ORDER BY score DESC, id) AS INTEGER) AS rk FROM agg)
+       |SELECT qid, id, rk, score FROM r WHERE rk <= 10 ORDER BY qid, rk""".stripMargin
+  }) { (s, dir) =>
+    import s.implicits._
+    val lex = graft.operators.Bm25.bm25(
+      Tables(s, dir).documents.select("doc_id", "text"),
+      Seq(0L -> Seq("join", "window", "stream", "hash")).toDF("qid", "terms"),
+      k = 50)
+      .select(col("qid"), col("doc_id").as("id"), col("rk"))
+    val coded = sqCoded(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qc = coded.where(col("vec_id") === 0)
+      .select(col("vec_id").as("qid"), col("q").as("qc"))
+    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val dense = coded.crossJoin(broadcast(qc))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKLong(50)(col("cid"), col("dot")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("id"), (col("pos") + 1).as("rk"))
+    graft.operators.Rrf.fuse(Seq(lex, dense), k0 = 60, topK = 10)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123, q125, q129)
 }

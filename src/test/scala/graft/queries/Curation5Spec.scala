@@ -121,6 +121,21 @@ class Curation5Spec extends SparkSpecBase {
     }
   }
 
+  test("q129: fusion rewards dual-evidence docs and never exceeds the 2-run bound") {
+    import spark.implicits._
+    val out = Curation5.q129.run(spark, sfDir)
+      .select("id", "rk", "score").as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(out.nonEmpty && out.length <= 10)
+    // scores non-increasing in rank; bounded by the 2-run maximum
+    val maxPossible = 2.0 / 61.0 + 1e-9
+    out.foreach { case (_, _, s) => assert(s > 0 && s <= maxPossible) }
+    assert(out.map(_._3).sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    // at least one fused doc carries evidence from BOTH runs: its score
+    // exceeds anything a single run can contribute (1/61)
+    assert(out.exists(_._3 > 1.0 / 61.0 + 1e-12),
+      "no document fused evidence from both the lexical and dense runs")
+  }
+
   test("q120: redacted text retains no scrubbable pattern, counts match plants") {
     import spark.implicits._
     // adversarial completeness on a constructed batch: multiple PII

@@ -83,9 +83,10 @@ object StressMain {
     // round 6: retrieval scoring, embedding compression, PII scrub
     "q118_bm25_topk", "q119_embed_int8", "q120_pii_scrub", "q121_ann_sq8",
     "q122_ann_ivf_sq8", "q123_knn_label", "q124_ivf_ingest",
-    // round 8: runtime-relation BM25, BPE training loop, IVF
-    // retrain-and-swap
-    "q125_bm25_queries", "q126_bpe_merge_loop", "q127_ivf_retrain_swap")
+    // round 8: runtime-relation BM25, BPE training loop + tokenizer
+    // application, IVF retrain-and-swap, hybrid RRF fusion
+    "q125_bm25_queries", "q126_bpe_merge_loop", "q127_ivf_retrain_swap",
+    "q128_bpe_tokenize", "q129_hybrid_rrf")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -402,5 +402,50 @@ object Curation4 {
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   })
 
-  val all: Seq[GraftQuery] = Seq(q114, q115, q117, q126, q128)
+  // -- q130: tokenizer fertility per language ---------------------------
+  // The tokenizer-selection metric (fertility = tokens per word,
+  // compression = chars per token) measured per language under the
+  // trained BPE of q126 — the number that decides whether a tokenizer
+  // is acceptable for a multilingual mix (a high-fertility language
+  // pays more sequence length for the same text, skewing any
+  // token-budget mix computed from word counts; cf. the fertility
+  // tables in multilingual-tokenizer papers, e.g. BLOOM/XLM-R evals).
+  // Shape = q128's application join with the language carried through:
+  // corpus word stream ⋈ broadcast vocab-sized token map → one
+  // LANGUAGE-sized aggregate. Corpus scanned once, all sums exact
+  // integers; the two ratios are each a single IEEE division of exact
+  // integers, so both engines round identically.
+  val q130 = GraftQuery("q130_bpe_fertility", (s, dir) => {
+    val (_, tok) = bpeTrainedDict(s, dir)
+    Tables(s, dir).documents
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .where(length(col("word")) >= 1)
+      .join(broadcast(tok), Seq("word"))
+      .groupBy("lang")
+      .agg(sum(length(col("word"))).cast(LongType).as("n_chars"),
+        count(lit(1)).as("n_words"),
+        sum(col("n_tok")).as("n_tokens"))
+      .withColumn("fertility",
+        col("n_tokens").cast(org.apache.spark.sql.types.DoubleType) / col("n_words"))
+      .withColumn("chars_per_token",
+        col("n_chars").cast(org.apache.spark.sql.types.DoubleType) / col("n_tokens"))
+      .orderBy("lang")
+  }, Some {
+    bpeCtes(BpeIters) +
+      s""",
+         |tok AS (SELECT word, CAST(len(string_split(trim(w), '  ')) AS BIGINT) AS n_tok
+         |        FROM d$BpeIters),
+         |docw AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+         |SELECT lang,
+         |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+         |  CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS fertility,
+         |  CAST(SUM(length(word)) AS DOUBLE) / SUM(n_tok) AS chars_per_token
+         |FROM docw JOIN tok USING (word)
+         |WHERE length(word) >= 1
+         |GROUP BY lang ORDER BY lang""".stripMargin
+  })
+
+  val all: Seq[GraftQuery] = Seq(q114, q115, q117, q126, q128, q130)
 }

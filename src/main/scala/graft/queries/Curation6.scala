@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Sixth corpus-curation batch: the lexical-model curation stages —
+  * a seed-set vote classifier (the fastText-style quality-classifier
+  * bootstrap, here in its exactly-replayable integer form) and
+  * corpus-frequency boilerplate purging (the RefinedWeb/Dolma pass that
+  * removes spans appearing across many documents — nav bars, cookie
+  * banners, templated footers).
+  *
+  * Both operators share the pipeline's canonical scale asymmetry: the
+  * CORPUS is only ever scanned (once per stage, map-only except one
+  * per-doc aggregate), while every learned artifact — seed token
+  * statistics, the vote table, the boilerplate gram set — is
+  * VOCABULARY-sized and broadcast. Nothing corpus-sized is cached,
+  * collected, or shuffled by token.
+  */
+object Curation6 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q131: seed-set token-vote quality classifier ---------------------
+  // The quality-classifier bootstrap used by GPT-3/LLaMA-style curation
+  // (Brown et al. 2020 §A; fastText linear classifiers): learn a
+  // lexical scorer from a trusted positive seed vs a negative sample,
+  // then score the whole corpus. The trained artifact here is a VOTE
+  // table — per token, compare its document-frequency RATE in the two
+  // seeds by integer cross-multiplication (pdf·Nneg vs ndf·Npos: the
+  // sign of the naive-Bayes log-odds without the transcendental), so
+  // training, scoring, and the DuckDB oracle are bit-identical integer
+  // computations (the q118 rational-idf trick applied to NB).
+  //
+  // Plan shape: two seed scans feed token-level DF aggregates (each
+  // vocab-sized after map-side combine), full-outer-merged into the
+  // vote table, which is BROADCAST against one corpus scan; per-doc
+  // distinct tokens come from an in-row array_distinct (no (doc,token)
+  // dedup shuffle). At 100 TB the seeds are small by construction
+  // (curated positives + a sampled negative slice), so training cost is
+  // independent of corpus size; scoring is one scan + a doc-count
+  // aggregate. Score = Σ votes over the doc's distinct tokens;
+  // pos/neg/margin are exact integers.
+  val q131 = q("q131_seed_vote_classifier",
+    """WITH pos AS (SELECT doc_id, text FROM documents WHERE source IN ('src0','src1','src2')),
+      |neg AS (SELECT doc_id, text FROM documents WHERE source IN ('src17','src18','src19')),
+      |np AS (SELECT COUNT(*) AS n FROM pos), nn AS (SELECT COUNT(*) AS n FROM neg),
+      |pdf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      |        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM pos)
+      |        GROUP BY word),
+      |ndf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      |        FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM neg)
+      |        GROUP BY word),
+      |votes AS (SELECT COALESCE(pdf.word, ndf.word) AS word,
+      |    CASE WHEN COALESCE(pdf.df, 0) * (SELECT n FROM nn)
+      |              > COALESCE(ndf.df, 0) * (SELECT n FROM np) THEN 1
+      |         WHEN COALESCE(pdf.df, 0) * (SELECT n FROM nn)
+      |              < COALESCE(ndf.df, 0) * (SELECT n FROM np) THEN -1
+      |         ELSE 0 END AS vote
+      |  FROM pdf FULL OUTER JOIN ndf ON pdf.word = ndf.word),
+      |docw AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS word FROM documents)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN vote = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos_votes,
+      |  CAST(SUM(CASE WHEN vote = -1 THEN 1 ELSE 0 END) AS BIGINT) AS neg_votes,
+      |  CAST(SUM(vote) AS BIGINT) AS margin,
+      |  CASE WHEN SUM(vote) > 0 THEN 'keep' ELSE 'drop' END AS label
+      |FROM docw JOIN votes USING (word)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val posSeed = docs.where(col("source").isin("src0", "src1", "src2"))
+    val negSeed = docs.where(col("source").isin("src17", "src18", "src19"))
+    def seedDf(seed: DataFrame, dfCol: String): DataFrame =
+      seed.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(dfCol))
+    // Seed doc counts ride the DF aggregates' inputs as one tiny agg
+    // each; both are 1-row broadcast literals in the vote-table plan.
+    val nPos = posSeed.agg(count(lit(1)).as("n_pos"))
+    val nNeg = negSeed.agg(count(lit(1)).as("n_neg"))
+    val votes = seedDf(posSeed, "pdf")
+      .join(seedDf(negSeed, "ndf"), Seq("word"), "full_outer")
+      .crossJoin(broadcast(nPos)).crossJoin(broadcast(nNeg))
+      .select(col("word"),
+        (coalesce(col("pdf"), lit(0L)) * col("n_neg"))
+          .minus(coalesce(col("ndf"), lit(0L)) * col("n_pos")).as("d"))
+      .select(col("word"),
+        when(col("d") > 0, 1).when(col("d") < 0, -1).otherwise(0)
+          .cast(LongType).as("vote"))
+    docs.select(col("doc_id"),
+        explode(array_distinct(split(col("text"), " "))).as("word"))
+      .join(broadcast(votes), Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("vote") === 1, 1L).otherwise(0L)).as("pos_votes"),
+        sum(when(col("vote") === -1, 1L).otherwise(0L)).as("neg_votes"),
+        sum(col("vote")).as("margin"))
+      .withColumn("label", when(col("margin") > 0, "keep").otherwise("drop"))
+      .orderBy("doc_id")
+  }
+
+  // -- q132: corpus-frequency boilerplate purge -------------------------
+  // The boilerplate pass of RefinedWeb/Dolma-style cleaning: a word
+  // 3-gram that appears in at least max(5, 1% of docs) DISTINCT
+  // documents is template text (nav/footer/banner), and every
+  // occurrence is flagged for removal — unlike span dedup (q78), which
+  // keeps the FIRST occurrence, boilerplate is purged everywhere.
+  // Output = the per-doc purge report (gram occurrences, flagged
+  // occurrences, flagged ratio) that downstream token budgeting needs.
+  //
+  // Plan shape: scan 1 builds the gram document-frequency table —
+  // per-doc distinct grams via in-row array_distinct (no (doc,gram)
+  // dedup shuffle), one gram-keyed aggregate; the threshold join uses
+  // an integer cross-multiply (df·100 ≥ n_docs) against a 1-row
+  // broadcast count, and the surviving BOILERPLATE set is small by
+  // construction (it is the ≥1%-df HEAD of a Zipfian df distribution),
+  // so scan 2 left-joins it BROADCAST and aggregates per doc. Nothing
+  // corpus-sized persists between the scans; if an adversarial corpus
+  // made the head large, the same plan degrades gracefully to a
+  // shuffle equi-join on the gram key (AQE decides via size stats).
+  // Ratio = one IEEE division of exact integers.
+  val q132 = q("q132_boilerplate_purge",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
+      |        i -> array_to_string(w[i:i+2], ' '))) AS gram FROM d),
+      |gd AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(w) - 1),
+      |        i -> array_to_string(w[i:i+2], ' ')))) AS gram FROM d),
+      |df AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM gd GROUP BY gram),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |boiler AS (SELECT gram FROM df WHERE df * 100 >= (SELECT n_docs FROM n) AND df >= 5)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+      |  CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_ratio
+      |FROM g LEFT JOIN boiler USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    def withGrams(distinctPerDoc: Boolean): DataFrame = {
+      val w = split(col("text"), " ")
+      val grams = when(size(w) >= 3,
+        transform(sequence(lit(1), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      val g = if (distinctPerDoc) array_distinct(grams) else grams
+      Tables(s, dir).documents.select(col("doc_id"), explode(g).as("gram"))
+    }
+    val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
+    val boiler = withGrams(distinctPerDoc = true)
+      .groupBy("gram").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .where(col("df") * 100 >= col("n_docs") && col("df") >= 5)
+      .select(col("gram"), lit(1).as("is_boiler"))
+    withGrams(distinctPerDoc = false)
+      .join(broadcast(boiler), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("is_boiler"), lit(0))).cast(LongType).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast(DoubleType) / col("n_grams"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q131, q132)
+}

@@ -785,6 +785,59 @@ object Similarity {
       |  (SELECT max_drift > 0.05 FROM md) AS retrained
       |FROM rep ORDER BY side DESC, cent_id""".stripMargin))
 
+  // -- q134: per-cluster exemplar selection (prototype mining) ----------
+  // The coreset/prototype stage of embedding-space curation (the
+  // "SSL prototypes" filter of Sorscher et al. 2022, DataComp-style
+  // cluster-based filtering): within each quantizer cell, the k vectors
+  // MOST similar to their cell centroid are the cell's exemplars —
+  // the representatives used for curriculum seeding, cluster labeling,
+  // and prototypicality-based pruning (a vector far from every
+  // exemplar is the outlier such filters drop).
+  //
+  // Plan shape: q116's map-only NearestCentroidId assignment over the
+  // same deterministic seed centroids, one broadcast equi-join to fetch
+  // the assigned centroid vector (16 rows), then the bounded-heap
+  // TopK head per cell — per-(partition, cell) k-heaps merged map-side,
+  // so the corpus is scanned and DISCARDED, never sorted per cell (a
+  // per-cell row_number window would drag every vector into NList
+  // reducers — the exact shape the brute-ANN heads abandoned). The
+  // oracle replays assignment AND ranking with DuckDB's
+  // list_cosine_similarity (bit-equal to the kernel, q116-proven).
+  val q134 = GraftQuery("q134_cell_exemplars", (s, dir) => {
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16; val K = 8
+    val c = corpus(s, dir)
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val centDf = {
+      import s.implicits._
+      cents.toSeq.toDF("cent_id", "cent_v")
+    }
+    c.select(col("vec_id"), col("v"),
+        nearestCentroidId(col("v"), cents.flatMap(_._2), cents.map(_._1),
+          cents.head._2.length).as("cent_id"))
+      .join(broadcast(centDf), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), cosineSim(col("v"), col("cent_v")).as("cos"))
+      .groupBy("cent_id")
+      .agg(graft.functions.TopK.topKDouble(K)(col("vec_id"), col("cos")).as("top"))
+      .select(col("cent_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("cent_id"), (col("pos") + 1).as("rank"),
+        col("e._1").as("vec_id"), round(col("e._2"), 4).as("score"))
+      .orderBy("cent_id", "rank")
+  }, Some(
+    """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM c ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT c.vec_id, cent_id, cent_v, c.v,
+      |          row_number() OVER (PARTITION BY c.vec_id
+      |            ORDER BY list_cosine_similarity(c.v, cent_v) DESC, cent_id) AS ark
+      |        FROM c CROSS JOIN cent),
+      |r AS (SELECT cent_id, vec_id, list_cosine_similarity(v, cent_v) AS cos,
+      |        row_number() OVER (PARTITION BY cent_id
+      |          ORDER BY list_cosine_similarity(v, cent_v) DESC, vec_id) AS rank
+      |      FROM asn WHERE ark = 1)
+      |SELECT cent_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 4) AS score
+      |FROM r WHERE rank <= 8 ORDER BY cent_id, rank""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124, q127)
+    Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124, q127, q134)
 }

@@ -144,5 +144,54 @@ object TextOps2 {
       .orderBy("vec_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q72, q73, q75, q98)
+  // -- q133: tf-idf top-k keyword extraction per document ---------------
+  // The document-tagging stage (topic routing, dedup blocking keys,
+  // retrieval-index metadata): per doc, the k terms with the highest
+  // tf·idf. The idf is the q118 rational surrogate — score =
+  // tf·(N−df)/df, monotone decreasing in df with no transcendental, so
+  // the double score is ONE IEEE division of exact integers and both
+  // engines rank identically (ties → word byte order).
+  //
+  // Shape: tf is a (doc,word)-keyed aggregate (partial map-side — the
+  // corpus token stream collapses before the exchange); df is
+  // vocabulary-sized via in-row array_distinct (no dedup shuffle) and
+  // BROADCASTS back, as does the 1-row corpus count; the head is a
+  // row_number window partitioned by doc_id — millions of partitions at
+  // corpus scale, never a global sort.
+  val q133 = q("q133_tfidf_keywords",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |w AS (SELECT doc_id, unnest(t) AS word FROM d),
+      |tf AS (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+      |       FROM w GROUP BY doc_id, word),
+      |df AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+      |       FROM (SELECT doc_id, unnest(list_distinct(t)) AS word FROM d)
+      |       GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |s AS (SELECT doc_id, word, tf, df,
+      |        CAST(tf * ((SELECT n FROM n) - df) AS DOUBLE) / df AS score
+      |      FROM tf JOIN df USING (word)),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY score DESC, word) AS rank FROM s)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, word, tf, df, score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val tf = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("word"))
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        (col("tf") * (col("n") - col("df"))).cast(DoubleType) / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy("doc_id", "rank")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q72, q73, q75, q98, q133)
 }

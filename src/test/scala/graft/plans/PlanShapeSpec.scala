@@ -148,7 +148,7 @@ class PlanShapeSpec extends SparkSpecBase {
   // aggregate must also partial map-side (two ObjectHashAggregate
   // levels), so only k-row partials reach the exchange.
   for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label",
-                "q125_bm25_queries", "q129_hybrid_rrf"))
+                "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
@@ -156,6 +156,22 @@ class PlanShapeSpec extends SparkSpecBase {
         s"$q head did not plan the TopK ObjectHashAggregate:\n$plan")
       assert(plan.contains("partial_"),
         s"$q TopK aggregate is not map-side partial:\n$plan")
+    }
+
+  // The lexical-model curation stages (q131 vote table, q132 boilerplate
+  // set) broadcast their VOCABULARY-sized learned artifact against the
+  // corpus scan: the corpus-side join must be a BroadcastHashJoin, and
+  // the only loop joins allowed are the 1-row scalar count broadcasts
+  // (which never carry the doc key).
+  for (q <- Seq("q131_seed_vote_classifier", "q132_boilerplate_purge"))
+    test(s"$q broadcasts the learned artifact; loop joins are scalar-only") {
+      val plan = executed(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q corpus join is not a broadcast equi-join:\n$plan")
+      plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+        assert(!l.contains("doc_id"), s"$q corpus-level loop join: $l")
+      }
+      assert(!plan.contains("CartesianProduct"), s"$q plans CartesianProduct")
     }
 
   // Merely PLANNING q33 must launch no Spark job: its corpus-size guard

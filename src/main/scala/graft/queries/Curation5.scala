@@ -457,5 +457,53 @@ object Curation5 {
     graft.operators.Rrf.fuse(Seq(lex, dense), k0 = 60, topK = 10)
   }
 
-  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123, q125, q129)
+  // -- q135: hard-negative mining over SQ8 codes ------------------------
+  // The training-pair generator for dense retrievers (DPR, Karpukhin et
+  // al. 2020; SimCSE-style contrastive setups): for each query vector,
+  // the top-k most similar vectors with a DIFFERENT label are its hard
+  // negatives — near the decision boundary, where contrastive gradients
+  // actually come from. Same integer-exact SQ8 scan as q121 (codes
+  // encoded once, query side broadcast) with the label-mismatch
+  // predicate applied BEFORE the head, plus the bounded-heap TopK head
+  // so non-candidates are scanned and discarded, never shuffled. The
+  // 50-row head then re-joins the label relation (broadcast of the
+  // head, one narrow label scan) to name each negative's class.
+  // Scores, ranks, ties all integer-exact — full top-5 oracle.
+  val q135 = q("q135_hard_negatives",
+    s"""$SqCtes,
+      |lab AS (SELECT vec_id, label FROM embeddings),
+      |qs AS (SELECT qv.vec_id AS qid, qv.q AS qc, lab.label AS qlab
+      |       FROM qv JOIN lab USING (vec_id) WHERE qv.vec_id < 10),
+      |sc AS (SELECT qid, v.vec_id AS cid, l.label AS neg_label,
+      |         CAST(list_aggregate(list_transform(range(1, len(qc) + 1),
+      |                i -> qc[i] * v.q[i]), 'sum') AS BIGINT) AS dot
+      |       FROM qv v JOIN lab l USING (vec_id) CROSS JOIN qs
+      |       WHERE v.vec_id <> qid AND l.label <> qlab),
+      |rk AS (SELECT qid, cid, neg_label, dot,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY dot DESC, cid) AS INTEGER) AS rk
+      |       FROM sc)
+      |SELECT qid, rk, cid, neg_label, dot FROM rk WHERE rk <= 5
+      |ORDER BY qid, rk""".stripMargin) { (s, dir) =>
+    val lab = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
+    val coded = sqCoded(s, dir).join(lab, Seq("vec_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val qs = coded.where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qc"), col("label").as("qlab"))
+    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val head = coded.crossJoin(broadcast(qs))
+      .where(col("vec_id") =!= col("qid") && col("label") =!= col("qlab"))
+      .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKLong(5)(col("cid"), col("dot")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rk"),
+        col("e._1").as("cid"), col("e._2").as("dot"))
+    lab.select(col("vec_id").as("cid"), col("label").as("neg_label"))
+      .join(broadcast(head), Seq("cid"))
+      .select(col("qid"), col("rk"), col("cid"), col("neg_label"), col("dot"))
+      .orderBy("qid", "rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q118, q119, q120, q121, q123, q125, q129, q135)
 }

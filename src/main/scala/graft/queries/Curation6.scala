@@ -160,5 +160,64 @@ object Curation6 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q131, q132)
+  // -- q136: canonical-document selection per duplicate cluster ---------
+  // The step AFTER q84 closes the near-dup graph: each duplicate
+  // cluster keeps one canonical representative, and real pipelines keep
+  // the LONGEST member (most content survives), not the smallest id —
+  // ties break to the smaller doc_id. Emits the cluster roll-up the
+  // keep/drop stage consumes: size, canonical member, and how many
+  // chars the cluster holds in total (what dedup is about to delete).
+  //
+  // Plan shape: q84's prefix-filtered pair join + connected components
+  // feed a doc-keyed equi-join against the (doc_id, n_chars) metadata
+  // projection, then ONE cluster-keyed aggregate; the argmax is a
+  // struct-max (n_chars, -doc_id) — the q123 vote-argmax pattern — so
+  // no per-cluster window/sort exists anywhere. All outputs are exact
+  // integers; the oracle replays the clustering with q84's recursive
+  // CTE and the argmax with a window over the brute-force pair set.
+  val q136 = GraftQuery("q136_canonical_docs", (s, dir) => {
+    val edges = Dedup.allPairsJaccard(s, dir, 0.5).select(col("a_id"), col("b_id"))
+    val clusters = graft.operators.ConnectedComponents.minLabelPropagation(edges)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    val meta = Tables(s, dir).documents.select(col("doc_id"), col("n_chars"))
+    clusters.join(meta, Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("cluster_id"), col("n_members"),
+        (-col("best.neg_id")).cast(LongType).as("canonical_id"),
+        col("best.n_chars").as("canonical_chars"),
+        col("total_chars"))
+      .orderBy("cluster_id")
+  }, Some(
+    """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(t) >= 4
+      |             THEN list_distinct(list_transform(range(1, len(t) - 2),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r AS (SELECT u AS node, u AS reach FROM e
+      |      UNION
+      |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+      |c AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+      |m AS (SELECT c.cluster_id, c.doc_id, documents.n_chars
+      |      FROM c JOIN documents USING (doc_id)),
+      |b AS (SELECT cluster_id, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY n_chars DESC, doc_id) AS rk FROM m),
+      |g AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |        CAST(SUM(n_chars) AS BIGINT) AS total_chars FROM m GROUP BY 1)
+      |SELECT g.cluster_id, g.n_members, b.doc_id AS canonical_id,
+      |  b.n_chars AS canonical_chars, g.total_chars
+      |FROM g JOIN b ON g.cluster_id = b.cluster_id AND b.rk = 1
+      |ORDER BY g.cluster_id""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q131, q132, q136)
 }

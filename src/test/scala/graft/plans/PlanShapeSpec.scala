@@ -148,7 +148,8 @@ class PlanShapeSpec extends SparkSpecBase {
   // aggregate must also partial map-side (two ObjectHashAggregate
   // levels), so only k-row partials reach the exchange.
   for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label",
-                "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars"))
+                "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars",
+                "q135_hard_negatives"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")

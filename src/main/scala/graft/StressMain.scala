@@ -86,7 +86,13 @@ object StressMain {
     // round 8: runtime-relation BM25, BPE training loop + tokenizer
     // application, IVF retrain-and-swap, hybrid RRF fusion
     "q125_bm25_queries", "q126_bpe_merge_loop", "q127_ivf_retrain_swap",
-    "q128_bpe_tokenize", "q129_hybrid_rrf")
+    "q128_bpe_tokenize", "q129_hybrid_rrf",
+    // round 8: lexical-model curation (fertility, vote classifier,
+    // boilerplate purge, keywords), prototype mining, hard negatives,
+    // canonical-doc selection
+    "q130_bpe_fertility", "q131_seed_vote_classifier", "q132_boilerplate_purge",
+    "q133_tfidf_keywords", "q134_cell_exemplars", "q135_hard_negatives",
+    "q136_canonical_docs")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

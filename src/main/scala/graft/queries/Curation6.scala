@@ -44,6 +44,32 @@ object Curation6 {
   // independent of corpus size; scoring is one scan + a doc-count
   // aggregate. Score = Σ votes over the doc's distinct tokens;
   // pos/neg/margin are exact integers.
+  /** q131's trained artifact as a standalone relation: per token, the
+    * sign of the NB log-odds between the two seed slices (+1 / −1 / 0
+    * by integer cross-multiplication). Vocabulary-sized; broadcast in
+    * the batch query, collected-and-frozen by the streaming twin
+    * ([[graft.streaming.StreamingVoteClassifier]]). */
+  private[graft] def voteTable(docs: DataFrame,
+      posSources: Seq[String], negSources: Seq[String]): DataFrame = {
+    val posSeed = docs.where(col("source").isin(posSources: _*))
+    val negSeed = docs.where(col("source").isin(negSources: _*))
+    def seedDf(seed: DataFrame, dfCol: String): DataFrame =
+      seed.select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as(dfCol))
+    val nPos = posSeed.agg(count(lit(1)).as("n_pos"))
+    val nNeg = negSeed.agg(count(lit(1)).as("n_neg"))
+    seedDf(posSeed, "pdf")
+      .join(seedDf(negSeed, "ndf"), Seq("word"), "full_outer")
+      .crossJoin(broadcast(nPos)).crossJoin(broadcast(nNeg))
+      .select(col("word"),
+        (coalesce(col("pdf"), lit(0L)) * col("n_neg"))
+          .minus(coalesce(col("ndf"), lit(0L)) * col("n_pos")).as("d"))
+      .select(col("word"),
+        when(col("d") > 0, 1).when(col("d") < 0, -1).otherwise(0)
+          .cast(LongType).as("vote"))
+  }
+
   val q131 = q("q131_seed_vote_classifier",
     """WITH pos AS (SELECT doc_id, text FROM documents WHERE source IN ('src0','src1','src2')),
       |neg AS (SELECT doc_id, text FROM documents WHERE source IN ('src17','src18','src19')),
@@ -70,25 +96,7 @@ object Curation6 {
       |FROM docw JOIN votes USING (word)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val docs = Tables(s, dir).documents
-    val posSeed = docs.where(col("source").isin("src0", "src1", "src2"))
-    val negSeed = docs.where(col("source").isin("src17", "src18", "src19"))
-    def seedDf(seed: DataFrame, dfCol: String): DataFrame =
-      seed.select(col("doc_id"),
-          explode(array_distinct(split(col("text"), " "))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as(dfCol))
-    // Seed doc counts ride the DF aggregates' inputs as one tiny agg
-    // each; both are 1-row broadcast literals in the vote-table plan.
-    val nPos = posSeed.agg(count(lit(1)).as("n_pos"))
-    val nNeg = negSeed.agg(count(lit(1)).as("n_neg"))
-    val votes = seedDf(posSeed, "pdf")
-      .join(seedDf(negSeed, "ndf"), Seq("word"), "full_outer")
-      .crossJoin(broadcast(nPos)).crossJoin(broadcast(nNeg))
-      .select(col("word"),
-        (coalesce(col("pdf"), lit(0L)) * col("n_neg"))
-          .minus(coalesce(col("ndf"), lit(0L)) * col("n_pos")).as("d"))
-      .select(col("word"),
-        when(col("d") > 0, 1).when(col("d") < 0, -1).otherwise(0)
-          .cast(LongType).as("vote"))
+    val votes = voteTable(docs, Seq("src0", "src1", "src2"), Seq("src17", "src18", "src19"))
     docs.select(col("doc_id"),
         explode(array_distinct(split(col("text"), " "))).as("word"))
       .join(broadcast(votes), Seq("word"))

@@ -169,5 +169,62 @@ object Analytics {
       .orderBy("custkey")
   }
 
-  val all: Seq[GraftQuery] = Seq(q92, q93, q94, q95, q96)
+  // -- q137: gap-based sessionization (30-min inactivity timeout) -------
+  // The canonical event-stream shape (reference users build dashboards
+  // on sessions, not raw events): a new session starts when a user's
+  // gap since their previous event exceeds 30 minutes. lag + running
+  // sum + the session aggregate all share ONE user_id exchange — the
+  // lag/cumsum windows sort once, and the final groupBy(user_id,
+  // sess_idx) is satisfied by the existing hash partitioning on
+  // user_id (clustering on a superset key needs no new shuffle), so
+  // the whole query is a single shuffle at any scale. All outputs are
+  // exact integers except the decimal-summed value total; timestamps
+  // surface as epoch micros (no format-string round-trip to diverge).
+  // Ties on ts break by event_id in BOTH the window order and the lag,
+  // so the labeling is deterministic cross-engine.
+  val q137 = q("q137_sessionize",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts, event_type, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_idx
+      |  FROM x)
+      |SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+      |  CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+      |  CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+      |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS duration_sec,
+      |  COUNT(*) AS n_events,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY 1, 2 ORDER BY user_id, sess_idx""".stripMargin) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val marked = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wOrd))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L, 1L)
+          .otherwise(0L))
+      .withColumn("sess_idx", sum(col("new_sess")).over(wCum))
+    marked.groupBy(col("user_id"), col("sess_idx"))
+      .agg(
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        countDistinct(col("event_type")).as("n_types"),
+        sumDec(col("value")).as("total_value"))
+      .withColumn("duration_sec",
+        expr("(end_us - start_us) div 1000000"))
+      .select(col("user_id"), col("sess_idx"), col("start_us"), col("end_us"),
+        col("duration_sec"), col("n_events"), col("n_types"), col("total_value"))
+      .orderBy("user_id", "sess_idx")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q92, q93, q94, q95, q96, q137)
 }

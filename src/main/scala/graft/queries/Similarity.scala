@@ -838,6 +838,71 @@ object Similarity {
       |SELECT cent_id, CAST(rank AS INTEGER) AS rank, vec_id, round(cos, 4) AS score
       |FROM r WHERE rank <= 8 ORDER BY cent_id, rank""".stripMargin))
 
+  // -- q140: per-cell embedding OUTLIER report (SQ8 integer) ------------
+  // The pruning complement of q134's exemplars: within each quantizer
+  // cell, the k vectors LEAST aligned with their own centroid are the
+  // outlier candidates — what prototypicality filters drop, what drift
+  // triage inspects first, and what a mislabel audit samples. Alignment
+  // is the SQ8 integer dot of the vector's code with its centroid's
+  // code, so — unlike q134's float cosine — every score is an exact
+  // BIGINT and the oracle replays the WHOLE report (assignment, codes,
+  // ranking, tie-breaks) bit-for-bit.
+  //
+  // Plan shape: one corpus pass computes cell + code map-only (q122's
+  // kernel projection); centroid codes are a 16-row broadcast; the
+  // bottom-k head rides the bounded-heap TopK aggregator on the
+  // NEGATED score (best-k of −align ≡ worst-k of align, ties to the
+  // smaller vec_id both ways) — the corpus is scanned and discarded,
+  // never sorted per cell.
+  val q140 = GraftQuery("q140_cell_outliers", (s, dir) => {
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16; val K = 3
+    val c = corpus(s, dir)
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
+    val dim = cents.head._2.length
+    val st = broadcast(Curation5.sqStats(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val assigned = c.crossJoin(st)
+      .select(col("vec_id"),
+        nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"),
+        Curation5.sqCode(col("v")).as("q"))
+    val centCodes = c.where(col("vec_id").isin(ids.toIndexedSeq: _*)).crossJoin(st)
+      .select(col("vec_id").as("cent_id"), Curation5.sqCode(col("v")).as("cq"))
+    val align = aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    assigned.join(broadcast(centCodes), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), align.as("align"))
+      .groupBy("cent_id")
+      .agg(graft.functions.TopK.topKLong(K)(col("vec_id"), -col("align")).as("top"))
+      .select(col("cent_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("cent_id"), col("e._1").as("vec_id"), (col("pos") + 1).as("rk"),
+        (-col("e._2")).as("align"))
+      .orderBy("cent_id", "rk")
+  }, Some(
+    s"""${Curation5.SqCtes},
+      |cfull AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, qv.q
+      |          FROM embeddings e JOIN qv USING (vec_id)),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM cfull ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT f.vec_id, f.q, cent_id,
+      |          row_number() OVER (PARTITION BY f.vec_id
+      |            ORDER BY list_cosine_similarity(f.v, cent_v) DESC, cent_id) AS rk
+      |        FROM cfull f CROSS JOIN cent),
+      |assigned AS (SELECT cent_id, vec_id, q FROM asn WHERE rk = 1),
+      |cc AS (SELECT f.vec_id AS cent_id, f.q AS cq FROM cfull f
+      |       WHERE f.vec_id IN (SELECT cent_id FROM cent)),
+      |al AS (SELECT a.cent_id, a.vec_id,
+      |         CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+      |                i -> a.q[i] * cc.cq[i]), 'sum') AS BIGINT) AS align
+      |       FROM assigned a JOIN cc USING (cent_id)),
+      |r AS (SELECT cent_id, vec_id, align,
+      |        row_number() OVER (PARTITION BY cent_id
+      |          ORDER BY align, vec_id) AS rk FROM al)
+      |SELECT cent_id, vec_id, CAST(rk AS INTEGER) AS rk, align
+      |FROM r WHERE rk <= 3 ORDER BY cent_id, rk""".stripMargin))
+
   val all: Seq[GraftQuery] =
-    Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124, q127, q134)
+    Seq(q31, q32, q33, q34, q37, q37b, q102, q116, q122, q124, q127, q134, q140)
 }

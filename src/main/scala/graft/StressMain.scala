@@ -92,7 +92,12 @@ object StressMain {
     // canonical-doc selection
     "q130_bpe_fertility", "q131_seed_vote_classifier", "q132_boilerplate_purge",
     "q133_tfidf_keywords", "q134_cell_exemplars", "q135_hard_negatives",
-    "q136_canonical_docs")
+    "q136_canonical_docs",
+    // round 8: corpus governance — session KPI rollup, cluster-atomic
+    // split, dup-graph triangle census, SQ8 cell outliers, attrition
+    // funnel, PMI collocations
+    "q137_sessionize", "q138_cluster_split", "q139_dup_graph_triangles",
+    "q140_cell_outliers", "q141_attrition_funnel", "q142_pmi_collocations")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

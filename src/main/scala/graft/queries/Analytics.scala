@@ -169,10 +169,14 @@ object Analytics {
       .orderBy("custkey")
   }
 
-  // -- q137: gap-based sessionization (30-min inactivity timeout) -------
-  // The canonical event-stream shape (reference users build dashboards
-  // on sessions, not raw events): a new session starts when a user's
-  // gap since their previous event exceeds 30 minutes. lag + running
+  // -- q137: session KPI rollup (30-min gap sessions, full record) ------
+  // q18 LABELS sessions (the break/cumsum trick, count only); this is
+  // the record a session dashboard actually reads — exact event-time
+  // bounds in epoch micros, duration, event count, distinct types, and
+  // the decimal-exact value total — and it is the batch reference the
+  // STREAMING sessionizer (graft.streaming.StreamingSessionize, which
+  // closes sessions by event-time timeout as the stream runs) must
+  // reproduce bit-for-bit. lag + running
   // sum + the session aggregate all share ONE user_id exchange — the
   // lag/cumsum windows sort once, and the final groupBy(user_id,
   // sess_idx) is satisfied by the existing hash partitioning on

@@ -15,7 +15,8 @@ class PlanShapeSpec extends SparkSpecBase {
 
   for (q <- Seq("q100_allpairs_jaccard", "q84_dup_clusters",
                 "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
-                "q103_decontamination", "q108_source_dup_matrix"))
+                "q103_decontamination", "q108_source_dup_matrix",
+                "q138_cluster_split"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
       val plan = executed(q)
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")
@@ -124,6 +125,44 @@ class PlanShapeSpec extends SparkSpecBase {
       s"q118 top-k did not plan TakeOrderedAndProject:\n$plan")
   }
 
+  // q139's only loop joins are the three 1-row census aggregates
+  // cross-joined into the single report row; the graph-keyed stages
+  // (degree joins, wedge pairing, closing-edge semi-join) must all be
+  // equi-joins — a loop join carrying an edge endpoint would be the
+  // all-pairs shape the degree orientation exists to avoid.
+  test("q139_dup_graph_triangles loop joins are 1-row census joins only") {
+    val plan = executed("q139_dup_graph_triangles")
+    val graphCols = Seq("a_id", "b_id", "node", "u#", "v#")
+    plan.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .foreach { l =>
+        assert(!graphCols.exists(l.contains), s"graph-keyed loop join: $l")
+      }
+  }
+
+  // q142's head must also be a TakeOrderedAndProject: the scored
+  // bigram relation is vocabulary-sized and a global sort of it would
+  // shuffle the whole vocabulary for a 25-row answer.
+  test("q142_pmi_collocations head is TakeOrderedAndProject, not a global sort") {
+    val plan = executed("q142_pmi_collocations")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q142 top-k did not plan TakeOrderedAndProject:\n$plan")
+  }
+
+  // q137's whole dataflow — lag, running sum, and the session aggregate
+  // — must ride ONE user_id hash exchange: the windows share their sort
+  // and the groupBy(user_id, sess_idx) clustering is satisfied by the
+  // existing partitioning on the prefix key. A second hash exchange
+  // means the event log shuffles twice at 100 TB. (The display orderBy
+  // plans a separate range exchange; only hash exchanges are counted.)
+  test("q137_sessionize plans exactly one hash exchange") {
+    val plan = executed("q137_sessionize")
+    val hashExchanges = plan.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"q137 plans $hashExchanges hash exchanges (want 1):\n$plan")
+  }
+
   // q80 references the tokenize+groupBy counts subtree three times (both
   // sides of the head self-join plus the corpus total); its single-scan
   // execution depends on ReuseExchange canonicalization firing. If a
@@ -149,7 +188,7 @@ class PlanShapeSpec extends SparkSpecBase {
   // levels), so only k-row partials reach the exchange.
   for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label",
                 "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars",
-                "q135_hard_negatives"))
+                "q135_hard_negatives", "q140_cell_outliers"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")

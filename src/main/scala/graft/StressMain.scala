@@ -97,7 +97,12 @@ object StressMain {
     // split, dup-graph triangle census, SQ8 cell outliers, attrition
     // funnel, PMI collocations
     "q137_sessionize", "q138_cluster_split", "q139_dup_graph_triangles",
-    "q140_cell_outliers", "q141_attrition_funnel", "q142_pmi_collocations")
+    "q140_cell_outliers", "q141_attrition_funnel", "q142_pmi_collocations",
+    // round 8: maintenance + statistics/evaluation — incremental MV
+    // refresh, SCD2 history, Misra–Gries frequent bigrams, dup-graph
+    // PageRank, kNN-classifier evaluation
+    "q143_incremental_mv", "q144_scd2_history", "q145_heavy_hitters",
+    "q146_pagerank", "q147_knn_eval")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -158,7 +158,7 @@ object Curation5 {
     })
 
   /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). */
-  private def sqCoded(s: SparkSession, dir: String): DataFrame =
+  private[queries] def sqCoded(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings.crossJoin(broadcast(sqStats(s, dir)))
       .select(col("vec_id"), sqCode(col("embedding")).as("q"))
 
@@ -334,11 +334,19 @@ object Curation5 {
       |             ORDER BY votes DESC, label) AS r FROM votes) WHERE r = 1)
       |SELECT p.qid, e.label AS true_label, p.pred_label, p.votes
       |FROM pred p JOIN embeddings e ON p.qid = e.vec_id ORDER BY p.qid""".stripMargin) { (s, dir) =>
-    import org.apache.spark.sql.expressions.Window
+    knnPredictions(s, dir, 20).orderBy("qid")
+  }
+
+  /** The q123 classifier as a reusable relation: 10-NN majority-vote
+    * label transfer for every query vector with `vec_id < maxQid`,
+    * returning (qid, true_label, pred_label, votes). Shared by q123
+    * (the per-query report) and q147 (the per-class evaluation in
+    * [[Curation8]]) so both replay the identical classifier. */
+  private[queries] def knnPredictions(s: SparkSession, dir: String, maxQid: Long): DataFrame = {
     val coded = sqCoded(s, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val labels = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
-    val qs = coded.where(col("vec_id") < 20)
+    val qs = coded.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("q").as("qc"))
     val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
@@ -364,7 +372,6 @@ object Curation5 {
     labels.withColumnRenamed("vec_id", "qid").withColumnRenamed("label", "true_label")
       .join(broadcast(pred), Seq("qid"))
       .select("qid", "true_label", "pred_label", "votes")
-      .orderBy("qid")
   }
 
   // -- q125: BM25 with a runtime query relation -------------------------

@@ -27,7 +27,7 @@ object Curation7 {
     * the `d/s/p` CTE text q100/q136's oracles already proved equivalent
     * to the prefix-filtered Spark plan. Kept verbatim so every consumer
     * replays the identical pair set. */
-  private val PairCtes =
+  private[queries] val PairCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |s AS (SELECT doc_id,
       |        CASE WHEN len(t) >= 4

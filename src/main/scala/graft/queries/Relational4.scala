@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.dec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Fourth relational batch: the MAINTENANCE operators a warehouse runs
+  * between user queries — incremental materialized-view refresh (merge
+  * a delta's partial aggregates into stored MV state instead of
+  * recomputing the base) and SCD Type-2 dimension history (collapse a
+  * change stream into effective-dated attribute versions).
+  *
+  * Both are "never re-read the 100 TB base" shapes: the MV refresh
+  * touches only the delta slice plus |group keys| rows of state, and
+  * the SCD2 build is one user-partitioned exchange shared by every
+  * window in the plan.
+  */
+object Relational4 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q143: incremental materialized-view maintenance ------------------
+  // The refresh loop behind every "pricing summary" dashboard: the MV
+  // state is the PARTIAL aggregate per group key (count + exact decimal
+  // sums — all commutative monoids, so merge is just another sum), the
+  // delta is the slice newer than the stored high-water mark, and the
+  // refresh unions state with the delta's partials and re-reduces.
+  // Equivalence to a full recompute is exact (decimal addition is
+  // associative), which is precisely what the oracle checks: it
+  // recomputes from scratch while Spark runs the state ⊎ delta merge.
+  //
+  // Scale: at 100 TB the base partials live as a stored table and the
+  // refresh job reads ONLY the delta — here the l_shipdate >= cutoff
+  // predicate reaches the parquet scan (PushedFilters), standing in for
+  // the partition pruning a date-partitioned layout gives for free. The
+  // merge shuffles |keys| rows twice (once per partial aggregate, once
+  // for the re-reduce) — O(groups), independent of corpus size. A
+  // NON-incrementalizable aggregate (median, distinct count) would
+  // force the recompute; everything registered here is a monoid, and
+  // the distinct-count widgets elsewhere in the engine use mergeable
+  // HLL sketches (SketchSpec) for exactly this reason.
+  val q143 = q("q143_incremental_mv",
+    """SELECT l_returnflag, l_linestatus,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+    val cutoff = to_timestamp(lit("1998-01-01"))
+    val li = Tables(s, dir).lineitem
+    def partials(slice: DataFrame): DataFrame =
+      slice.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(dec(col("l_quantity"))).as("qty_dec"),
+          sum(dec(col("l_extendedprice"))).as("price_dec"))
+    // the stored MV state (at 100 TB this is a table, not a scan) ...
+    val state = partials(li.where(col("l_shipdate") < cutoff))
+    // ... and the refresh: delta partials merged into state by re-reduce
+    val delta = partials(li.where(col("l_shipdate") >= cutoff))
+    state.unionByName(delta)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("qty_dec")).cast(DoubleType).as("sum_qty"),
+        sum(col("price_dec")).cast(DoubleType).as("sum_price"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // -- q144: SCD Type-2 dimension history (gaps and islands) ------------
+  // Effective-dated attribute versions from an event stream: each event
+  // places its user in an activity tier (a derived dimension
+  // attribute), consecutive same-tier runs collapse into one version
+  // row with [valid_from, valid_to) bounds, and the open version is
+  // flagged current — the standard warehouse answer to "what was this
+  // user's tier when that order shipped" (the as-of join q41 then
+  // consumes such a table). Classic gaps-and-islands: a lag() change
+  // marker, a running sum to number versions, one aggregate per
+  // version, and a lead() to close each interval.
+  //
+  // Scale: lag, the cumulative sum, and the version aggregate all sort
+  // within ONE user_id hash exchange (windows ordered by (ts,
+  // event_id) — ties broken in the ORDER BY itself so the labeling is
+  // deterministic cross-engine); the closing lead() re-uses the same
+  // partitioning (version grain is a superset key). Output is
+  // version-grained — dimension-sized, never event-sized. Timestamps
+  // surface as epoch micros (no format-string round-trip to diverge).
+  val q144 = q("q144_scd2_history",
+    """WITH x AS (
+      |  SELECT user_id, event_id, ts,
+      |    CASE WHEN value >= 300 THEN 'high' WHEN value >= 100 THEN 'mid'
+      |         ELSE 'low' END AS tier
+      |  FROM events),
+      |m AS (
+      |  SELECT *, CASE WHEN lag(tier) OVER w IS NULL
+      |                   OR lag(tier) OVER w <> tier THEN 1 ELSE 0 END AS chg
+      |  FROM x WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |v AS (
+      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+      |  FROM m),
+      |g AS (
+      |  SELECT user_id, CAST(version AS BIGINT) AS version, tier,
+      |    CAST(epoch_us(min(ts)) AS BIGINT) AS valid_from_us,
+      |    COUNT(*) AS n_events
+      |  FROM v GROUP BY user_id, version, tier)
+      |SELECT user_id, version, tier, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) AS valid_to_us,
+      |  n_events,
+      |  (lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY version) IS NULL)
+      |    AS is_current
+      |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wVer = Window.partitionBy("user_id").orderBy(col("version"))
+    val tiered = Tables(s, dir).events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        when(col("value") >= 300, "high").when(col("value") >= 100, "mid")
+          .otherwise("low").as("tier"))
+    val versioned = tiered
+      .withColumn("prev_tier", lag(col("tier"), 1).over(wOrd))
+      .withColumn("chg",
+        when(col("prev_tier").isNull || col("prev_tier") =!= col("tier"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(wCum))
+    versioned.groupBy(col("user_id"), col("version"), col("tier"))
+      .agg(unix_micros(min(col("ts"))).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wVer))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .select(col("user_id"), col("version"), col("tier"), col("valid_from_us"),
+        col("valid_to_us"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q143, q144)
+}

@@ -188,7 +188,7 @@ class PlanShapeSpec extends SparkSpecBase {
   // levels), so only k-row partials reach the exchange.
   for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label",
                 "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars",
-                "q135_hard_negatives", "q140_cell_outliers"))
+                "q135_hard_negatives", "q140_cell_outliers", "q147_knn_eval"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
@@ -213,6 +213,42 @@ class PlanShapeSpec extends SparkSpecBase {
       }
       assert(!plan.contains("CartesianProduct"), s"$q plans CartesianProduct")
     }
+
+  // q145's confirm pass must reach the bigram stream through a BROADCAST
+  // semi-join on the sketch-produced candidate set: a shuffled semi-join
+  // would re-shuffle the full token grain — exactly what the
+  // Misra–Gries pass exists to avoid. The only aggregates shuffled are
+  // candidate-keyed (≤ capacity × partitions rows).
+  test("q145_heavy_hitters confirm pass is a broadcast semi-join on candidates") {
+    val plan = executed("q145_heavy_hitters")
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"q145 confirm join is not a broadcast semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "q145 plans CartesianProduct")
+  }
+
+  // q146's head must be a TakeOrderedAndProject: rank state is
+  // node-sized, but at 100 TB the node set is the full corpus and a
+  // global sort of it for a 20-row answer is the q118/q142 smell.
+  test("q146_pagerank head is TakeOrderedAndProject, not a global sort") {
+    val plan = executed("q146_pagerank")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"q146 top-k did not plan TakeOrderedAndProject:\n$plan")
+  }
+
+  // q148's only loop join is the broadcast 16-row threshold grid against
+  // the seed-sized scored relation — it must never carry the corpus
+  // (doc_id/text) through a loop join.
+  test("q148_vote_threshold_sweep loop joins carry the grid, never the corpus") {
+    val plan = executed("q148_vote_threshold_sweep")
+    plan.linesIterator
+      .filter(l => l.contains("BroadcastNestedLoopJoin") || l.contains("CartesianProduct"))
+      .foreach { l =>
+        assert(!l.contains("doc_id") && !l.contains("text"),
+          s"q148 corpus-level loop join: $l")
+      }
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q148 vote-table join is not a broadcast equi-join:\n$plan")
+  }
 
   // Merely PLANNING q33 must launch no Spark job: its corpus-size guard
   // is a broadcast-scalar assert_true inside the plan, not an eager

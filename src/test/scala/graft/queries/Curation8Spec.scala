@@ -1,0 +1,132 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Value-level twins for the statistics/evaluation batch: Misra–Gries
+  * forced through its eviction path against brute force, PageRank
+  * replayed in driver-side fixed-point arithmetic, the kNN eval
+  * reconciled with the classifier it measures, and the threshold sweep's
+  * confusion-quadrant invariants. Exact cross-engine hashes are the
+  * driver's DuckDB gate at sf0.01.
+  */
+class Curation8Spec extends SparkSpecBase {
+
+  test("Misra–Gries candidates are a superset of true heavy hitters under forced eviction") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 60) {
+      // Zipf-ish stream over a vocabulary far above the capacity, so
+      // decrement-all eviction fires constantly (unlike the test corpus,
+      // whose vocab fits the production capacity).
+      val vocab = 200
+      val n = 2000 + rnd.nextInt(3000)
+      val stream = Seq.fill(n) {
+        val r = rnd.nextDouble()
+        if (r < 0.5) s"hot${rnd.nextInt(5)}"          // few heavy keys
+        else s"cold${rnd.nextInt(vocab)}"              // long tail
+      }
+      val capacity = 20
+      val exact = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val candidates = Curation8.misraGries(stream.iterator, capacity).toSet
+      // the MG guarantee: every item with freq > N/(capacity+1) survives
+      val guaranteed = exact.collect { case (k, c) if c * (capacity + 1) > n => k }
+      val missing = guaranteed.filterNot(candidates)
+      assert(missing.isEmpty, s"MG dropped guaranteed heavy hitters: $missing")
+      // summary never exceeds its capacity bound
+      assert(candidates.size <= capacity)
+      // and the q145 pipeline shape — exact confirm over candidates at
+      // support N/10 (> the N/21 guarantee line) — equals brute force
+      val confirmed = candidates.toSeq
+        .map(k => k -> exact(k)).filter { case (_, c) => c * 10 >= n }.toMap
+      val brute = exact.filter { case (_, c) => c * 10 >= n }
+      assert(confirmed == brute)
+    }
+  }
+
+  test("q145 exact-confirm output equals a plain exact aggregate (sketch-independence)") {
+    // The operator's defining property: the output is EXACT — identical
+    // to the result of the (scale-hostile) full groupBy — no matter
+    // what the per-partition summaries kept or evicted.
+    val docs = graft.Tables(spark, sfDir).documents
+    val t = col("_t")
+    val brute = docs.withColumn("_t", split(col("text"), " "))
+      .where(size(t) >= 2)
+      .select(explode(transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = brute.agg(sum(col("cnt")).as("n")).head().getLong(0)
+    val expected = brute.collect().map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (_, c) => c * 1000 >= total }
+      .sortBy { case (w, c) => (-c, w) }.toSeq
+    val got = Curation8.q145.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q146 matches a driver-side fixed-point PageRank replay") {
+    val edges = Dedup.allPairsJaccard(spark, sfDir, 0.5)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = und.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val nodes = deg.keys.toSeq.sorted
+    val n = nodes.size.toLong
+    assert(n > 0, "test corpus has no dup edges — the replay would be vacuous")
+    val S = 1000000000000L
+    val base = 15L * S / (100L * n)
+    var r = nodes.map(_ -> S / n).toMap
+    for (_ <- 1 to 8) {
+      val contrib = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      und.foreach { case (u, v) =>
+        contrib(v) += (85L * r(u)) / (100L * deg(u))
+      }
+      r = nodes.map(v => v -> (base + contrib(v))).toMap
+    }
+    val expected = nodes.map(v => (v, r(v))).sortBy { case (v, s) => (-s, v) }.take(20)
+    val got = Curation8.q146.run(spark, sfDir).collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+    assert(got == expected)
+  }
+
+  test("q147 reconciles exactly with the classifier it evaluates") {
+    val preds = Curation5.knnPredictions(spark, sfDir, 100).collect()
+      .map(r => (r.getInt(1), r.getInt(2))) // (true_label, pred_label)
+    val classes = (preds.map(_._1) ++ preds.map(_._2)).distinct.sorted.toSeq
+    val expected = classes.map { c =>
+      val support = preds.count(_._1 == c).toLong
+      val tp = preds.count(p => p._1 == c && p._2 == c).toLong
+      val predicted = preds.count(_._2 == c).toLong
+      val prec = if (predicted == 0) 0.0 else tp.toDouble / predicted
+      val recall = if (support == 0) 0.0 else tp.toDouble / support
+      (c, support, tp, predicted, prec, recall)
+    }
+    val got = Curation8.q147.run(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+    assert(got.map(_._2).sum == preds.length.toLong) // supports cover every query
+    assert(got.map(_._4).sum == preds.length.toLong) // predictions do too
+  }
+
+  test("q148 confusion quadrants are consistent and monotone in the threshold") {
+    val rows = Curation8.q148.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 16)
+    val nPos = rows.head._2 + rows.head._4 // tp + fn at any threshold
+    val total = rows.head._2 + rows.head._3 + rows.head._4 + rows.head._5
+    rows.foreach { case (_, tp, fp, fn, tn) =>
+      assert(tp + fn == nPos, "positives must be threshold-invariant")
+      assert(tp + fp + fn + tn == total, "quadrants must cover the holdout")
+    }
+    // raising the threshold can only shrink the kept set
+    rows.sliding(2).foreach { case Array((_, tp1, fp1, _, _), (_, tp2, fp2, _, _)) =>
+      assert(tp2 <= tp1 && fp2 <= fp1, "kept set must shrink as the threshold rises")
+    }
+    // holdout and training slices are disjoint by construction: even ids
+    // train, odd ids evaluate — so the sweep is an honest held-out curve
+    val docs = graft.Tables(spark, sfDir).documents
+    val evenOdd = docs.select((col("doc_id") % 2 === 0).as("even")).distinct().count()
+    assert(evenOdd == 2, "test corpus must contain both parities for the split to mean anything")
+  }
+}

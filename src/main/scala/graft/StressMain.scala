@@ -102,7 +102,11 @@ object StressMain {
     // refresh, SCD2 history, Misra–Gries frequent bigrams, dup-graph
     // PageRank, kNN-classifier evaluation
     "q143_incremental_mv", "q144_scd2_history", "q145_heavy_hitters",
-    "q146_pagerank", "q147_knn_eval")
+    "q146_pagerank", "q147_knn_eval",
+    // round 8: QA + exact statistics — inspection sample, label-noise
+    // audit, histogram quantiles, OLS trend
+    "q149_inspection_sample", "q150_label_noise", "q151_exact_quantiles",
+    "q152_value_trend", "q153_index_recall_sweep", "q154_burst_detection")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -137,11 +137,12 @@ object Curation8 {
   //
   // Scale: per round one join (rank ⋈ edges, both partitioned by the
   // join key) + one partial-aggregated groupBy — the textbook
-  // distributed PageRank shape; localCheckpoint after each round keeps
-  // the plan one iteration deep (the q84 CC discipline). The node
-  // count is the only driver-side scalar (one count job on the
-  // cluster-sized graph). Head is TakeOrderedAndProject, never a full
-  // sort.
+  // distributed PageRank shape. The rank relation is referenced ONCE
+  // per round, so lineage is linear and the whole loop compiles into a
+  // single chained-stage job (see the in-body note — no per-round
+  // checkpoint, unlike CC's self-joining loop). The node count is the
+  // only driver-side scalar (one count job on the cluster-sized
+  // graph). Head is TakeOrderedAndProject, never a full sort.
   val q146 = q("q146_pagerank",
     s"""WITH ${Curation7.PairCtes},
        |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
@@ -151,28 +152,78 @@ object Curation8 {
        |${(1 to 8).map(prIterSql).mkString(",\n")}
        |SELECT node, CAST(r AS BIGINT) AS score FROM r8
        |ORDER BY score DESC, node LIMIT 20""".stripMargin) { (s, dir) =>
-    val pairs = dupEdges(s, dir)
-    val und = pairs.select(col("a_id").as("u"), col("b_id").as("v"))
-      .unionAll(pairs.select(col("b_id").as("u"), col("a_id").as("v")))
-    val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+    import s.implicits._
+    // Undirect via explode, not union(reversed): a union plans the
+    // prefix-filtered pair join twice (the q84 CC lesson) — one scan,
+    // each edge emitting both directions, persisted once.
+    val und = dupEdges(s, dir).select(explode(array(
+        struct(col("a_id").as("u"), col("b_id").as("v")),
+        struct(col("b_id").as("u"), col("a_id").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val withDeg = und.join(deg, Seq("u")).persist(StorageLevel.MEMORY_AND_DISK)
-    val n = deg.count() // the one driver scalar: |nodes| of the dup graph
-    if (n == 0) {
-      deg.select(col("u").as("node"), lit(0L).as("score")).where(lit(false))
-    } else {
+    val m = und.count() // materializes the persist AND picks the path
+    val fallbackEdges = sys.props.get("graft.pr.driverFallbackEdges")
+      .flatMap(x => scala.util.Try(x.toLong).toOption).getOrElse(1000000L)
+    if (m == 0) {
+      und.select(col("u").as("node"), lit(0L).as("score")).where(lit(false))
+    } else if (m <= fallbackEdges) {
+      // Size-adaptive driver fallback (the ConnectedComponents
+      // discipline, same 16 B/directed-edge packed collect and the same
+      // 1M cutover): 8 rounds over ≤1M edges is ~10⁷ integer ops — far
+      // under one distributed round's scheduling floor. Identical
+      // arithmetic to the distributed loop (integer sums are
+      // order-free), so the cutover can never change the answer —
+      // Curation8Spec replays this path against the oracle'd query.
+      val parts: Array[Array[Long]] = und.queryExecution.toRdd
+        .mapPartitions { it =>
+          val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+          it.foreach { row => buf += row.getLong(0); buf += row.getLong(1) }
+          Iterator.single(buf.result())
+        }.collect()
+      und.unpersist()
+      val flat = Array.concat(parts: _*)
+      val ids = flat.distinct.sorted
+      val idx = scala.collection.mutable.LongMap.empty[Int]
+      ids.zipWithIndex.foreach { case (id, i) => idx(id) = i }
+      val n = ids.length
+      val deg = new Array[Long](n)
+      var i = 0
+      while (i < flat.length) { deg(idx(flat(i))) += 1; i += 2 }
       val base = 15L * PrScale / (100L * n)
+      var r = Array.fill(n)(PrScale / n)
+      for (_ <- 1 to 8) {
+        val next = Array.fill(n)(base)
+        var j = 0
+        while (j < flat.length) {
+          val u = idx(flat(j)); val v = idx(flat(j + 1))
+          next(v) += (85L * r(u)) / (100L * deg(u))
+          j += 2
+        }
+        r = next
+      }
+      val top = ids.indices.sortBy(k => (-r(k), ids(k))).take(20)
+        .map(k => (ids(k), r(k)))
+      s.createDataFrame(top).toDF("node", "score")
+    } else {
+      val deg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val withDeg = und.join(deg, Seq("u")).persist(StorageLevel.MEMORY_AND_DISK)
+      val n = deg.count() // |nodes| — the distributed path's one scalar
+      val base = 15L * PrScale / (100L * n)
+      // No per-round checkpoint: unlike the CC loop (whose path-halving
+      // self-join references its labels TWICE per round — exponential
+      // plan growth without truncation), each PageRank round reads the
+      // previous rank relation exactly once, so lineage grows linearly
+      // and the rounds chain inside one job. On a real cluster,
+      // reliable-checkpoint every few rounds for fault tolerance, not
+      // for planning.
       var r = deg.select(col("u").as("node"), lit(PrScale / n).as("r"))
-        .localCheckpoint()
       for (_ <- 1 to 8) {
         val contrib = withDeg.join(r.withColumnRenamed("node", "u"), Seq("u"))
           .select(col("v").as("node"), expr("(85 * r) div (100 * deg)").as("c"))
           .groupBy("node").agg(sum(col("c")).as("cs"))
-        val prev = r
         r = deg.select(col("u").as("node")).join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
-          .localCheckpoint()
-        org.apache.spark.sql.graftbridge.ColumnBridge.unpersistCheckpoint(prev)
       }
       r.orderBy(col("r").desc, col("node")).limit(20)
         .select(col("node"), col("r").as("score"))

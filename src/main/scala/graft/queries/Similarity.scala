@@ -21,7 +21,7 @@ object Similarity {
   // Round-robin repartition after the scan: the table arrives as few
   // parquet splits, and every downstream pair/score stage streams this
   // side — without it the whole similarity compute runs in one task.
-  private def corpus(s: SparkSession, dir: String): DataFrame =
+  private[queries] def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("v"))

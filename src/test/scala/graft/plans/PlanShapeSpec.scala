@@ -188,7 +188,9 @@ class PlanShapeSpec extends SparkSpecBase {
   // levels), so only k-row partials reach the exchange.
   for (q <- Seq("q31_ann_brute", "q121_ann_sq8", "q123_knn_label",
                 "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars",
-                "q135_hard_negatives", "q140_cell_outliers", "q147_knn_eval"))
+                "q135_hard_negatives", "q140_cell_outliers", "q147_knn_eval",
+                "q149_inspection_sample", "q150_label_noise",
+                "q153_index_recall_sweep"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
@@ -229,10 +231,15 @@ class PlanShapeSpec extends SparkSpecBase {
   // q146's head must be a TakeOrderedAndProject: rank state is
   // node-sized, but at 100 TB the node set is the full corpus and a
   // global sort of it for a 20-row answer is the q118/q142 smell.
-  test("q146_pagerank head is TakeOrderedAndProject, not a global sort") {
-    val plan = executed("q146_pagerank")
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"q146 top-k did not plan TakeOrderedAndProject:\n$plan")
+  test("q146_pagerank distributed head is TakeOrderedAndProject, not a global sort") {
+    // force the distributed loop (the default path collapses the test
+    // graph onto the driver under the 1M-edge cutover)
+    sys.props("graft.pr.driverFallbackEdges") = "0"
+    try {
+      val plan = executed("q146_pagerank")
+      assert(plan.contains("TakeOrderedAndProject"),
+        s"q146 top-k did not plan TakeOrderedAndProject:\n$plan")
+    } finally sys.props.remove("graft.pr.driverFallbackEdges")
   }
 
   // q148's only loop join is the broadcast 16-row threshold grid against

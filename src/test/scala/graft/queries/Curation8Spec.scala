@@ -84,9 +84,18 @@ class Curation8Spec extends SparkSpecBase {
       r = nodes.map(v => v -> (base + contrib(v))).toMap
     }
     val expected = nodes.map(v => (v, r(v))).sortBy { case (v, s) => (-s, v) }.take(20)
+    // default path: the ≤1M-edge graph collapses onto the driver
     val got = Curation8.q146.run(spark, sfDir).collect()
       .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
     assert(got == expected)
+    // forced-distributed path must produce the identical ranking — the
+    // cutover can never change the answer
+    sys.props("graft.pr.driverFallbackEdges") = "0"
+    try {
+      val dist = Curation8.q146.run(spark, sfDir).collect()
+        .map(r0 => (r0.getLong(0), r0.getLong(1))).toSeq
+      assert(dist == expected)
+    } finally sys.props.remove("graft.pr.driverFallbackEdges")
   }
 
   test("q147 reconciles exactly with the classifier it evaluates") {

@@ -27,15 +27,21 @@ object Curation7 {
     * the `d/s/p` CTE text q100/q136's oracles already proved equivalent
     * to the prefix-filtered Spark plan. Kept verbatim so every consumer
     * replays the identical pair set. */
+  /** `s` and `p` carry MATERIALIZED hints: consumers reference the
+    * shingle set twice (self-join) and the pair set up to 9 times
+    * (q139's triangle triple-join, q146's unrolled PageRank rounds) —
+    * an engine that inlines multi-referenced CTEs would re-run the
+    * O(n²)-shaped pair join per reference, turning a minutes oracle
+    * into hours at sf0.1. */
   private[queries] val PairCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |s AS (SELECT doc_id,
+      |s AS MATERIALIZED (SELECT doc_id,
       |        CASE WHEN len(t) >= 4
       |             THEN list_distinct(list_transform(range(1, len(t) - 2),
       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
       |             ELSE list_distinct(t) END AS sh
       |      FROM d),
-      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5)""".stripMargin

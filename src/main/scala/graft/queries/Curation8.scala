@@ -145,8 +145,8 @@ object Curation8 {
   // graph). Head is TakeOrderedAndProject, never a full sort.
   val q146 = q("q146_pagerank",
     s"""WITH ${Curation7.PairCtes},
-       |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
-       |deg AS (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
+       |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+       |deg AS MATERIALIZED (SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY 1),
        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
        |r0 AS (SELECT node, $PrScale // (SELECT NULLIF(n, 0) FROM nn) AS r FROM deg),
        |${(1 to 8).map(prIterSql).mkString(",\n")}

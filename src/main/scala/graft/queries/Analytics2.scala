@@ -167,5 +167,73 @@ object Analytics2 {
       .orderBy("event_type", "hour")
   }
 
-  val all: Seq[GraftQuery] = Seq(q151, q152, q154)
+  // -- q155: event-type transition matrix (first-order Markov) ----------
+  // For every consecutive event pair within a user's timeline: how often
+  // does type A lead to type B? The session-flow fingerprint product
+  // analytics reads (drop-off edges, loops), and the transition prior a
+  // next-event model starts from. One lag() over the (ts, event_id)-
+  // ordered user partition — the q137/q144 exchange — then a pair-keyed
+  // count and a from-type total; share = one exact-integer division.
+  // Output is |types|² ≤ 25 rows.
+  val q155 = q("q155_event_transitions",
+    """WITH x AS (
+      |  SELECT event_type AS to_type,
+      |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      |  FROM events),
+      |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM x WHERE from_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
+      |SELECT t.from_type, t.to_type, t.n, tot.n_from,
+      |  CAST(t.n AS DOUBLE) / tot.n_from AS share
+      |FROM t JOIN tot USING (from_type)
+      |ORDER BY t.from_type, t.to_type""".stripMargin) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("to_type"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(wOrd))
+      .where(col("from_type").isNotNull)
+    val t = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val tot = t.groupBy("from_type").agg(sum(col("n")).as("n_from"))
+    t.join(tot, Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+        (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("share"))
+      .orderBy("from_type", "to_type")
+  }
+
+  // -- q156: right-to-be-forgotten sweep (erasure audit) ----------------
+  // The GDPR/CCPA deletion job's AUDIT face: given a deletion cohort (a
+  // deterministic hash slice standing in for the request table), report
+  // per event type how many rows the sweep removes and keeps, and how
+  // many distinct users are erased — the numbers a data-protection
+  // officer signs off on before the anti-join rewrite runs. The
+  // deletion set builds from the event log itself (no side input), the
+  // classification is a map-only hash test (no join at all — at 100 TB
+  // a real request table broadcasts into the same shape), and the
+  // distinct-user count is a two-level aggregate, never an Expand.
+  val q156 = q("q156_erasure_audit",
+    s"""WITH e AS (SELECT event_type, user_id,
+      |             (${graft.QueryDsl.crossHash60Sql("user_id")} % 20 = 0) AS purge
+      |           FROM events),
+      |per AS (SELECT event_type, purge, user_id, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM e GROUP BY 1, 2, 3)
+      |SELECT event_type,
+      |  CAST(SUM(n) AS BIGINT) AS n_total,
+      |  CAST(SUM(CASE WHEN purge THEN n ELSE 0 END) AS BIGINT) AS n_purged,
+      |  CAST(SUM(CASE WHEN NOT purge THEN n ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN purge THEN 1 ELSE 0 END) AS BIGINT) AS purged_users
+      |FROM per GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
+    val per = Tables(s, dir).events
+      .select(col("event_type"), col("user_id"),
+        (pmod(crossHash60(col("user_id")), lit(20L)) === 0).as("purge"))
+      .groupBy("event_type", "purge", "user_id").agg(count(lit(1)).as("n"))
+    per.groupBy("event_type")
+      .agg(sum(col("n")).as("n_total"),
+        sum(when(col("purge"), col("n")).otherwise(0L)).as("n_purged"),
+        sum(when(!col("purge"), col("n")).otherwise(0L)).as("n_kept"),
+        sum(when(col("purge"), 1L).otherwise(0L)).as("purged_users"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q151, q152, q154, q155, q156)
 }

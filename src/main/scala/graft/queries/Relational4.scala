@@ -136,5 +136,36 @@ object Relational4 {
       .orderBy("user_id", "version")
   }
 
-  val all: Seq[GraftQuery] = Seq(q143, q144)
+  // -- q157: table profile (per-column null/distinct census) ------------
+  // The data-profiling pass a warehouse runs on ingest: per column of
+  // `orders`, row count, non-null count, and EXACT distinct count. Each
+  // column profiles in its own column-pruned scan (the parquet reader
+  // materializes one column per pass — at 100 TB that is the difference
+  // between reading the table once per column and reading every column
+  // |cols| times, which is what a single-pass multi-COUNT(DISTINCT)
+  // plans as: an Expand multiplying every row by the column count). The
+  // per-column distinct is a two-phase aggregate on the column's native
+  // type — no cross-engine stringification anywhere.
+  val q157 = q("q157_table_profile", {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map(c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($c) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct
+         |FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }) { (s, dir) =>
+    val o = Tables(s, dir).orders
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority")
+    cols.map { c =>
+      o.agg(count(lit(1)).as("n_rows"), count(col(c)).as("n_nonnull"),
+          countDistinct(col(c)).as("n_distinct"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nonnull"),
+          col("n_distinct"))
+    }.reduce(_.unionByName(_)).orderBy("col_name")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q143, q144, q157)
 }

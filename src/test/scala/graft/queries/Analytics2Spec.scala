@@ -80,4 +80,49 @@ class Analytics2Spec extends SparkSpecBase {
         r.getLong(4), r.getBoolean(5))).toSeq
     assert(got == expected)
   }
+
+  test("q155 transitions conserve the event log") {
+    val rows = Analytics2.q155.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val ev = graft.Tables(spark, sfDir).events
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    // each user contributes exactly (events − 1) transitions
+    assert(rows.map(_._3).sum == nEvents - nUsers)
+    // the from-type totals are consistent with the pair counts
+    rows.groupBy(_._1).foreach { case (ft, rs) =>
+      assert(rs.map(_._3).sum == rs.head._4, s"$ft n_from mismatch")
+    }
+  }
+
+  test("q156 erasure audit balances and matches the hash cohort") {
+    val rows = Analytics2.q156.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum == graft.Tables(spark, sfDir).events.count())
+    rows.foreach { case (et, total, purged, kept, _) =>
+      assert(purged + kept == total, s"$et quadrants do not balance")
+    }
+    // the purge flag is the deterministic hash test, recomputed independently
+    val purgedTotal = graft.Tables(spark, sfDir).events
+      .where(pmod(graft.QueryDsl.crossHash60(col("user_id")), lit(20L)) === 0)
+      .count()
+    assert(rows.map(_._3).sum == purgedTotal)
+  }
+
+  test("q157 profile equals driver-side distinct counts") {
+    val o = graft.Tables(spark, sfDir).orders.collect()
+    val byCol = Map(
+      "o_orderkey" -> o.map(_.get(0)), "o_custkey" -> o.map(_.get(1)),
+      "o_orderstatus" -> o.map(_.get(2)), "o_totalprice" -> o.map(_.get(3)),
+      "o_orderdate" -> o.map(_.get(4)), "o_orderpriority" -> o.map(_.get(5)))
+    val got = graft.queries.Relational4.q157.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    got.foreach { case (c, nRows, nNonnull, nDistinct) =>
+      val vs = byCol(c)
+      assert(nRows == o.length.toLong)
+      assert(nNonnull == vs.count(_ != null).toLong)
+      assert(nDistinct == vs.filter(_ != null).distinct.length.toLong, s"$c distinct")
+    }
+    assert(got.length == byCol.size)
+  }
 }

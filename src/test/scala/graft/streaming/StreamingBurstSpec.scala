@@ -1,0 +1,51 @@
+package graft.streaming
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The streaming burst detector must emit, after the watermark passes
+  * every open hour, EXACTLY the (type, hour) verdict rows q154 computes
+  * from the full log — counts, trailing baselines, and burst flags. */
+class StreamingBurstSpec extends SparkSpecBase {
+  import spark.implicits._
+  import StreamingSessionize.SessionEvent
+
+  test("hour verdicts equal the q154 batch rows on the same log") {
+    val evs = Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => SessionEvent(r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), math.round(r.getDouble(4) * 100)))
+      .sortBy(e => (e.us, e.event_id)).toSeq
+    val input = MemoryStream[SessionEvent](spark)
+    val out = StreamingBurst.bursts(input.toDS(), delaySec = 1)
+    val q = out.writeStream.format("memory").queryName("burst_out")
+      .outputMode("append").start()
+    try {
+      evs.grouped(math.max(evs.size / 3, 1)).foreach { chunk =>
+        input.addData(chunk)
+        q.processAllAvailable()
+      }
+      // sentinel far past every hour: closes all open hours, then a
+      // second batch gives the timeout a batch to fire in
+      val far = evs.map(_.us).max + 48L * 3600L * 1000000L
+      input.addData(Seq(SessionEvent(-1L, 0L, far, "zz_sentinel", 0L)))
+      q.processAllAvailable()
+      input.addData(Seq(SessionEvent(-1L, 1L, far + 1000000L, "zz_sentinel", 0L)))
+      q.processAllAvailable()
+
+      val got = spark.table("burst_out")
+        .where(col("event_type") =!= "zz_sentinel")
+        .as[(String, Long, Long, Long, Long, Boolean)]
+        .collect().toSeq.sortBy(t => (t._1, t._2))
+      val want = graft.queries.Analytics2.q154.run(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Boolean)]
+        .collect().toSeq.sortBy(t => (t._1, t._2))
+      assert(got.size == want.size,
+        s"verdict count: streaming ${got.size} vs batch ${want.size}")
+      assert(got == want)
+    } finally q.stop()
+  }
+}

@@ -107,7 +107,8 @@ object StressMain {
     // audit, histogram quantiles, OLS trend
     "q149_inspection_sample", "q150_label_noise", "q151_exact_quantiles",
     "q152_value_trend", "q153_index_recall_sweep", "q154_burst_detection",
-    "q155_event_transitions", "q156_erasure_audit", "q157_table_profile")
+    "q155_event_transitions", "q156_erasure_audit", "q157_table_profile",
+    "q158_incremental_cc")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

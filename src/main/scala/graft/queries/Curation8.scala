@@ -387,5 +387,96 @@ object Curation8 {
       .orderBy("threshold")
   }
 
-  val all: Seq[GraftQuery] = Seq(q145, q146, q147, q148)
+  // -- q158: incremental connected components (live dup-cluster index) --
+  // The dedup cluster index's INCREMENTAL form: the base corpus's
+  // clustering is stored state (q84's output), a new ingest cohort
+  // arrives with its candidate pairs (the q114/q115 incremental-ingest
+  // machinery produces exactly these), and the update must NOT re-run
+  // CC over the full graph. The standard contraction trick: map every
+  // delta edge's endpoints through the stored labels (nodes without a
+  // base label pass through as themselves), run CC on the CONTRACTED
+  // graph — whose size is (affected base clusters + new nodes), not the
+  // corpus — and compose the two label maps. Equality with a full
+  // recompute is exact: a base label IS the min id of its base
+  // component, so the contracted min-label is the global min of the
+  // merged component — the oracle proves it by recomputing from scratch
+  // (two recursive-CTE clusterings) while Spark runs the incremental
+  // path. Output is the cluster-evolution census a dedup-index owner
+  // reads after each ingest: per final cluster, how many docs, how
+  // many from the base vs the new cohort, and how many base clusters
+  // merged into it.
+  //
+  // Scale: the full-graph CC (the thing this avoids) touches every
+  // edge every round; the incremental path touches the delta edges
+  // once, the stored label table twice (equi-joins), and runs CC on a
+  // contracted graph that is delta-sized. Census aggregates are
+  // cluster-keyed; the base-cluster count is a two-level distinct
+  // (grain (cluster, base_label)), never an Expand.
+  val q158 = q("q158_incremental_cc",
+    s"""WITH RECURSIVE ${Curation7.PairCtes},
+      |bp AS (SELECT a_id, b_id FROM p WHERE a_id % 5 <> 0 AND b_id % 5 <> 0),
+      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r AS (SELECT u AS node, u AS reach FROM e
+      |      UNION
+      |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+      |c AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY 1),
+      |be AS (SELECT a_id AS u, b_id AS v FROM bp UNION ALL SELECT b_id, a_id FROM bp),
+      |br AS (SELECT u AS node, u AS reach FROM be
+      |       UNION
+      |       SELECT br.node, be.v FROM br JOIN be ON br.reach = be.u),
+      |bc AS (SELECT node, min(reach) AS base_cluster FROM br GROUP BY 1),
+      |j AS (SELECT c.node, c.cluster_id, bc.base_cluster
+      |      FROM c LEFT JOIN bc ON c.node = bc.node),
+      |cen AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |         CAST(SUM(CASE WHEN node % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base_docs,
+      |         CAST(SUM(CASE WHEN node % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs
+      |       FROM j GROUP BY 1),
+      |b2 AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_base_clusters
+      |       FROM (SELECT DISTINCT cluster_id, base_cluster FROM j
+      |             WHERE base_cluster IS NOT NULL) GROUP BY 1)
+      |SELECT cen.cluster_id, n_docs, n_base_docs, n_new_docs,
+      |  COALESCE(n_base_clusters, 0) AS n_base_clusters
+      |FROM cen LEFT JOIN b2 USING (cluster_id) ORDER BY cen.cluster_id""".stripMargin) { (s, dir) =>
+    val isNew = (c: org.apache.spark.sql.Column) => pmod(c, lit(5L)) === 0
+    val pairs = dupEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    val basePairs = pairs.where(!isNew(col("a_id")) && !isNew(col("b_id")))
+    val deltaPairs = pairs.where(isNew(col("a_id")) || isNew(col("b_id")))
+    // the stored state: base clustering (size-adaptive CC, q84's path)
+    val baseLabels = graft.operators.ConnectedComponents
+      .minLabelPropagation(basePairs)
+      .select(col("node"), col("comp").as("l1"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // contraction: delta endpoints → their stored label (or themselves)
+    val contracted = deltaPairs
+      .join(baseLabels.select(col("node").as("a_id"), col("l1").as("la")), Seq("a_id"), "left")
+      .join(baseLabels.select(col("node").as("b_id"), col("l1").as("lb")), Seq("b_id"), "left")
+      .select(coalesce(col("la"), col("a_id")).as("ca"),
+        coalesce(col("lb"), col("b_id")).as("cb"))
+      .where(col("ca") =!= col("cb"))
+      .distinct()
+    val delta2 = graft.operators.ConnectedComponents.minLabelPropagation(contracted)
+      .select(col("node").as("cid"), col("comp").as("l2"))
+    // compose: every pair member → contracted id → final label
+    val allNodes = pairs.select(col("a_id").as("node"))
+      .unionAll(pairs.select(col("b_id").as("node"))).distinct()
+    val labeled = allNodes
+      .join(baseLabels, Seq("node"), "left")
+      .select(col("node"), col("l1"), coalesce(col("l1"), col("node")).as("cid"))
+      .join(delta2, Seq("cid"), "left")
+      .select(col("node"), col("l1"),
+        coalesce(col("l2"), col("cid")).as("cluster_id"))
+    val docAgg = labeled.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!isNew(col("node")), 1L).otherwise(0L)).as("n_base_docs"),
+        sum(when(isNew(col("node")), 1L).otherwise(0L)).as("n_new_docs"))
+    val baseClAgg = labeled.where(col("l1").isNotNull)
+      .select("cluster_id", "l1").distinct()
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_base_clusters"))
+    docAgg.join(baseClAgg, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_docs"), col("n_base_docs"), col("n_new_docs"),
+        coalesce(col("n_base_clusters"), lit(0L)).as("n_base_clusters"))
+      .orderBy("cluster_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q145, q146, q147, q148, q158)
 }

@@ -98,6 +98,36 @@ class Curation8Spec extends SparkSpecBase {
     } finally sys.props.remove("graft.pr.driverFallbackEdges")
   }
 
+  test("q158 incremental clustering census equals a full-graph recompute") {
+    // full recompute: CC over ALL pairs, then the same census — the
+    // path the incremental operator exists to avoid
+    val pairs = Dedup.allPairsJaccard(spark, sfDir, 0.5).select(col("a_id"), col("b_id"))
+    val full = graft.operators.ConnectedComponents.minLabelPropagation(pairs)
+      .select(col("node"), col("comp").as("cluster_id"))
+    val basePairs = pairs
+      .where(pmod(col("a_id"), lit(5L)) =!= 0 && pmod(col("b_id"), lit(5L)) =!= 0)
+    val baseLabels = graft.operators.ConnectedComponents.minLabelPropagation(basePairs)
+      .select(col("node"), col("comp").as("l1"))
+    val j = full.join(baseLabels, Seq("node"), "left")
+    val docAgg = j.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(pmod(col("node"), lit(5L)) =!= 0, 1L).otherwise(0L)).as("n_base_docs"),
+        sum(when(pmod(col("node"), lit(5L)) === 0, 1L).otherwise(0L)).as("n_new_docs"))
+    val bAgg = j.where(col("l1").isNotNull).select("cluster_id", "l1").distinct()
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_base_clusters"))
+    val expected = docAgg.join(bAgg, Seq("cluster_id"), "left")
+      .select(col("cluster_id"), col("n_docs"), col("n_base_docs"), col("n_new_docs"),
+        coalesce(col("n_base_clusters"), lit(0L)).as("n_base_clusters"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq.sortBy(_._1)
+    val got = Curation8.q158.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+    // and the ingest actually merged something (the census is non-trivial)
+    assert(got.nonEmpty && got.map(_._4).sum > 0, "no new-cohort docs in any cluster")
+  }
+
   test("q147 reconciles exactly with the classifier it evaluates") {
     val preds = Curation5.knnPredictions(spark, sfDir, 100).collect()
       .map(r => (r.getInt(1), r.getInt(2))) // (true_label, pred_label)

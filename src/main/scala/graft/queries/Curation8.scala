@@ -478,5 +478,75 @@ object Curation8 {
       .orderBy("cluster_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q145, q146, q147, q148, q158)
+  /** One threshold leg of q159's oracle: the scored pair CTE filtered at
+    * `t`, clustered by a recursive CTE, reduced to the census row. */
+  private def sweepLegSql(tag: String, t: String): String =
+    s"""p$tag AS (SELECT a_id, b_id FROM ps WHERE score >= $t),
+       |e$tag AS (SELECT a_id AS u, b_id AS v FROM p$tag
+       |          UNION ALL SELECT b_id, a_id FROM p$tag),
+       |r$tag AS (SELECT u AS node, u AS reach FROM e$tag
+       |          UNION
+       |          SELECT r$tag.node, e$tag.v FROM r$tag JOIN e$tag ON r$tag.reach = e$tag.u),
+       |c$tag AS (SELECT node, min(reach) AS comp FROM r$tag GROUP BY 1),
+       |k$tag AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS n FROM c$tag GROUP BY 1),
+       |row$tag AS (SELECT CAST($t AS DOUBLE) AS threshold,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM p$tag) AS n_pairs,
+       |    CAST(COALESCE(SUM(n), 0) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |    CAST(COALESCE(MAX(n), 0) AS BIGINT) AS largest_cluster
+       |  FROM k$tag)""".stripMargin
+
+  // -- q159: dedup threshold sensitivity sweep --------------------------
+  // The curve a dedup owner reads before picking the production
+  // threshold: at t ∈ {0.5, 0.9, 0.95, 0.98}, how many pairs survive,
+  // how many documents cluster, into how many clusters, and how big is
+  // the largest — the knob that trades recall (catching rewrites)
+  // against collateral (merging distinct docs). The expensive work —
+  // the prefix-filtered candidate index and the exact scores — is done
+  // ONCE at the loosest threshold; each sweep point is a filter over
+  // the scored pair relation plus a cluster census on the (shrinking)
+  // subgraph, so the sweep costs one pair build + 4 delta-sized CC
+  // runs, not 4 corpus passes. Scores are the same IEEE division in
+  // both engines (q100's oracle proves the kernel bit-equal), so the
+  // threshold compares agree exactly.
+  val q159 = q("q159_threshold_sweep",
+    s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN len(t) >= 4
+      |             THEN list_distinct(list_transform(range(1, len(t) - 2),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |ps AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |        CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) AS score
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |${Seq("50" -> "0.5", "90" -> "0.9", "95" -> "0.95", "98" -> "0.98")
+        .map { case (tag, t) => sweepLegSql(tag, t) }.mkString(",\n")}
+      |SELECT * FROM row50 UNION ALL SELECT * FROM row90
+      |UNION ALL SELECT * FROM row95 UNION ALL SELECT * FROM row98
+      |ORDER BY threshold""".stripMargin) { (s, dir) =>
+    val scored = Dedup.allPairsJaccard(s, dir, 0.5)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    Seq(0.5, 0.9, 0.95, 0.98).map { t =>
+      val pt = scored.where(col("jaccard") >= t).select(col("a_id"), col("b_id"))
+      val nPairs = pt.count() // bounded: the dedup pair set is result-sized
+      val census =
+        if (nPairs == 0)
+          s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("n_clusters"),
+            lit(0L).as("largest_cluster"))
+        else
+          graft.operators.ConnectedComponents.minLabelPropagation(pt)
+            .groupBy("comp").agg(count(lit(1)).as("n"))
+            .agg(coalesce(sum(col("n")), lit(0L)).as("n_docs"),
+              count(lit(1)).as("n_clusters"),
+              coalesce(max(col("n")), lit(0L)).as("largest_cluster"))
+      census.select(lit(t).as("threshold"), lit(nPairs).as("n_pairs"),
+        col("n_docs"), col("n_clusters"), col("largest_cluster"))
+    }.reduce(_.unionByName(_)).orderBy("threshold")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q145, q146, q147, q148, q158, q159)
 }

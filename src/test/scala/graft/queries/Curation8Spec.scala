@@ -128,6 +128,25 @@ class Curation8Spec extends SparkSpecBase {
     assert(got.nonEmpty && got.map(_._4).sum > 0, "no new-cohort docs in any cluster")
   }
 
+  test("q159 sweep is monotone: tightening the threshold only shrinks the graph") {
+    val rows = Curation8.q159.run(spark, sfDir).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == Seq(0.5, 0.9, 0.95, 0.98))
+    rows.sliding(2).foreach {
+      case Array(lo, hi) =>
+        assert(hi._2 <= lo._2, "pairs must not grow as the threshold rises")
+        assert(hi._3 <= lo._3, "clustered docs must not grow as the threshold rises")
+        assert(hi._5 <= lo._5, "the largest cluster can only shrink or split")
+      case _ => ()
+    }
+    rows.foreach { case (_, nPairs, nDocs, nClusters, largest) =>
+      if (nPairs > 0) {
+        assert(nDocs >= 2 * nClusters, "every cluster holds at least two pair members")
+        assert(largest <= nDocs && nClusters <= nDocs)
+      } else assert(nDocs == 0 && nClusters == 0 && largest == 0)
+    }
+  }
+
   test("q147 reconciles exactly with the classifier it evaluates") {
     val preds = Curation5.knnPredictions(spark, sfDir, 100).collect()
       .map(r => (r.getInt(1), r.getInt(2))) // (true_label, pred_label)

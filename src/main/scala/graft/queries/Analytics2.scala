@@ -181,20 +181,21 @@ object Analytics2 {
       |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
       |  FROM events),
       |t AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
-      |      FROM x WHERE from_type IS NOT NULL GROUP BY 1, 2),
-      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM t GROUP BY 1)
-      |SELECT t.from_type, t.to_type, t.n, tot.n_from,
-      |  CAST(t.n AS DOUBLE) / tot.n_from AS share
-      |FROM t JOIN tot USING (from_type)
-      |ORDER BY t.from_type, t.to_type""".stripMargin) { (s, dir) =>
+      |      FROM x WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      |SELECT from_type, to_type, n,
+      |  CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS n_from,
+      |  CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS share
+      |FROM t ORDER BY from_type, to_type""".stripMargin) { (s, dir) =>
     val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val pairs = Tables(s, dir).events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type").as("to_type"))
       .withColumn("from_type", lag(col("to_type"), 1).over(wOrd))
       .where(col("from_type").isNotNull)
     val t = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
-    val tot = t.groupBy("from_type").agg(sum(col("n")).as("n_from"))
-    t.join(tot, Seq("from_type"))
+    // from-type totals as a window over the |types|²-row aggregate — a
+    // groupBy+self-join would plan the corpus-sized lag subtree twice
+    val wFrom = Window.partitionBy("from_type")
+    t.withColumn("n_from", sum(col("n")).over(wFrom))
       .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
         (col("n").cast(DoubleType) / col("n_from").cast(DoubleType)).as("share"))
       .orderBy("from_type", "to_type")

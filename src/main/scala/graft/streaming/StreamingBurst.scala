@@ -61,6 +61,27 @@ object StreamingBurst {
     (TypeState(counts.filter { case (k, _) => k >= upto - 24 }, upto), out.reverse)
   }
 
+  /** foreachBatch hook routing burst verdicts onto the ops surface the
+    * reference's dashboard exposes (the StreamingIvfIngest drift-alert
+    * pattern): every `is_burst` row records an alert the StatsServer
+    * `/detail/` drill-down renders. Burst rows are alert-sized — the
+    * collect is bounded by flagged (type, hour) cells, not traffic. */
+  def alertHook(listener: PipelineStatsListener, query: String)
+      : (Dataset[HourVerdict], Long) => Unit = { (ds, _) =>
+    ds.filter(_.is_burst).collect().foreach { v =>
+      listener.recordDeadLetter(query, graft.pipeline.DeadLetter(
+        id = s"burst-${v.event_type}-${v.hour}",
+        contentJson =
+          s"""{"event_type":"${v.event_type}","hour":${v.hour},"cnt":${v.cnt},""" +
+            s""""trailing_sum":${v.trailing_sum},"n_trailing":${v.n_trailing}}""",
+        errorMessage =
+          s"traffic burst: ${v.event_type} hour ${v.hour} saw ${v.cnt} events " +
+            s"vs trailing sum ${v.trailing_sum} over ${v.n_trailing} hours",
+        stackTrace = "",
+        operator = "StreamingBurst"))
+    }
+  }
+
   /** @param events the raw stream (`us` = event-time micros)
     * @param delaySec watermark slack for late arrivals */
   def bursts(events: Dataset[SessionEvent], delaySec: Long = 60): Dataset[HourVerdict] = {

@@ -48,4 +48,32 @@ class StreamingBurstSpec extends SparkSpecBase {
       assert(got == want)
     } finally q.stop()
   }
+
+  test("a planted burst raises an alert through the stats listener") {
+    // 30 flat hours of 10 events, then one hour at 3x the baseline
+    val base = (0 until 30).flatMap { h =>
+      (0 until 10).map(i => SessionEvent(1L, h * 100L + i,
+        1704067200000000L + h * 3600000000L + i * 1000000L, "api", 0L))
+    }
+    val burst = (0 until 30).map(i => SessionEvent(1L, 9000L + i,
+      1704067200000000L + 30L * 3600000000L + i * 1000000L, "api", 0L))
+    val listener = new PipelineStatsListener()
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingBurst.bursts(input.toDS(), delaySec = 1).writeStream
+      .queryName("burst_alerts").outputMode("append")
+      .foreachBatch(StreamingBurst.alertHook(listener, "burst_alerts"))
+      .start()
+    try {
+      input.addData(base); q.processAllAvailable()
+      input.addData(burst); q.processAllAvailable()
+      // sentinels close the burst hour
+      val far = 1704067200000000L + 80L * 3600000000L
+      input.addData(Seq(SessionEvent(-1L, 0L, far, "api", 0L))); q.processAllAvailable()
+      input.addData(Seq(SessionEvent(-1L, 1L, far + 1000000L, "api", 0L))); q.processAllAvailable()
+      val failures = listener.snapshot.get("burst_alerts")
+        .map(_.failures).getOrElse(Vector.empty)
+      assert(failures.exists(_.messageId == "burst-api-30"),
+        s"expected the hour-30 burst alert, got: ${failures.map(_.messageId)}")
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,60 @@
+package graft.examples
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** The corpus report card — the one-stop governance review a pipeline
+  * owner reads before shipping a training corpus, composed entirely
+  * from oracle-gated registry operators:
+  *
+  *   1. attrition funnel (q141): where each source's documents die
+  *   2. dedup threshold sweep (q159): the pair/cluster curve that
+  *      picks the production near-dup threshold
+  *   3. dup-graph health (q139): triangles — are clusters dense
+  *      families or chains of marginal matches?
+  *   4. leakage-free split audit (q138): train/val/test by cluster
+  *   5. label-noise audit (q150): which classes' labels to re-review
+  *   6. classifier calibration (q148): the held-out threshold curve
+  *   7. index tuning (q153): recall@5 / MRR per IVF probe count
+  *   8. inspection sample (q149): the reproducible eyeball set
+  *
+  * Every table is deterministic (integer counts + single divisions),
+  * so two runs of this report — or a rerun after an incident — are
+  * bit-identical unless the corpus changed.
+  * `sbt "runMain graft.examples.GovernanceMain [sfDir]"`.
+  */
+object GovernanceMain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[8]"))
+      .appName("graft-governance")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val sections = Seq(
+      "source attrition funnel" -> "q141_attrition_funnel",
+      "dedup threshold sweep" -> "q159_threshold_sweep",
+      "dup-graph health (triangle census)" -> "q139_dup_graph_triangles",
+      "leakage-free split audit" -> "q138_cluster_split",
+      "label-noise audit" -> "q150_label_noise",
+      "classifier calibration (held-out sweep)" -> "q148_vote_threshold_sweep",
+      "index tuning (IVF probe sweep)" -> "q153_index_recall_sweep",
+      "inspection sample (first rows)" -> "q149_inspection_sample")
+
+    sections.foreach { case (title, name) =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val rows = df.limit(20).collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"%n== $title [$name, $dt%.1f s] ==")
+      println(df.schema.fieldNames.mkString(" | "))
+      rows.foreach(r => println(r.mkString(" | ")))
+    }
+    spark.stop()
+  }
+}

@@ -236,5 +236,140 @@ object Analytics2 {
       .orderBy("event_type")
   }
 
-  val all: Seq[GraftQuery] = Seq(q151, q152, q154, q155, q156)
+  // -- q160: last-touch attribution (7-day lookback) --------------------
+  // Marketing's bread-and-butter join, expressed as ONE user-keyed
+  // window instead of a purchases⋈clicks range join: a running
+  // "latest click so far" rides the (ts, event_id)-ordered user
+  // partition, and a purchase is attributed iff that click is within
+  // the 7-day lookback. The q41 as-of join generalizes this to two
+  // relations; here both sides live in one event log, so the windowed
+  // form does it in the q137/q144/q155 single exchange. Daily report:
+  // purchases, attributed count, one-division share, and exact decimal
+  // value split (attributed vs organic).
+  val q160 = q("q160_attribution",
+    """WITH x AS (
+      |  SELECT event_type, value, epoch_us(ts) AS us,
+      |    (epoch_us(ts)) // 86400000000 AS day,
+      |    MAX(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+      |  FROM events),
+      |p AS (SELECT day, CAST(value AS DECIMAL(18,2)) AS v,
+      |        (last_click_us IS NOT NULL
+      |         AND us - last_click_us <= 604800000000) AS attributed
+      |      FROM x WHERE event_type = 'purchase')
+      |SELECT day,
+      |  CAST(COUNT(*) AS BIGINT) AS n_purchases,
+      |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed,
+      |  CAST(SUM(CASE WHEN attributed THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+      |    AS attributed_share,
+      |  CAST(SUM(CASE WHEN attributed THEN v ELSE 0 END) AS DOUBLE) AS attributed_value,
+      |  CAST(SUM(CASE WHEN NOT attributed THEN v ELSE 0 END) AS DOUBLE) AS organic_value
+      |FROM p GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = Tables(s, dir).events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("value"),
+        unix_micros(col("ts")).as("us"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .withColumn("last_click_us",
+        max(when(col("event_type") === "click", col("us"))).over(wOrd))
+    val p = x.where(col("event_type") === "purchase")
+      .select(col("day"), dec(col("value")).as("v"),
+        (col("last_click_us").isNotNull &&
+          col("us") - col("last_click_us") <= 604800000000L).as("attributed"))
+    p.groupBy("day")
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(when(col("attributed"), 1L).otherwise(0L)).as("n_attributed"),
+        sum(when(col("attributed"), col("v")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("attributed_value"),
+        sum(when(!col("attributed"), col("v")).otherwise(lit(0).cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("organic_value"))
+      .withColumn("attributed_share",
+        col("n_attributed").cast(DoubleType) / col("n_purchases"))
+      .select(col("day"), col("n_purchases"), col("n_attributed"),
+        col("attributed_share"), col("attributed_value"), col("organic_value"))
+      .orderBy("day")
+  }
+
+  // -- q161: signup-cohort conversion latency ---------------------------
+  // Per signup week: how many users signed up, how many converted
+  // (first purchase at/after their first signup), and the EXACT p50/p90
+  // of the conversion delay — the activation report growth teams read
+  // weekly. The latency distribution collapses to a (week, seconds)
+  // histogram (user-cardinality bound), so the quantiles are the q151
+  // cumulative-rank selection inside each week partition — no
+  // row-grain sort, no approx sketch, bit-identical cross-engine.
+  // Scale: one aggregate for first-signups, one pushed-filter purchase
+  // scan joined against it, then cohort-sized aggregates end to end.
+  val q161 = q("q161_conversion_latency",
+    """WITH su AS (SELECT user_id,
+      |             CAST(MIN(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS BIGINT)
+      |               AS s_us
+      |           FROM events GROUP BY user_id),
+      |s2 AS (SELECT user_id, s_us, s_us // 604800000000 AS week FROM su
+      |       WHERE s_us IS NOT NULL),
+      |pu AS (SELECT e.user_id, CAST(MIN(epoch_us(e.ts)) AS BIGINT) AS p_us
+      |       FROM events e JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s2.s_us
+      |       GROUP BY e.user_id),
+      |conv AS (SELECT s2.week, s2.user_id,
+      |           CASE WHEN pu.p_us IS NULL THEN NULL
+      |                ELSE (pu.p_us - s2.s_us) // 1000000 END AS lat
+      |         FROM s2 LEFT JOIN pu ON s2.user_id = pu.user_id),
+      |tot AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n_signups,
+      |          CAST(SUM(CASE WHEN lat IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |            AS n_converted
+      |        FROM conv GROUP BY week),
+      |h AS (SELECT week, lat, CAST(COUNT(*) AS BIGINT) AS cnt FROM conv
+      |      WHERE lat IS NOT NULL GROUP BY week, lat),
+      |c AS (SELECT week, lat, cnt,
+      |        SUM(cnt) OVER (PARTITION BY week ORDER BY lat
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(cnt) OVER (PARTITION BY week) AS n
+      |      FROM h),
+      |q AS (SELECT week,
+      |        CAST(MIN(CASE WHEN cum * 100 >= 50 * n THEN lat END) AS BIGINT) AS p50_latency_sec,
+      |        CAST(MIN(CASE WHEN cum * 100 >= 90 * n THEN lat END) AS BIGINT) AS p90_latency_sec
+      |      FROM c GROUP BY week)
+      |SELECT tot.week, n_signups, n_converted,
+      |  CAST(n_converted AS DOUBLE) / n_signups AS conversion_rate,
+      |  q.p50_latency_sec, q.p90_latency_sec
+      |FROM tot LEFT JOIN q ON tot.week = q.week ORDER BY tot.week""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val s2 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "signup", unix_micros(col("ts")))).as("s_us"))
+      .where(col("s_us").isNotNull)
+      .withColumn("week", expr("s_us div 604800000000"))
+    val pu = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("p_us0"))
+      .join(s2.select("user_id", "s_us"), Seq("user_id"))
+      .where(col("p_us0") >= col("s_us"))
+      .groupBy("user_id").agg(min(col("p_us0")).as("p_us"))
+    val conv = s2.join(pu, Seq("user_id"), "left")
+      .select(col("week"),
+        when(col("p_us").isNull, lit(null).cast(LongType))
+          .otherwise(expr("(p_us - s_us) div 1000000")).as("lat"))
+    val tot = conv.groupBy("week")
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("lat").isNotNull, 1L).otherwise(0L)).as("n_converted"))
+    val wCum = Window.partitionBy("week").orderBy("lat")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("week")
+    val c = conv.where(col("lat").isNotNull)
+      .groupBy("week", "lat").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt")).over(wCum))
+      .withColumn("n", sum(col("cnt")).over(wAll))
+    val qx = c.groupBy("week")
+      .agg(min(when(col("cum") * 100 >= lit(50) * col("n"), col("lat"))).as("p50_latency_sec"),
+        min(when(col("cum") * 100 >= lit(90) * col("n"), col("lat"))).as("p90_latency_sec"))
+    tot.join(qx, Seq("week"), "left")
+      .select(col("week"), col("n_signups"), col("n_converted"),
+        (col("n_converted").cast(DoubleType) / col("n_signups").cast(DoubleType))
+          .as("conversion_rate"),
+        col("p50_latency_sec"), col("p90_latency_sec"))
+      .orderBy("week")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q151, q152, q154, q155, q156, q160, q161)
 }

@@ -109,6 +109,59 @@ class Analytics2Spec extends SparkSpecBase {
     assert(rows.map(_._3).sum == purgedTotal)
   }
 
+  test("q160 attribution replays from a per-user event walk") {
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        BigDecimal(r.getDouble(4)).setScale(2, BigDecimal.RoundingMode.HALF_UP)))
+    val purchases = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      var lastClick = Option.empty[Long]
+      rows.sortBy(r => (r._3, r._2)).flatMap { r =>
+        if (r._4 == "click") { lastClick = Some(r._3); None }
+        else if (r._4 == "purchase")
+          Some((r._3 / 86400000000L, r._5,
+            lastClick.exists(c => r._3 - c <= 604800000000L)))
+        else None
+      }
+    }
+    val expected = purchases.groupBy(_._1).toSeq.map { case (day, ps) =>
+      val att = ps.filter(_._3)
+      (day, ps.size.toLong, att.size.toLong, att.size.toDouble / ps.size,
+        att.map(_._2).sum.toDouble, ps.filterNot(_._3).map(_._2).sum.toDouble)
+    }.sortBy(_._1)
+    val got = Analytics2.q160.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got == expected)
+  }
+
+  test("q161 cohort latency quantiles replay from per-user firsts") {
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), unix_micros(col("ts")), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val perUser = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sUs = rows.filter(_._3 == "signup").map(_._2).minOption
+      sUs.map { s =>
+        val pUs = rows.filter(r => r._3 == "purchase" && r._2 >= s).map(_._2).minOption
+        (s / 604800000000L, pUs.map(p => (p - s) / 1000000L))
+      }
+    }
+    val expected = perUser.groupBy(_._1).toSeq.map { case (week, us) =>
+      val lats = us.flatMap(_._2).sorted
+      def pick(p: Int): Option[Long] =
+        if (lats.isEmpty) None else Some(lats(((p * lats.size.toLong + 99) / 100).toInt - 1))
+      (week, us.size.toLong, lats.size.toLong, lats.size.toDouble / us.size,
+        pick(50), pick(90))
+    }.sortBy(_._1)
+    val got = Analytics2.q161.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5)))).toSeq
+    assert(got == expected)
+  }
+
   test("q157 profile equals driver-side distinct counts") {
     val o = graft.Tables(spark, sfDir).orders.collect()
     val byCol = Map(

@@ -22,6 +22,10 @@ oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok, rows_only = [], [], []
 names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
 for name in names:
+    # incremental progress on stderr: long sf0.1 oracle passes are
+    # otherwise silent for hours and impossible to attribute
+    import time as _t
+    print(f"[validate] {_t.strftime('%H:%M:%S')} {name}", file=sys.stderr, flush=True)
     files = glob.glob(f"{out_dir}/{name}/*.parquet")
     if not files:
         fail.append((name, "no spark output")); continue

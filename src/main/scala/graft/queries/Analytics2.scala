@@ -371,5 +371,64 @@ object Analytics2 {
       .orderBy("week")
   }
 
-  val all: Seq[GraftQuery] = Seq(q151, q152, q154, q155, q156, q160, q161)
+  // -- q162: linear multi-touch attribution (exact credit split) --------
+  // The complement of q160's last-touch rule: every click inside the
+  // 7-day lookback shares the purchase's value equally — the report is
+  // "which CLICK-day earned today's revenue". Credit arithmetic is
+  // exact integers: value in millicents, floor-divided by the touch
+  // count, with the division remainder assigned to the click closest
+  // to the purchase (a deterministic tie rule both engines replay) —
+  // no per-touch float shares whose re-summation order could diverge.
+  //
+  // Scale: the click×purchase pair space is USER-keyed (equi-join on
+  // user_id, range predicate inside the user's partition) — per-user
+  // fan-out, never corpus×corpus; the touch count and remainder rank
+  // ride one purchase-keyed window over the pair relation; the report
+  // aggregates by click day. Purchases with no in-window click are
+  // q160's organic slice and deliberately absent here.
+  val q162 = q("q162_multitouch_attribution",
+    """WITH c AS (SELECT user_id, event_id AS c_id, epoch_us(ts) AS c_us
+      |           FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us,
+      |        CAST(CAST(value AS DECIMAL(18,2)) * 1000 AS BIGINT) AS v_mc
+      |      FROM events WHERE event_type = 'purchase'),
+      |pr AS (SELECT p.p_id, p.v_mc, c.c_id, c.c_us,
+      |         CAST(COUNT(*) OVER (PARTITION BY p.p_id) AS BIGINT) AS k,
+      |         row_number() OVER (PARTITION BY p.p_id
+      |           ORDER BY c.c_us DESC, c.c_id DESC) AS rk
+      |       FROM p JOIN c ON p.user_id = c.user_id
+      |       WHERE c.c_us <= p.p_us AND p.p_us - c.c_us <= 604800000000),
+      |cr AS (SELECT c_us // 86400000000 AS day,
+      |         v_mc // k + CASE WHEN rk = 1 THEN v_mc - k * (v_mc // k) ELSE 0 END
+      |           AS credit
+      |       FROM pr)
+      |SELECT day, CAST(COUNT(*) AS BIGINT) AS n_credits,
+      |  CAST(SUM(credit) AS BIGINT) AS credit_millicents
+      |FROM cr GROUP BY day ORDER BY day""".stripMargin) { (s, dir) =>
+    val ev = Tables(s, dir).events
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("c_id"),
+        unix_micros(col("ts")).as("c_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_us"),
+        (dec(col("value")) * 1000).cast(LongType).as("v_mc"))
+    val wK = Window.partitionBy("p_id")
+    val wRk = Window.partitionBy("p_id").orderBy(col("c_us").desc, col("c_id").desc)
+    val pairs = purchases.join(clicks, Seq("user_id"))
+      .where(col("c_us") <= col("p_us") &&
+        col("p_us") - col("c_us") <= 604800000000L)
+      .withColumn("k", count(lit(1)).over(wK))
+      .withColumn("rk", row_number().over(wRk))
+    val credits = pairs.select(
+      expr("c_us div 86400000000").as("day"),
+      (expr("v_mc div k") +
+        when(col("rk") === 1, col("v_mc") - col("k") * expr("v_mc div k"))
+          .otherwise(0L)).as("credit"))
+    credits.groupBy("day")
+      .agg(count(lit(1)).as("n_credits"), sum(col("credit")).as("credit_millicents"))
+      .orderBy("day")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q151, q152, q154, q155, q156, q160, q161, q162)
 }

@@ -137,6 +137,29 @@ class Analytics2Spec extends SparkSpecBase {
     assert(got == expected)
   }
 
+  test("q162 credit conserves the attributed purchase value exactly") {
+    // the floor-division + remainder-to-closest-touch rule must lose
+    // nothing: total credited millicents == total value of purchases
+    // with >= 1 in-window click (the same cohort q160 calls attributed)
+    val evs = graft.Tables(spark, sfDir).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")), col("event_type"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        math.round(r.getDouble(4) * 100)))
+    val attributedMc = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val clicks = rows.filter(_._4 == "click").map(_._3)
+      rows.filter(_._4 == "purchase").collect {
+        case p if clicks.exists(c => c <= p._3 && p._3 - c <= 604800000000L) =>
+          p._5 * 10L // cents -> millicents
+      }
+    }.sum
+    val rows = Analytics2.q162.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == attributedMc)
+    assert(rows.forall(_._2 > 0))
+  }
+
   test("q161 cohort latency quantiles replay from per-user firsts") {
     val evs = graft.Tables(spark, sfDir).events
       .select(col("user_id"), unix_micros(col("ts")), col("event_type"))

@@ -281,17 +281,17 @@ object Curation {
   // completeness theorem; O(n²) is fine at oracle SF).
   val q84 = q("q84_dup_clusters",
     """WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |s AS (SELECT doc_id,
+      |s AS MATERIALIZED (SELECT doc_id,
       |        CASE WHEN len(t) >= 4
       |             THEN list_distinct(list_transform(range(1, len(t) - 2),
       |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
       |             ELSE list_distinct(t) END AS sh
       |      FROM d),
-      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
       |      FROM s a JOIN s b ON a.doc_id < b.doc_id
       |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
       |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
-      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
       |r AS (SELECT u AS node, u AS reach FROM e
       |      UNION
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u)

@@ -26,13 +26,13 @@ object Curation7 {
   /** Brute-force twin of [[Dedup.allPairsJaccard]] at threshold 0.5 —
     * the `d/s/p` CTE text q100/q136's oracles already proved equivalent
     * to the prefix-filtered Spark plan. Kept verbatim so every consumer
-    * replays the identical pair set. */
-  /** `s` and `p` carry MATERIALIZED hints: consumers reference the
-    * shingle set twice (self-join) and the pair set up to 9 times
-    * (q139's triangle triple-join, q146's unrolled PageRank rounds) —
-    * an engine that inlines multi-referenced CTEs would re-run the
-    * O(n²)-shaped pair join per reference, turning a minutes oracle
-    * into hours at sf0.1. */
+    * replays the identical pair set. `s` and `p` carry MATERIALIZED
+    * hints: consumers reference the shingle set twice (self-join) and
+    * the pair set up to 9 times (q139's triangle triple-join, q146's
+    * unrolled PageRank rounds — and recursive closures re-read their
+    * edge CTE EVERY iteration) — an engine that inlines
+    * multi-referenced CTEs would re-run the O(n²)-shaped pair join per
+    * reference, turning a minutes oracle into hours at sf0.1. */
   private[queries] val PairCtes =
     """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |s AS MATERIALIZED (SELECT doc_id,
@@ -70,7 +70,7 @@ object Curation7 {
   // instead of an Expand that would double every corpus row).
   val q138 = q("q138_cluster_split",
     s"""WITH RECURSIVE $PairCtes,
-      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
       |r AS (SELECT u AS node, u AS reach FROM e
       |      UNION
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),

@@ -414,13 +414,13 @@ object Curation8 {
   // (grain (cluster, base_label)), never an Expand.
   val q158 = q("q158_incremental_cc",
     s"""WITH RECURSIVE ${Curation7.PairCtes},
-      |bp AS (SELECT a_id, b_id FROM p WHERE a_id % 5 <> 0 AND b_id % 5 <> 0),
-      |e AS (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |bp AS MATERIALIZED (SELECT a_id, b_id FROM p WHERE a_id % 5 <> 0 AND b_id % 5 <> 0),
+      |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
       |r AS (SELECT u AS node, u AS reach FROM e
       |      UNION
       |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
       |c AS (SELECT node, min(reach) AS cluster_id FROM r GROUP BY 1),
-      |be AS (SELECT a_id AS u, b_id AS v FROM bp UNION ALL SELECT b_id, a_id FROM bp),
+      |be AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM bp UNION ALL SELECT b_id, a_id FROM bp),
       |br AS (SELECT u AS node, u AS reach FROM be
       |       UNION
       |       SELECT br.node, be.v FROM br JOIN be ON br.reach = be.u),
@@ -482,7 +482,7 @@ object Curation8 {
     * `t`, clustered by a recursive CTE, reduced to the census row. */
   private def sweepLegSql(tag: String, t: String): String =
     s"""p$tag AS (SELECT a_id, b_id FROM ps WHERE score >= $t),
-       |e$tag AS (SELECT a_id AS u, b_id AS v FROM p$tag
+       |e$tag AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p$tag
        |          UNION ALL SELECT b_id, a_id FROM p$tag),
        |r$tag AS (SELECT u AS node, u AS reach FROM e$tag
        |          UNION

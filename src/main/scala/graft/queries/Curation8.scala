@@ -225,8 +225,13 @@ object Curation8 {
         r = deg.select(col("u").as("node")).join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
       }
-      r.orderBy(col("r").desc, col("node")).limit(20)
-        .select(col("node"), col("r").as("score"))
+      // materialize the 20-row head so the cached relations can be
+      // released NOW — a 162-query suite must not accumulate this
+      // query's persists (the driver path already unpersists und)
+      val top = r.orderBy(col("r").desc, col("node")).limit(20)
+        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+      deg.unpersist(); withDeg.unpersist(); und.unpersist()
+      s.createDataFrame(top).toDF("node", "score")
     }
   }
 

@@ -60,8 +60,13 @@ object Relational4 {
           sum(dec(col("l_extendedprice"))).as("price_dec"))
     // the stored MV state (at 100 TB this is a table, not a scan) ...
     val state = partials(li.where(col("l_shipdate") < cutoff))
-    // ... and the refresh: delta partials merged into state by re-reduce
-    val delta = partials(li.where(col("l_shipdate") >= cutoff))
+    // ... and the refresh: delta partials merged into state by
+    // re-reduce. NULL shipdates ride the delta slice so state ⊎ delta
+    // is a TOTAL partition of the table — TPC-H's l_shipdate is NOT
+    // NULL, but the merge-equals-recompute claim must not silently
+    // depend on that
+    val delta = partials(li.where(col("l_shipdate") >= cutoff ||
+      col("l_shipdate").isNull))
     state.unionByName(delta)
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(col("n_rows")).as("n_rows"),

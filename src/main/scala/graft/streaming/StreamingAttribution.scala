@@ -13,10 +13,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Ordering: per-batch per-user events fold in (ts, event_id) order, so
   * in-order delivery reproduces the batch queries exactly
-  * (StreamingAttributionSpec). A click arriving AFTER the purchase it
-  * should have preceded (cross-batch disorder) is the same
-  * late-arrival tradeoff the sessionizer documents — bounded by the
-  * source's per-key ordering guarantee.
+  * (StreamingAttributionSpec). Cross-batch disorder is contained: state
+  * is pruned only by lookback AGE against a monotonic max-seen
+  * timestamp, never by an arriving event's own (possibly stale)
+  * timestamp — so a late click can never delete newer clicks from
+  * state. The only residual effect of a late click is the documented
+  * one: purchases that already emitted before it arrived miss that one
+  * touch (bounded by the source's per-key ordering guarantee).
   */
 object StreamingAttribution {
 
@@ -29,7 +32,8 @@ object StreamingAttribution {
       cents: Long, n_touches: Long, last_click_us: Long,
       touch_ids: Seq[Long], touch_us: Seq[Long])
 
-  final case class ClickWindow(ids: Seq[Long], us: Seq[Long])
+  final case class ClickWindow(ids: Seq[Long], us: Seq[Long],
+      maxUs: Long = Long.MinValue)
 
   private val LookbackUs = 604800000000L
 
@@ -45,18 +49,28 @@ object StreamingAttribution {
           rows.toSeq.sortBy(e => (e.us, e.event_id)).foreach { e =>
             // prune to the lookback on EVERY event (not just purchases):
             // state stays bounded by 7-day click volume even for users
-            // who browse forever and never buy
+            // who browse forever and never buy. The prune bound is the
+            // monotonic high-water mark, NOT e.us — a late event must
+            // never delete clicks newer than itself.
+            val hwm = math.max(w.maxUs, e.us)
             val keep = w.us.zipWithIndex.filter { case (u, _) =>
-              e.us - u <= LookbackUs && u <= e.us
+              hwm - u <= LookbackUs
             }.map(_._2)
-            w = ClickWindow(keep.map(w.ids), keep.map(w.us))
+            w = ClickWindow(keep.map(w.ids), keep.map(w.us), hwm)
             if (e.event_type == "click") {
-              w = ClickWindow(w.ids :+ e.event_id, w.us :+ e.us)
+              w = w.copy(ids = w.ids :+ e.event_id, us = w.us :+ e.us)
             } else if (e.event_type == "purchase") {
+              // the "click precedes purchase" bound applies here, at
+              // emission — it selects which touches this purchase sees,
+              // without mutating state
+              val win = w.us.zipWithIndex.filter { case (u, _) =>
+                u <= e.us && e.us - u <= LookbackUs
+              }.map(_._2)
+              val tids = win.map(w.ids); val tus = win.map(w.us)
               out ::= Attribution(uid, e.event_id, e.us, e.cents,
-                w.ids.size.toLong,
-                if (w.us.isEmpty) Long.MinValue else w.us.max,
-                w.ids, w.us)
+                tids.size.toLong,
+                if (tus.isEmpty) Long.MinValue else tus.max,
+                tids, tus)
             }
           }
           state.update(w)

@@ -11,19 +11,30 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * the hour closes, not on tomorrow's batch run.
   *
   * State model: one record per event type — the open hourly counts (a
-  * map of hour → count, pruned to the 25 hours the next verdict can
-  * still reference) plus the next hour awaiting judgment. Arriving
-  * events bump their hour's count; an EVENT-TIME TIMEOUT at the open
-  * hour's close (plus watermark slack) emits every closed hour's
-  * verdict in order, including empty-baseline hours the batch query
-  * also reports. Verdicts are the same integer cross-multiply as q154
-  * (cnt·n_trailing ≥ 2·trailing_sum, 12-hour warm-up), so streamed rows
-  * equal the batch rows exactly (StreamingBurstSpec).
+  * map of hour → count) plus `emittedUpto`, the monotonic judgment
+  * frontier (every hour < emittedUpto has had its verdict emitted; it
+  * never rewinds, so a late event below it can never cause a duplicate
+  * verdict row). Arriving events bump their hour's count; an EVENT-TIME
+  * TIMEOUT at the first open hour's close (plus watermark slack) emits
+  * every closed hour's verdict in order, including empty-baseline hours
+  * the batch query also reports. Verdicts are the same integer
+  * cross-multiply as q154 (cnt·n_trailing ≥ 2·trailing_sum, 12-hour
+  * warm-up), so streamed rows equal the batch rows exactly
+  * (StreamingBurstSpec).
   *
-  * Scale: state is |types| × ≤25 hour buckets — constant per key; the
-  * shuffle is the same event_type hash exchange the batch aggregate
-  * uses. Hours with zero events for a type produce no verdict row,
-  * matching the batch's sparse (type, hour) grain.
+  * Scale: state is |types| × ≤~49 hour buckets even MID-BACKFILL: hours
+  * are closed not only by watermark advance between batches but also at
+  * fold time, as soon as they fall 24 hours behind the key's newest
+  * event — a single batch spanning months of history emits its verdicts
+  * and prunes inside that same fold, so the claim holds per batch, not
+  * just at micro-batch steady state. (The fold-time close assumes
+  * per-key disorder stays under 24 hours — far looser than the
+  * watermark slack; an event arriving later than that lands below
+  * `emittedUpto` and is dropped at the next prune, never duplicating or
+  * rewriting an emitted verdict.) The shuffle is the same event_type
+  * hash exchange the batch aggregate uses. Hours with zero events for a
+  * type produce no verdict row, matching the batch's sparse
+  * (type, hour) grain.
   */
 object StreamingBurst {
 
@@ -33,29 +44,33 @@ object StreamingBurst {
       trailing_sum: Long, n_trailing: Long, is_burst: Boolean)
 
   // public: GroupState encoders need constructor access
-  final case class TypeState(counts: Map[Long, Long], nextEmit: Long)
+  final case class TypeState(counts: Map[Long, Long], emittedUpto: Long)
 
   /** micros since the q154 epoch anchor (2024-01-01T00:00:00Z). */
   private val AnchorUs = 1704067200000000L
   private val HourUs = 3600000000L
 
   private def verdicts(et: String, st: TypeState, upto: Long): (TypeState, List[HourVerdict]) = {
-    // a pre-data or pre-first-hour watermark closes nothing — and must
-    // not clobber nextEmit (the initial watermark is epoch 0, far
-    // before the anchor)
-    if (upto <= st.nextEmit) return (st, Nil)
+    // the frontier never rewinds: a pre-data watermark (epoch 0 maps to
+    // a large negative hour) or a stale forced-close bound emits nothing
+    if (upto <= st.emittedUpto) return (st, Nil)
     var out = List.empty[HourVerdict]
     val counts = st.counts
-    var h = st.nextEmit
-    while (h < upto) {
-      counts.get(h).foreach { cnt =>
-        val trailing = counts.view.filterKeys(k => k >= h - 24 && k <= h - 1)
-        val tSum = trailing.values.sum
-        val tN = trailing.size.toLong
-        out ::= HourVerdict(et, h, cnt, tSum, tN,
-          tN >= 12 && cnt * tN >= 2 * tSum)
+    // judge only open hours (≥ emittedUpto); buckets below the frontier
+    // are trailing baseline or late strays, never re-judged
+    val open = counts.keys.filter(_ >= st.emittedUpto)
+    if (open.nonEmpty) {
+      var h = open.min
+      while (h < upto) {
+        counts.get(h).foreach { cnt =>
+          val trailing = counts.view.filterKeys(k => k >= h - 24 && k <= h - 1)
+          val tSum = trailing.values.sum
+          val tN = trailing.size.toLong
+          out ::= HourVerdict(et, h, cnt, tSum, tN,
+            tN >= 12 && cnt * tN >= 2 * tSum)
+        }
+        h += 1
       }
-      h += 1
     }
     // retain only what future verdicts can reference: hours ≥ upto − 24
     (TypeState(counts.filter { case (k, _) => k >= upto - 24 }, upto), out.reverse)
@@ -98,28 +113,35 @@ object StreamingBurst {
           // hours whose end the watermark has passed are closed
           val closedUpto =
             (state.getCurrentWatermarkMs * 1000L - AnchorUs) / HourUs
+          def armTimeout(st2: TypeState): Unit = {
+            val open = st2.counts.keys.filter(_ >= st2.emittedUpto)
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1,
+                (open.min + 1) * (HourUs / 1000L) + AnchorUs / 1000L +
+                  delaySec * 1000L))
+          }
           if (state.hasTimedOut) {
             val (st2, out) = verdicts(et, state.get, closedUpto)
             state.update(st2)
-            // open hours remain → arm the next close
-            if (st2.counts.keys.exists(_ >= st2.nextEmit))
-              state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1,
-                (st2.nextEmit + 1) * (HourUs / 1000L) + AnchorUs / 1000L +
-                  delaySec * 1000L))
+            armTimeout(st2) // open hours remain → arm the next close
             out.iterator
           } else {
-            var st = state.getOption.getOrElse(TypeState(Map.empty, Long.MaxValue))
+            var st = state.getOption.getOrElse(TypeState(Map.empty, Long.MinValue))
+            var maxH = Long.MinValue
             rows.foreach { e =>
               val h = (e._3 - AnchorUs) / HourUs
-              st = TypeState(st.counts.updated(h, st.counts.getOrElse(h, 0L) + 1L),
-                math.min(st.nextEmit, h))
+              maxH = math.max(maxH, h)
+              st = st.copy(counts = st.counts.updated(h, st.counts.getOrElse(h, 0L) + 1L))
             }
-            val (st2, out) = verdicts(et, st, closedUpto)
+            // fold-time forced close: a backfill batch spanning many
+            // hours judges and prunes everything >24h behind its own
+            // newest event NOW, instead of holding it until the
+            // watermark catches up between batches
+            val upto = math.max(closedUpto,
+              if (maxH == Long.MinValue) closedUpto else maxH - 24)
+            val (st2, out) = verdicts(et, st, upto)
             state.update(st2)
-            if (st2.counts.keys.exists(_ >= st2.nextEmit))
-              state.setTimeoutTimestamp(math.max(state.getCurrentWatermarkMs + 1,
-                (st2.nextEmit + 1) * (HourUs / 1000L) + AnchorUs / 1000L +
-                  delaySec * 1000L))
+            armTimeout(st2)
             out.iterator
           }
       }

@@ -62,4 +62,32 @@ class StreamingAttributionSpec extends SparkSpecBase {
       assert(got162 == want162)
     } finally q.stop()
   }
+
+  test("a late cross-batch event never deletes newer clicks from state") {
+    // Batch 1: two fresh clicks. Batch 2: one LATE click (older than both),
+    // then a purchase. With age-only pruning against the high-water mark,
+    // the purchase must still see all three clicks; destructive pruning by
+    // the late event's own timestamp would have wiped the two fresh ones.
+    val t0 = 1000000000000L
+    val b1 = Seq(
+      SessionEvent(1L, 10L, t0 + 5000000L, "click", 0L),
+      SessionEvent(1L, 11L, t0 + 6000000L, "click", 0L))
+    val b2 = Seq(
+      SessionEvent(1L, 9L, t0 + 1000000L, "click", 0L), // late, but in lookback
+      SessionEvent(1L, 12L, t0 + 7000000L, "purchase", 500L))
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingAttribution.attributions(input.toDS())
+      .writeStream.format("memory").queryName("attr_late")
+      .outputMode("append").start()
+    try {
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val recs = spark.table("attr_late")
+        .as[StreamingAttribution.Attribution].collect()
+      assert(recs.length == 1)
+      assert(recs.head.n_touches == 3L)
+      assert(recs.head.touch_ids.sorted == Seq(9L, 10L, 11L))
+      assert(recs.head.last_click_us == t0 + 6000000L)
+    } finally q.stop()
+  }
 }

@@ -76,4 +76,30 @@ class StreamingBurstSpec extends SparkSpecBase {
         s"expected the hour-30 burst alert, got: ${failures.map(_.messageId)}")
     } finally q.stop()
   }
+
+  test("a backfill batch force-closes its own old hours at fold time") {
+    // one batch spanning 60 hours: verdicts for everything >24h behind
+    // the batch's newest event must emit from that same fold, without
+    // waiting for the watermark to catch up in a later batch — this is
+    // what keeps state ≤ ~49 buckets mid-backfill
+    val backfill = (0 until 60).map(h => SessionEvent(1L, h.toLong,
+      1704067200000000L + h * 3600000000L, "bf", 0L))
+    val perBatch = new java.util.concurrent.ConcurrentHashMap[Long, Seq[Long]]()
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingBurst.bursts(input.toDS(), delaySec = 1).writeStream
+      .queryName("burst_backfill").outputMode("append")
+      .foreachBatch { (ds: org.apache.spark.sql.Dataset[StreamingBurst.HourVerdict],
+                       id: Long) =>
+        perBatch.put(id, ds.collect().map(_.hour).sorted.toSeq); ()
+      }
+      .start()
+    try {
+      input.addData(backfill); q.processAllAvailable()
+      // BATCH 0 folds with the watermark still at epoch 0 — only the
+      // fold-time forced close can emit here. maxH = 59 → hours < 35.
+      val batch0 = perBatch.getOrDefault(0L, Nil)
+      assert(batch0 == (0L until 35L),
+        s"expected hours 0..34 emitted from the backfill fold itself, got $batch0")
+    } finally q.stop()
+  }
 }

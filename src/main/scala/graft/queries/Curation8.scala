@@ -225,13 +225,19 @@ object Curation8 {
         r = deg.select(col("u").as("node")).join(contrib, Seq("node"), "left")
           .select(col("node"), (lit(base) + coalesce(col("cs"), lit(0L))).as("r"))
       }
-      // materialize the 20-row head so the cached relations can be
-      // released NOW — a 162-query suite must not accumulate this
-      // query's persists (the driver path already unpersists und)
-      val top = r.orderBy(col("r").desc, col("node")).limit(20)
-        .collect().map(row => (row.getLong(0), row.getLong(1))).toSeq
+      // The returned plan MUST stay TakeOrderedAndProject-headed (the
+      // scale contract PlanShapeSpec gates): a global sort of a
+      // corpus-sized node set for a 20-row answer is the q118/q142
+      // smell. But a 162-query suite also must not accumulate this
+      // query's persists — so materialize THROUGH the head once (20
+      // rows to the driver), release the caches, and return the same
+      // lazy head: any re-execution of it reuses the loop's shuffle
+      // files (same QueryExecution RDD), never the dropped caches.
+      val head = r.select(col("node"), col("r").as("score"))
+        .orderBy(col("score").desc, col("node")).limit(20)
+      head.count()
       deg.unpersist(); withDeg.unpersist(); und.unpersist()
-      s.createDataFrame(top).toDF("node", "score")
+      head
     }
   }
 

@@ -1,8 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import java.math.{BigDecimal => JBigDecimal, RoundingMode}
+
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+import org.apache.spark.sql.types.LongType
 
 /** Standing-query BM25 over a document stream — the alerting/routing
   * primitive: a fixed set of queries stands against the pipeline and
@@ -12,18 +14,25 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
   * Entirely STATELESS, like [[StreamingBloomIngest]]: the corpus
   * statistics BM25 needs (N, avgdl, per-term df) are FROZEN from the
   * base corpus at query construction — the operational choice a live
-  * index makes (stats drift slowly; re-freeze on the q127 cadence) —
-  * and ride into the stream-side generated code as literals together
-  * with the standing queries themselves. Scoring is one map-only
-  * projection per micro-batch: per-document tf via in-row filter
-  * counts, per-query rational-odds idf × tf saturation (the
-  * q118/q125 formula, same determinism rules), summed per query in
-  * rounded DECIMAL(18,9) fold order. No shuffle, no state store, no
-  * watermark; append-mode and replay-deterministic.
+  * index makes (stats drift slowly; re-freeze on the q127 cadence).
+  * The frozen artifact (standing queries + df map) is shipped as a
+  * BROADCAST variable probed by a deterministic JVM kernel — NOT
+  * inlined into the plan as `typedLit` literals: literals ride into
+  * plan serialization and generated code, so plan size scales with
+  * artifact size, and a web-scale standing set (say a million
+  * monitored terms) blows task serialization. Broadcast ships the
+  * artifact once per executor and keeps the plan O(1) in artifact
+  * size; the kernel's per-row cost is one pass over the doc's tokens
+  * (tf counting via hash map) plus per-(query,term) constant work.
   *
-  * At 100 TB-rate streams the literal payload stays tiny — standing
-  * queries are human-curated (100s), the df map is |union terms| —
-  * while the corpus-sized work remains embarrassingly parallel.
+  * Scoring is one map-only projection per micro-batch: per-query
+  * rational-odds idf × tf saturation (the q118/q125 formula), summed
+  * per query in rounded DECIMAL(18,9) fold order — the kernel
+  * reproduces the Catalyst chain digit-for-digit (Spark `split`
+  * limit=-1, `round(double, 9)` via shortest-repr BigDecimal HALF_UP,
+  * decimal(18,9) accumulation, decimal→double final cast). No
+  * shuffle, no state store, no watermark; append-mode and
+  * replay-deterministic.
   */
 object StreamingBm25 {
 
@@ -39,7 +48,6 @@ object StreamingBm25 {
       queries: Seq[(Long, Seq[String])],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val spark = base.sparkSession
-    import spark.implicits._
     val terms = queries.flatMap(_._2).distinct.sorted
 
     // one base pass freezes the stats: N, Σdl, df per standing term
@@ -53,35 +61,44 @@ object StreamingBm25 {
     val dfMap = terms.zipWithIndex.map { case (t, i) => t -> statsRow.getLong(2 + i) }.toMap
     val avgdl = totDl.toDouble / math.max(nDocs, 1L).toDouble
 
-    // frozen artifacts as literals riding into codegen
-    val qlit = typedLit(queries.map { case (qid, ts) => (qid, ts.sorted) })
-    val dflit = typedLit(dfMap)
+    // frozen artifact: (qid, sorted terms) + df map, broadcast once
+    val frozen = queries.map { case (qid, ts) => (qid, ts.sorted) }
+    val bc = spark.sparkContext.broadcast((frozen, dfMap))
 
-    val tokens = split(col("text"), " ")
-    val dl = size(tokens).cast(DoubleType)
-    def contribution(t: Column): Column = {
-      val tf = size(filter(tokens, x => x === t)).cast(DoubleType)
-      val dfr = coalesce(element_at(dflit, t), lit(0L)).cast(DoubleType)
-      val idf = (lit(nDocs.toDouble) - dfr + lit(0.5)) / (dfr + lit(0.5)) + lit(1.0)
-      val sat = tf * lit(k1 + 1.0) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * (dl / lit(avgdl))))
-      when(tf > 0, round(idf * sat, 9)).otherwise(lit(0.0))
+    val kernel = udf { (text: String) =>
+      val (qs, dfm) = bc.value
+      // tf in one pass; split(_, -1) = Spark's split (keeps trailing
+      // empties, so dl matches size(split(text, ' ')) exactly)
+      val tokens = text.split(" ", -1)
+      val dl = tokens.length.toDouble
+      val tf = new java.util.HashMap[String, Int]()
+      tokens.foreach(t => tf.merge(t, 1, Integer.sum _))
+      qs.flatMap { case (qid, ts) =>
+        // DECIMAL(18,9) fold in sorted-term order: contribution is
+        // round(idf·sat, 9) — Spark's Round(double) = shortest-repr
+        // BigDecimal setScale(9, HALF_UP) — so the double→decimal cast
+        // and every add are exact at scale 9; final decimal→double is
+        // the same nearest-double Spark's Cast takes
+        var acc = JBigDecimal.ZERO.setScale(9)
+        ts.foreach { t =>
+          val f = tf.getOrDefault(t, 0).toDouble
+          if (f > 0) {
+            val dfr = dfm.getOrElse(t, 0L).toDouble
+            val idf = (nDocs.toDouble - dfr + 0.5) / (dfr + 0.5) + 1.0
+            val sat = f * (k1 + 1.0) /
+              (f + k1 * ((1.0 - b) + b * (dl / avgdl)))
+            val c = new JBigDecimal(java.lang.Double.toString(idf * sat))
+              .setScale(9, RoundingMode.HALF_UP)
+            acc = acc.add(c)
+          }
+        }
+        val score = acc.doubleValue
+        if (score > 0.0) Some((qid, score)) else None
+      }
     }
-    // per-query score: DECIMAL(18,9) fold in sorted-term order — the
-    // q101/q125 determinism idiom, in-row
-    val perQuery = transform(qlit, q => struct(
-      q.getField("_1").as("qid"),
-      aggregate(q.getField("_2"),
-        lit(BigDecimal(0)).cast(DecimalType(18, 9)),
-        // decimal + widens to (19,9); renarrow — scores are O(idf·terms),
-        // far inside (18,9)
-        (acc, t) => (acc + contribution(t).cast(DecimalType(18, 9)))
-          .cast(DecimalType(18, 9)))
-        .cast(DoubleType).as("score")))
 
     docs.toDF("doc_id", "text")
-      .select(col("doc_id"), explode(perQuery).as("e"))
-      .select(col("doc_id"), col("e.qid").as("qid"), col("e.score").as("score"))
-      .where(col("score") > 0.0)
+      .select(col("doc_id"), explode(kernel(col("text"))).as("e"))
+      .select(col("doc_id"), col("e._1").as("qid"), col("e._2").as("score"))
   }
 }

@@ -10,16 +10,22 @@ import org.apache.spark.sql.functions._
   * Stateless, like [[StreamingBm25]]: the trained artifact (the
   * per-token vote table — sign of the NB log-odds between two seed
   * slices, [[graft.queries.Curation6.voteTable]]) is FROZEN at stream
-  * construction and rides into the generated code as a map literal.
-  * Scoring is a map-only projection per micro-batch: per-doc distinct
-  * tokens in-row (array_distinct — no token-grain state), vote lookups
-  * against the literal, integer sums. No shuffle, no state store;
-  * append-mode and replay-deterministic, so the stream's verdicts equal
-  * the batch query's rows for the same documents exactly.
+  * construction. It is shipped as a BROADCAST variable probed by a
+  * deterministic JVM kernel — NOT inlined into the plan as a literal:
+  * a literal map rides into plan serialization and generated code, so
+  * plan size scales with artifact size and a web-scale vocabulary
+  * (millions of terms) blows task serialization. The broadcast ships
+  * the artifact once per executor (torrent protocol) and keeps the
+  * plan O(1) regardless of vocabulary size; the kernel's per-row cost
+  * is hash probes over the doc's distinct tokens, independent of
+  * artifact size. Scoring stays a map-only projection per micro-batch:
+  * no shuffle, no state store; append-mode and replay-deterministic,
+  * so the stream's verdicts equal the batch query's rows for the same
+  * documents exactly (all-integer arithmetic; the kernel mirrors
+  * Spark's `split` limit=-1 semantics so tokenization is identical).
   *
-  * At firehose rates the frozen artifact stays seed-vocabulary-sized
-  * (the seeds are curated sets, not the corpus); re-freeze on the same
-  * cadence as the other standing artifacts (the q127 pattern).
+  * Re-freeze on the same cadence as the other standing artifacts (the
+  * q127 retrain-and-swap pattern).
   */
 object StreamingVoteClassifier {
 
@@ -27,24 +33,40 @@ object StreamingVoteClassifier {
     *
     * @param docs  streaming (doc_id, text)
     * @param votes trained vote table (word, vote ∈ {−1,0,1}) — a batch
-    *              relation; collected once here (vocab-sized)
+    *              relation; collected once here (vocab-sized) and
+    *              broadcast to executors
     * @return streaming (doc_id, pos_votes, neg_votes, margin, label),
     *         one row per doc with ≥1 seed-known token (q131 semantics)
     */
   def labeled(docs: Dataset[(Long, String)], votes: DataFrame): DataFrame = {
+    val spark = votes.sparkSession
     val voteMap: Map[String, Long] = votes.collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    val vlit = typedLit(voteMap)
-    val toks = array_distinct(split(col("text"), " "))
-    val known = filter(toks, t => element_at(vlit, t).isNotNull)
-    def countVotes(v: Long) =
-      size(filter(known, t => element_at(vlit, t) === v)).cast("long")
+    val bcVotes = spark.sparkContext.broadcast(voteMap)
+
+    // (pos, neg, margin, n_known) in one pass over the doc's distinct
+    // tokens; split(_, -1) matches Spark's split (trailing empties kept
+    // — irrelevant here, "" is never a vote term, but kept for symmetry
+    // with the StreamingBm25 kernel where length matters)
+    val kernel = udf { (text: String) =>
+      val m = bcVotes.value
+      var pos = 0L; var neg = 0L; var margin = 0L; var known = 0L
+      val seen = new java.util.HashSet[String]()
+      text.split(" ", -1).foreach { t =>
+        if (seen.add(t)) m.get(t).foreach { v =>
+          known += 1; margin += v
+          if (v == 1L) pos += 1 else if (v == -1L) neg += 1
+        }
+      }
+      (pos, neg, margin, known)
+    }
     docs.toDF("doc_id", "text")
+      .select(col("doc_id"), kernel(col("text")).as("k"))
       .select(col("doc_id"),
-        countVotes(1L).as("pos_votes"),
-        countVotes(-1L).as("neg_votes"),
-        aggregate(known, lit(0L), (acc, t) => acc + element_at(vlit, t)).as("margin"),
-        size(known).as("n_known"))
+        col("k._1").as("pos_votes"),
+        col("k._2").as("neg_votes"),
+        col("k._3").as("margin"),
+        col("k._4").as("n_known"))
       .where(col("n_known") > 0)
       .withColumn("label", when(col("margin") > 0, "keep").otherwise("drop"))
       .drop("n_known")

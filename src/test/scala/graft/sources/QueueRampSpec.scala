@@ -171,6 +171,38 @@ class QueueRampSpec extends SparkSpecBase {
     QueueRamp.drop(qn)
   }
 
+  // The failure posture the reference guarantees (pipeline.py:127-135:
+  // operator failures are never silent): a throwing poll must keep the
+  // schedule alive AND surface as a counted dead letter with traceback
+  // at /detail/<queue>/ — not vanish.
+  test("polling ramp reports poll failures: counted, traceback at /detail/") {
+    import graft.streaming.{PipelineStatsListener, StatsServer}
+    val qn = "ramp-poll-fail"
+    QueueRamp.drop(qn)
+    val listener = new PipelineStatsListener(() => 0)
+    val ramp = new PollingRamp(qn, periodMillis = 100000L,
+        onFailure = PollingRamp.reportTo(listener, qn))(tick =>
+      if (tick % 2 == 0) throw new RuntimeException(s"salesforce outage at tick $tick")
+      else Seq(QueueRamp.Entry(s"t$tick", s"scan-$tick", null, 0L)))
+    ramp.pollNow(4) // ticks 0,2 fail; 1,3 enqueue — outage does not stop polling
+    assert(QueueRamp.size(qn) == 2, "successful polls must still enqueue")
+    val s = listener.snapshot(qn)
+    assert(s.failed == 2)
+    assert(s.failures.map(_.messageId) == Vector("poll-0", "poll-2"))
+    assert(s.failures.head.error.contains("salesforce outage at tick 0"))
+    assert(s.failures.head.traceback.contains("RuntimeException"))
+    assert(s.state(0) == "failing", "status heuristic must flip to failing")
+    // end-to-end: the drill-down page renders the outage
+    val srv = new StatsServer(listener)
+    try {
+      val html = scala.io.Source.fromURL(
+        s"http://127.0.0.1:${srv.boundPort}/detail/$qn/")("UTF-8").mkString
+      assert(html.contains("salesforce outage at tick 0"), "outage not on /detail/")
+    } finally srv.stop()
+    ramp.close()
+    QueueRamp.drop(qn)
+  }
+
   test("polling ramp enqueues per tick with stable ids") {
     val qn = "ramp-poll"
     QueueRamp.drop(qn)

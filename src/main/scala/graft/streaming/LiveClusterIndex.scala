@@ -24,8 +24,16 @@ import org.apache.spark.sql.DataFrame
   * contraction (delta-sized distributed CC per ingest); this class is
   * the serving-cache tier in front of it, mirroring how the reference
   * keeps operator state in-process ahead of its durable store.
+  *
+  * The bound is ENFORCED, not advisory: a batch that grows the index
+  * past `maxNodes` fails the fold with a loud [[IllegalStateException]]
+  * naming the contraction path — which fails the streaming query (the
+  * reference's posture: a pipeline whose assumptions break dies
+  * visibly, `motorway/pipeline.py:127-135`; the stats listener then
+  * shows `failing` with the traceback). Silent unbounded driver growth
+  * is the one failure mode a serving cache must never have.
   */
-final class LiveClusterIndex {
+final class LiveClusterIndex(maxNodes: Long = LiveClusterIndex.DefaultMaxNodes) {
 
   private val parent = scala.collection.mutable.LongMap.empty[Long]
 
@@ -48,18 +56,46 @@ final class LiveClusterIndex {
 
   /** Fold one micro-batch of (a_id, b_id) pairs into the index. Called
     * from foreachBatch (driver-side, serialized per batch). The collect
-    * is bounded by the batch's PAIR count — result-sized for dedup. */
-  def merge(pairs: DataFrame): Unit =
-    pairs.select(pairs.columns.head, pairs.columns(1)).collect()
-      .foreach(r => union(r.getLong(0), r.getLong(1)))
+    * is bounded by the batch's PAIR count — result-sized for dedup.
+    *
+    * @throws IllegalStateException when the fold would grow the index
+    *         past `maxNodes`. Union is idempotent and the guard fires
+    *         before any of THIS batch's pairs are applied, so an
+    *         at-least-once retry after raising the bound (or after
+    *         migrating to the contraction path) replays cleanly. */
+  def merge(pairs: DataFrame): Unit = {
+    val batch = pairs.select(pairs.columns.head, pairs.columns(1)).collect()
+    val newNodes = {
+      val seen = new java.util.HashSet[java.lang.Long]()
+      batch.foreach { r => seen.add(r.getLong(0)); seen.add(r.getLong(1)) }
+      seen.removeIf(x => parent.contains(x))
+      seen.size.toLong
+    }
+    if (parent.size + newNodes > maxNodes)
+      throw new IllegalStateException(
+        s"LiveClusterIndex bound exceeded: ${parent.size} nodes + $newNodes new > " +
+        s"maxNodes=$maxNodes. This serving cache is node-bound by design — " +
+        "move cluster maintenance to the distributed contraction path " +
+        "(q158, graft.queries.Curation8 incremental CC) and serve labels " +
+        "from its output, or raise maxNodes if driver memory allows.")
+    batch.foreach(r => union(r.getLong(0), r.getLong(1)))
+  }
 
   /** Current labels: node → min id of its component (fully compressed). */
   def labels: Map[Long, Long] =
     parent.keys.map(k => k -> find(k)).toMap
 
-  /** Attach to a streaming pair relation: every micro-batch folds in. */
+  /** Attach to a streaming pair relation: every micro-batch folds in.
+    * A bound overflow inside [[merge]] fails this query loudly. */
   def attach(pairs: DataFrame, queryName: String = "live_cluster_index") =
     pairs.writeStream.queryName(queryName)
       .foreachBatch((df: DataFrame, _: Long) => merge(df))
       .start()
+}
+
+object LiveClusterIndex {
+  /** Default node bound: 4M entries ≈ 2 LongMap slots + compressed-root
+    * churn ≈ low-hundreds of MB on the driver — the same envelope as
+    * CC's packed driver fallback cutover (StressMain ccmem). */
+  val DefaultMaxNodes: Long = 4000000L
 }

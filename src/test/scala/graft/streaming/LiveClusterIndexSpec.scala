@@ -32,4 +32,31 @@ class LiveClusterIndexSpec extends SparkSpecBase {
       assert(idx.labels == want)
     } finally q.stop()
   }
+
+  // The node bound is enforced, not advisory: streaming past it must
+  // fail the query loudly (naming the q158 contraction path), never
+  // grow driver state silently — and the guard fires BEFORE the
+  // overflowing batch mutates the index.
+  test("bound overflow fails the query loudly and leaves pre-overflow state intact") {
+    val idx = new LiveClusterIndex(maxNodes = 6)
+    val input = MemoryStream[(Long, Long)](spark)
+    val q = idx.attach(input.toDF().toDF("a_id", "b_id"), "live_cluster_bounded")
+    try {
+      input.addData(Seq((1L, 2L), (3L, 4L), (5L, 6L))) // exactly 6 nodes: fits
+      q.processAllAvailable()
+      assert(idx.labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+      input.addData(Seq((7L, 8L))) // 2 new nodes: would make 8 > 6
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        if (t == null) Nil else t +: causes(t.getCause)
+      val guard = causes(err).find(_.isInstanceOf[IllegalStateException])
+      assert(guard.exists(_.getMessage.contains("LiveClusterIndex bound exceeded")),
+        s"query failed for the wrong reason: $err")
+      assert(guard.exists(_.getMessage.contains("q158")), "guard must name the degrade path")
+      // pre-overflow labels intact: a replay after migration is clean
+      assert(idx.labels == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L, 6L -> 5L))
+    } finally q.stop()
+  }
 }

@@ -58,17 +58,40 @@ object QueueRamp {
     q(name).entries.slice(from.toInt, until.toInt).toSeq
   }
 
+  private val commitHooks =
+    new ConcurrentHashMap[String, ArrayBuffer[(Long, Long) => Unit]]()
+
+  /** Register a success callback fired inside [[commitUpTo]] with the
+    * newly committed offset range [from, until) — the seam where an
+    * external-system ack happens at exactly engine-commit time (≙ the
+    * SQS ramp deleting messages in `success()`,
+    * `contrib/amazon_sqs/ramps.py:28-31`). Hooks must not throw. */
+  def onCommit(name: String)(hook: (Long, Long) => Unit): Unit =
+    commitHooks.computeIfAbsent(name, _ => new ArrayBuffer).synchronized {
+      commitHooks.get(name) += hook
+    }
+
   /** Engine-driven success callback: everything below `upTo` is acked —
-    * a real ramp would delete/commit in the external system here. */
-  def commitUpTo(name: String, upTo: Long): Unit = q(name).synchronized {
-    val qu = q(name)
-    if (upTo > qu.committed) {
-      qu.acked ++= qu.entries.slice(qu.committed.toInt, upTo.toInt)
-      qu.committed = upTo
+    * a real ramp would delete/commit in the external system here (and
+    * registered [[onCommit]] hooks do exactly that). */
+  def commitUpTo(name: String, upTo: Long): Unit = {
+    val range = q(name).synchronized {
+      val qu = q(name)
+      if (upTo > qu.committed) {
+        val from = qu.committed
+        qu.acked ++= qu.entries.slice(qu.committed.toInt, upTo.toInt)
+        qu.committed = upTo
+        Some((from, upTo))
+      } else None
+    }
+    range.foreach { case (from, until) =>
+      Option(commitHooks.get(name)).toSeq
+        .flatMap(h => h.synchronized(h.toVector))
+        .foreach(hook => hook(from, until))
     }
   }
 
   def committed(name: String): Long = q(name).synchronized(q(name).committed)
   def ackedIds(name: String): Seq[String] = q(name).synchronized(q(name).acked.map(_.id).toSeq)
-  def drop(name: String): Unit = queues.remove(name)
+  def drop(name: String): Unit = { queues.remove(name); commitHooks.remove(name) }
 }

@@ -26,14 +26,22 @@ object KinesisApi {
       data: String, arrivalMicros: Long)
   final case class GetRecordsResult(records: Seq[Record], millisBehindLatest: Long)
   final case class PutEntry(partitionKey: String, data: String)
+  /** Shard topology entry (≙ ListShards' Shard: ParentShardId /
+    * AdjacentParentShardId collapse to `parents`; a closed shard —
+    * split or merged away — carries its EndingSequenceNumber). */
+  final case class ShardInfo(shardId: String, parents: Seq[String],
+      endingSequence: Option[Long])
 }
 
 /** ≙ the AWS Kinesis surface the reference's ramps/intersections use:
   * DescribeStream/ListShards, GetShardIterator+GetRecords, PutRecords
   * (`contrib/amazon_kinesis/ramps.py:186-315`, `intersections.py:10-69`). */
 trait KinesisApi {
-  /** ≙ ListShards: shard ids currently open on the stream. */
+  /** ≙ ListShards: all shard ids on the stream (open and closed). */
   def listShards(stream: String): Seq[String]
+  /** ≙ ListShards with topology: parent links + ending sequences, the
+    * inputs of resharding-aware consumption ([[KinesisResharding]]). */
+  def describeShards(stream: String): Seq[KinesisApi.ShardInfo]
   /** ≙ GetShardIterator(AFTER_SEQUENCE_NUMBER)+GetRecords: records
     * strictly after `afterSequence`, at most `limit`, plus the
     * behind-latest gauge the ramp publishes as its lag metric. */
@@ -72,14 +80,40 @@ trait SqsApi {
 /** Thread-safe in-memory Kinesis — the test double and single-JVM
   * implementation. Sequence numbers are per-shard monotonic appends. */
 final class InMemoryKinesis extends KinesisApi {
-  private final class Shard { val records = new ArrayBuffer[KinesisApi.Record]() }
+  private final class Shard {
+    val records = new ArrayBuffer[KinesisApi.Record]()
+    var parents: Seq[String] = Nil
+    var ending: Option[Long] = None // Some(maxSeq) once closed by a reshard
+  }
   private val shards = new ConcurrentHashMap[(String, String), Shard]()
   private val streams = new ConcurrentHashMap[String, ArrayBuffer[String]]()
 
-  def createShard(stream: String, shardId: String): Unit = {
+  def createShard(stream: String, shardId: String, parents: Seq[String] = Nil): Unit = {
     streams.computeIfAbsent(stream, _ => new ArrayBuffer[String]())
       .synchronized { val s = streams.get(stream); if (!s.contains(shardId)) s += shardId }
-    shards.computeIfAbsent((stream, shardId), _ => new Shard)
+    val sh = shards.computeIfAbsent((stream, shardId), _ => new Shard)
+    sh.synchronized { if (parents.nonEmpty) sh.parents = parents }
+  }
+
+  private def close(stream: String, shardId: String): Unit = {
+    val sh = shards.get((stream, shardId))
+    sh.synchronized { sh.ending = Some(sh.records.size.toLong) }
+  }
+
+  /** ≙ SplitShard: the parent closes at its current head; two children
+    * open with the parent link. Post-split appends land on children. */
+  def splitShard(stream: String, parent: String, childA: String, childB: String): Unit = {
+    close(stream, parent)
+    createShard(stream, childA, parents = Seq(parent))
+    createShard(stream, childB, parents = Seq(parent))
+  }
+
+  /** ≙ MergeShards: both parents close; one child opens linked to both
+    * (ParentShardId + AdjacentParentShardId). */
+  def mergeShards(stream: String, parentA: String, parentB: String, child: String): Unit = {
+    close(stream, parentA)
+    close(stream, parentB)
+    createShard(stream, child, parents = Seq(parentA, parentB))
   }
 
   /** Producer-side append (tests / local pipelines). Sequences start at
@@ -90,6 +124,7 @@ final class InMemoryKinesis extends KinesisApi {
     createShard(stream, shardId)
     val sh = shards.get((stream, shardId))
     sh.synchronized {
+      require(sh.ending.isEmpty, s"shard $shardId is closed (resharded away)")
       val seq = sh.records.size.toLong + 1
       sh.records += KinesisApi.Record(seq, partitionKey, data, arrivalMicros)
       seq
@@ -98,6 +133,12 @@ final class InMemoryKinesis extends KinesisApi {
 
   override def listShards(stream: String): Seq[String] =
     Option(streams.get(stream)).map(s => s.synchronized(s.toVector)).getOrElse(Vector.empty)
+
+  override def describeShards(stream: String): Seq[KinesisApi.ShardInfo] =
+    listShards(stream).map { id =>
+      val sh = shards.get((stream, id))
+      sh.synchronized(KinesisApi.ShardInfo(id, sh.parents, sh.ending))
+    }
 
   override def getRecords(stream: String, shardId: String, afterSequence: Long,
       limit: Int): KinesisApi.GetRecordsResult = {
@@ -114,10 +155,11 @@ final class InMemoryKinesis extends KinesisApi {
   override def putRecords(stream: String,
       records: Seq[KinesisApi.PutEntry]): Seq[RetryingBatchWriter.Outcome] =
     records.map { e =>
-      // route by partition key hash over the stream's shards (AWS hashes
-      // the key onto the shard's hash-key range)
-      val ss = listShards(stream)
-      if (ss.isEmpty) RetryingBatchWriter.Hard(s"stream $stream has no shards")
+      // route by partition key hash over the stream's OPEN shards (AWS
+      // hashes the key onto an open shard's hash-key range; closed
+      // shards never take writes)
+      val ss = describeShards(stream).filter(_.endingSequence.isEmpty).map(_.shardId)
+      if (ss.isEmpty) RetryingBatchWriter.Hard(s"stream $stream has no open shards")
       else {
         val shard = ss(math.floorMod(e.partitionKey.hashCode, ss.size))
         append(stream, shard, e.partitionKey, e.data)

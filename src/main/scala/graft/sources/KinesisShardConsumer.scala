@@ -122,6 +122,55 @@ object KinesisShardConsumer {
   }
 }
 
+/** Resharding-aware shard lifecycle — split/merge handling the
+  * reference never implemented (its lease table has no parent/child
+  * notion; a reshard stalls its fleet). Built from the public Kinesis
+  * contract: a split/merge CLOSES the parent shard(s) at an ending
+  * sequence and opens children carrying parent links; consuming a child
+  * before its parents are drained reorders keys across the reshard
+  * boundary and can lose the parent's uncommitted tail.
+  *
+  * The rule enforced here: a child's lease record is CREATED (and thus
+  * the child becomes claimable at all — [[ShardLeaseCoordinator]]
+  * throws [[NoLeaseRecord]] otherwise) only once every parent is
+  * `complete`: closed AND lease-checkpointed to its ending sequence.
+  * Children then start from checkpoint 0 (their TRIM_HORIZON — a child
+  * begins empty at the reshard point, so 0 loses nothing), while the
+  * parent's record stays behind as the proof its tail was consumed.
+  * Replay loss is impossible: every parent record is either before the
+  * parent's final checkpoint (committed by the engine) or replayed by
+  * the parent's owner before `complete` flips.
+  */
+object KinesisResharding {
+
+  /** Fully consumed: closed with the lease checkpoint at the end. */
+  def complete(info: KinesisApi.ShardInfo, leases: LeaseTable): Boolean =
+    info.endingSequence.exists(end =>
+      leases.get(info.shardId).exists(_.checkpoint >= end))
+
+  /** True once the OWNER may stop polling `shardId`: the shard is
+    * closed and everything up to its end is engine-committed. */
+  def drained(stream: String, shardId: String, api: KinesisApi, leases: LeaseTable): Boolean =
+    api.describeShards(stream).find(_.shardId == shardId).exists(complete(_, leases))
+
+  /** Register lease records for every startable new shard: no record
+    * yet, and all parents complete (trivially so for parentless shards
+    * — stream bootstrap uses the same path). Returns the shards
+    * registered to `workerId`; callers race via putIfAbsent, so across
+    * a fleet each child is registered exactly once. */
+  def registerStartable(stream: String, workerId: String, api: KinesisApi,
+      leases: LeaseTable): Seq[String] = {
+    val infos = api.describeShards(stream)
+    val byId = infos.map(i => i.shardId -> i).toMap
+    infos.filter { s =>
+      leases.get(s.shardId).isEmpty &&
+        s.parents.forall(p => byId.get(p).forall(complete(_, leases)))
+    }.map(_.shardId).filter { id =>
+      new ShardLeaseCoordinator(workerId, leases).claimNewShard(id)
+    }
+  }
+}
+
 /** SQS polling loop over the [[SqsApi]] client seam — the protocol of
   * `contrib/amazon_sqs/ramps.py:8-31`: long-poll receive hides each
   * message for the visibility timeout; the engine committing the

@@ -45,6 +45,7 @@ class CloudClientSeamSpec extends AnyFunSuite {
     var calls = 0
     var failures = 0
     def listShards(stream: String): Seq[String] = inner.listShards(stream)
+    def describeShards(stream: String): Seq[KinesisApi.ShardInfo] = inner.describeShards(stream)
     def getRecords(stream: String, shardId: String, afterSequence: Long,
         limit: Int): KinesisApi.GetRecordsResult = {
       calls += 1
@@ -127,6 +128,82 @@ class CloudClientSeamSpec extends AnyFunSuite {
   test("sqs send enforces the 256 KB bound") {
     val api = new InMemorySqs()
     assertThrows[IllegalArgumentException](api.send("jobs", "x" * (256 * 1024 + 1)))
+  }
+
+  // Resharding — the operational case the reference's lease table never
+  // handled: children must stay unclaimable until every parent is
+  // drained to its ending sequence, and nothing may be lost or
+  // replayed-before-checkpoint across the boundary.
+  test("shard split: children claimable only after the parent drains; no replay loss") {
+    val api = new InMemoryKinesis
+    val leases = new InMemoryLeaseTable
+    api.createShard("s", "shard-1")
+    (1 to 10).foreach(i => api.append("s", "shard-1", s"k$i", s"p$i"))
+    assert(KinesisResharding.registerStartable("s", "w1", api, leases) == Seq("shard-1"),
+      "bootstrap: the parentless shard registers")
+    val parent = new KinesisShardConsumer("s", "shard-1", "w1", api, leases)
+    QueueRamp.drop(parent.queue)
+    assert(parent.claim())
+    assert(parent.poll() == 10)
+    QueueRamp.commitUpTo(parent.queue, 6)
+    assert(parent.checkpoint())
+
+    // split mid-consumption; post-split traffic lands on the children
+    api.splitShard("s", "shard-1", "shard-2", "shard-3")
+    api.append("s", "shard-2", "kA", "c2-1")
+    api.append("s", "shard-3", "kB", "c3-1")
+    // closed parent rejects writes
+    assertThrows[IllegalArgumentException](api.append("s", "shard-1", "k", "late"))
+    assert(KinesisResharding.registerStartable("s", "w1", api, leases).isEmpty,
+      "children must not register while the parent has an uncommitted tail")
+    assert(!KinesisResharding.drained("s", "shard-1", api, leases))
+
+    // drain the parent tail (7..10), then the children open up
+    QueueRamp.commitUpTo(parent.queue, 10)
+    assert(parent.checkpoint())
+    assert(KinesisResharding.drained("s", "shard-1", api, leases))
+    assert(KinesisResharding.registerStartable("s", "w1", api, leases).sorted ==
+      Seq("shard-2", "shard-3"))
+    val kids = Seq("shard-2", "shard-3").map { id =>
+      val c = new KinesisShardConsumer("s", id, "w1", api, leases)
+      QueueRamp.drop(c.queue); assert(c.claim()); c
+    }
+    kids.foreach { c =>
+      assert(c.poll() == 1, "child starts at its TRIM_HORIZON (checkpoint 0)")
+      QueueRamp.commitUpTo(c.queue, 1)
+      assert(c.checkpoint())
+    }
+    assert(QueueRamp.ackedIds(parent.queue) == (1 to 10).map(i => s"shard-1-$i"))
+    assert(kids.flatMap(c => QueueRamp.ackedIds(c.queue)) == Seq("shard-2-1", "shard-3-1"))
+    (parent +: kids).foreach(c => QueueRamp.drop(c.queue))
+  }
+
+  test("shard merge: the child waits for BOTH parents to drain") {
+    val api = new InMemoryKinesis
+    val leases = new InMemoryLeaseTable
+    api.createShard("s", "shard-1"); api.createShard("s", "shard-2")
+    (1 to 3).foreach(i => api.append("s", "shard-1", s"k$i", s"a$i"))
+    (1 to 2).foreach(i => api.append("s", "shard-2", s"k$i", s"b$i"))
+    KinesisResharding.registerStartable("s", "w1", api, leases)
+    val c1 = new KinesisShardConsumer("s", "shard-1", "w1", api, leases)
+    val c2 = new KinesisShardConsumer("s", "shard-2", "w1", api, leases)
+    Seq(c1, c2).foreach { c => QueueRamp.drop(c.queue); assert(c.claim()) }
+
+    api.mergeShards("s", "shard-1", "shard-2", "shard-12")
+    // first parent drains fully; second still has its tail
+    assert(c1.poll() == 3); QueueRamp.commitUpTo(c1.queue, 3); assert(c1.checkpoint())
+    assert(KinesisResharding.drained("s", "shard-1", api, leases))
+    assert(KinesisResharding.registerStartable("s", "w1", api, leases).isEmpty,
+      "one drained parent is not enough for a merge child")
+    // second parent drains → child registers and consumes merged traffic
+    assert(c2.poll() == 2); QueueRamp.commitUpTo(c2.queue, 2); assert(c2.checkpoint())
+    assert(KinesisResharding.registerStartable("s", "w1", api, leases) == Seq("shard-12"))
+    api.append("s", "shard-12", "k", "merged-1")
+    val child = new KinesisShardConsumer("s", "shard-12", "w1", api, leases)
+    QueueRamp.drop(child.queue)
+    assert(child.claim())
+    assert(child.poll() == 1)
+    (Seq(c1, c2, child)).foreach(c => QueueRamp.drop(c.queue))
   }
 
   test("kinesis sink seam: putRecords feeds the partial-retry writer") {

@@ -38,6 +38,33 @@ object Bench {
       .foreach(df => df.limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
 
+    // Input sanity gate (the r7 q18=0.034s lesson): a physical-type or
+    // schema drift that empties a table — or nulls the event-time
+    // column every event-time query filters on — silently DEFLATES the
+    // numbers instead of failing them. A benchmark that can quietly
+    // measure nothing is worse than one that crashes: fail fast, so the
+    // driver records an error, never a fake-fast total.
+    {
+      import org.apache.spark.sql.functions.col
+      val checks: Seq[(String, Long)] = Seq(
+        "lineitem" -> t.lineitem.count(),
+        "orders" -> t.orders.count(),
+        "events" -> t.events.count(),
+        "events.ts non-null" -> t.events.filter(col("ts").isNotNull).count(),
+        "documents" -> t.documents.count(),
+        "embeddings" -> t.embeddings.count())
+      val degenerate = checks.filter(_._2 == 0L)
+      require(degenerate.isEmpty,
+        s"degenerate bench input at $sfDir — empty: " +
+          degenerate.map(_._1).mkString(", ") +
+          " (a no-op load would deflate every dependent query's time)")
+      // ts must also be a real TIMESTAMP after normalization, or the
+      // event-time queries degrade to no-op casts
+      require(t.events.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType,
+        s"events.ts normalized to ${t.events.schema("ts").dataType}, expected TIMESTAMP")
+    }
+
     // Isolation (untimed — the metric is the sum of per-query dt): drop
     // everything a query left behind so leftovers can't distort a later
     // query's memory budget. Three layers, because each covers storage

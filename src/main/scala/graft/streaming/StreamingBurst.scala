@@ -50,15 +50,36 @@ object StreamingBurst {
   private val AnchorUs = 1704067200000000L
   private val HourUs = 3600000000L
 
-  private def verdicts(et: String, st: TypeState, upto: Long): (TypeState, List[HourVerdict]) = {
-    // the frontier never rewinds: a pre-data watermark (epoch 0 maps to
-    // a large negative hour) or a stale forced-close bound emits nothing
-    if (upto <= st.emittedUpto) return (st, Nil)
+  /** Forced-close distrust horizon once the watermark is live: a batch's
+    * max event time may legitimately run ahead of the watermark by a
+    * backfill chunk's span, but not by years — beyond this, the "newest
+    * event" driving the forced close is treated as corrupt and the
+    * close is bounded to watermark + horizon. (A corrupt timestamp also
+    * poisons Spark's own watermark on the NEXT batch — that part is
+    * only fixable by input validation upstream; this clamp keeps THIS
+    * operator's work and frontier bounded.) */
+  private val ForcedCloseMaxAheadHours = 24L * 120L
+  /** Hard cap on hours walked per verdicts() call — bounded fold work
+    * no matter what bound the caller derived; the remainder closes in
+    * later folds/timeouts. */
+  private val MaxEmitHoursPerFold = 100000L
+
+  private def verdicts(et: String, st: TypeState, uptoRaw: Long): (TypeState, List[HourVerdict]) = {
     var out = List.empty[HourVerdict]
     val counts = st.counts
     // judge only open hours (≥ emittedUpto); buckets below the frontier
     // are trailing baseline or late strays, never re-judged
     val open = counts.keys.filter(_ >= st.emittedUpto)
+    // per-call span cap: the walk below is hour-by-hour and uptoRaw can
+    // be driven by a single far-future timestamp — never walk (or jump
+    // the frontier) more than MaxEmitHoursPerFold past the oldest open
+    // hour in one call
+    val upto =
+      if (open.isEmpty) uptoRaw
+      else math.min(uptoRaw, open.min + MaxEmitHoursPerFold)
+    // the frontier never rewinds: a pre-data watermark (epoch 0 maps to
+    // a large negative hour) or a stale forced-close bound emits nothing
+    if (upto <= st.emittedUpto) return (st, Nil)
     if (open.nonEmpty) {
       var h = open.min
       while (h < upto) {
@@ -136,9 +157,18 @@ object StreamingBurst {
             // fold-time forced close: a backfill batch spanning many
             // hours judges and prunes everything >24h behind its own
             // newest event NOW, instead of holding it until the
-            // watermark catches up between batches
+            // watermark catches up between batches. maxH is ONE event's
+            // hour, so once the watermark is live it is distrusted
+            // beyond the backfill horizon — a corrupt far-future
+            // timestamp must not drive the close (and the frontier)
+            // years ahead of the watermark
+            val saneMaxH =
+              if (state.getCurrentWatermarkMs > 0)
+                math.min(maxH, closedUpto + ForcedCloseMaxAheadHours)
+              else maxH // first fold: no watermark signal yet; the
+                        // per-call span cap in verdicts() still bounds work
             val upto = math.max(closedUpto,
-              if (maxH == Long.MinValue) closedUpto else maxH - 24)
+              if (maxH == Long.MinValue) closedUpto else saneMaxH - 24)
             val (st2, out) = verdicts(et, st, upto)
             state.update(st2)
             armTimeout(st2)

@@ -102,4 +102,32 @@ class StreamingBurstSpec extends SparkSpecBase {
         s"expected hours 0..34 emitted from the backfill fold itself, got $batch0")
     } finally q.stop()
   }
+
+  // One corrupt far-future timestamp used to drive the forced close (and
+  // the hour-by-hour verdict walk) to the corrupt hour — a multi-minute
+  // near-hang and a poisoned frontier. The clamp bounds the close to the
+  // watermark + backfill horizon, so the fold stays fast and every real
+  // open hour is still judged exactly once.
+  test("a corrupt far-future timestamp cannot hang the fold or lose real verdicts") {
+    val base = (0 until 30).map(h => SessionEvent(1L, h.toLong,
+      1704067200000000L + h * 3600000000L, "cx", 0L))
+    val input = MemoryStream[SessionEvent](spark)
+    val q = StreamingBurst.bursts(input.toDS(), delaySec = 1).writeStream
+      .queryName("burst_corrupt").outputMode("append").format("memory").start()
+    try {
+      input.addData(base); q.processAllAvailable()
+      // ~290 billion hours past the anchor; unclamped, the verdict walk
+      // would iterate from hour 0 to corruptH-24
+      val corrupt = SessionEvent(9L, 999L, Long.MaxValue - 3600000000L, "cx", 0L)
+      val t0 = System.nanoTime()
+      input.addData(Seq(corrupt)); q.processAllAvailable()
+      val dtSec = (System.nanoTime() - t0) / 1e9
+      assert(dtSec < 30.0, f"corrupt-timestamp fold took $dtSec%.1f s — the walk is unclamped")
+      val got = spark.table("burst_corrupt")
+        .as[(String, Long, Long, Long, Long, Boolean)]
+        .collect().toSeq.filter(_._1 == "cx").map(_._2).sorted
+      assert(got == (0L to 29L),
+        s"real hours must each be judged exactly once despite the corruption, got $got")
+    } finally q.stop()
+  }
 }

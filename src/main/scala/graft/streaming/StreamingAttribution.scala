@@ -32,6 +32,12 @@ object StreamingAttribution {
       cents: Long, n_touches: Long, last_click_us: Long,
       touch_ids: Seq[Long], touch_us: Seq[Long])
 
+  /** CHECKPOINT COMPATIBILITY: `maxUs` was added in round 9 (the
+    * high-water mark the age-only prune works against). A checkpoint
+    * written before that change fails state-schema validation on
+    * restart — deliberately (TopologyEvolutionSpec pins the loud-
+    * rejection behavior); migrate by restarting from a fresh checkpoint
+    * and replaying the source. */
   final case class ClickWindow(ids: Seq[Long], us: Seq[Long],
       maxUs: Long = Long.MinValue)
 

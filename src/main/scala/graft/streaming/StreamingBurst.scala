@@ -44,6 +44,13 @@ object StreamingBurst {
       trailing_sum: Long, n_trailing: Long, is_burst: Boolean)
 
   // public: GroupState encoders need constructor access
+  /** CHECKPOINT COMPATIBILITY: round 9 renamed `nextEmit` →
+    * `emittedUpto` AND inverted the empty-state sentinel
+    * (Long.MaxValue → Long.MinValue) — old state decoded under the new
+    * layout would be semantically inverted, so the rename is load-
+    * bearing: a pre-change checkpoint fails state-schema validation on
+    * restart instead (TopologyEvolutionSpec pins that posture).
+    * Migrate via a fresh checkpoint + source replay. */
   final case class TypeState(counts: Map[Long, Long], emittedUpto: Long)
 
   /** micros since the q154 epoch anchor (2024-01-01T00:00:00Z). */

@@ -29,10 +29,12 @@ object Intersection {
     }
 
   /** Run an intersection over one input, capturing failures as dead
-    * letters instead of throwing. */
+    * letters instead of throwing. Each call runs inside the
+    * [[Instrumentation]] seam (≙ `instrumentation_manager("<cls>.process")`
+    * around every process call, `motorway/intersection.py:149`). */
   private[pipeline] def safeProcess[I, O](
       op: Intersection[I, O], m: Message[I]): Either[DeadLetter, Seq[Message[O]]] =
-    try Right(op.process(m).toSeq)
+    try Right(Instrumentation.active.around(s"${op.name}.process")(op.process(m).toSeq))
     catch {
       case scala.util.control.NonFatal(e) =>
         val sw = new java.io.StringWriter

@@ -1,0 +1,117 @@
+package graft.sources
+
+import graft.SparkSpecBase
+
+/** The full ramp loop through the client seams and the REAL engine:
+  * external system → protocol consumer → QueueRamp → DSv2 micro-batch
+  * stream → sink → engine `commit()` → external ack (SQS delete /
+  * Kinesis checkpoint). This is the reference's end-to-end guarantee
+  * (`success()` fires only after downstream success) driven through
+  * Structured Streaming's own commit placement, not a simulated one.
+  * Note the engine delivers `commit(N)` when batch N+1 is constructed
+  * (acks lag one batch — same as the reference's Kafka ramp), so each
+  * assertion drives one more batch first. */
+class CloudEndToEndSpec extends SparkSpecBase {
+
+  private def eventually(timeoutMs: Long = 20000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!cond && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    cond
+  }
+
+  private def streamOf(queue: String, name: String) =
+    spark.readStream
+      .format("graft.sources.QueueRampProvider")
+      .option("queue", queue).option("partitions", "2")
+      .load()
+      .writeStream.format("memory").queryName(name).start()
+
+  test("sqs → stream → sink: the engine's commit deletes the messages in SQS") {
+    var now = 0L
+    val api = new InMemorySqs(clockMs = () => now)
+    (1 to 5).foreach(i => api.send("e2e-jobs", s"payload$i"))
+    QueueRamp.drop("sqs-e2e-jobs")
+    val poller = new SqsPoller("e2e-jobs", api, visibilityTimeoutMs = 60000L)
+    assert(poller.pollOnce(max = 10) == 5)
+
+    val q = streamOf(poller.queue, "sqs_e2e")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sqs_e2e").count() == 5)
+      assert(api.remaining("e2e-jobs") == 5, "nothing deleted before the commit arrives")
+      // drive batch 1 so the engine delivers commit(batch 0)
+      api.send("e2e-jobs", "payload6")
+      assert(poller.pollOnce() == 1)
+      q.processAllAvailable()
+      assert(eventually()(api.remaining("e2e-jobs") == 1),
+        s"first five must be deleted at engine commit; remaining=${api.remaining("e2e-jobs")}")
+    } finally q.stop()
+    QueueRamp.drop(poller.queue)
+  }
+
+  test("kinesis → stream → sink: lease checkpoint follows the engine's commits") {
+    val api = new InMemoryKinesis
+    val leases = new InMemoryLeaseTable
+    (1 to 8).foreach(i => api.append("e2e", "shard-1", s"k$i", s"rec$i"))
+    val consumer = new KinesisShardConsumer("e2e", "shard-1", "w1", api, leases)
+    QueueRamp.drop(consumer.queue)
+    assert(consumer.claim())
+    assert(consumer.poll() == 8)
+
+    val q = streamOf(consumer.queue, "kin_e2e")
+    try {
+      q.processAllAvailable()
+      assert(spark.table("kin_e2e").count() == 8)
+      // drive batch 1 so the engine delivers commit(batch 0)
+      api.append("e2e", "shard-1", "k9", "rec9")
+      assert(consumer.poll() == 1)
+      q.processAllAvailable()
+      assert(eventually()(QueueRamp.committed(consumer.queue) == 8L))
+      assert(consumer.checkpoint(), "owner still holds the lease")
+      assert(leases.get("shard-1").get.checkpoint == 8L,
+        "lease checkpoint must equal the engine-committed prefix")
+      // a takeover resumes strictly after the committed prefix: only
+      // the uncommitted record 9 replays to the new owner
+      val next = new KinesisShardConsumer("e2e", "shard-1", "w2", api, leases)
+      assert(next.claim())
+      QueueRamp.drop(next.queue) // fresh engine state for the new owner
+      assert(next.poll() == 1, "exactly the uncommitted tail replays")
+      assert(QueueRamp.slice(next.queue, 0, 1).map(_.id) == Seq("shard-1-9"))
+      QueueRamp.drop(next.queue)
+    } finally q.stop()
+    QueueRamp.drop(consumer.queue)
+  }
+
+  test("crash mid-stream: the committed prefix sticks, only the tail replays") {
+    val api = new InMemoryKinesis
+    val leases = new InMemoryLeaseTable
+    (1 to 6).foreach(i => api.append("e2e2", "shard-1", s"k$i", s"rec$i"))
+    val a = new KinesisShardConsumer("e2e2", "shard-1", "wA", api, leases)
+    QueueRamp.drop(a.queue)
+    assert(a.claim())
+    assert(a.poll(limit = 4) == 4)
+
+    val q = streamOf(a.queue, "kin_crash")
+    try {
+      q.processAllAvailable() // batch 0 sinks records 1..4
+      assert(spark.table("kin_crash").count() == 4)
+      assert(a.poll() == 2)   // records 5,6 arrive
+      q.processAllAvailable() // batch 1 sinks them AND delivers commit(batch 0)
+      assert(eventually()(QueueRamp.committed(a.queue) == 4L))
+      assert(a.checkpoint())
+      assert(leases.get("shard-1").get.checkpoint == 4L)
+    } finally q.stop() // CRASH: batch 1's commit never arrives
+    QueueRamp.drop(a.queue) // wA's engine state dies with it
+
+    // takeover: records 5,6 were SUNK by batch 1 but never
+    // source-committed — they replay to the new owner (at-least-once,
+    // the reference's own guarantee level); 1..4 never replay
+    val b = new KinesisShardConsumer("e2e2", "shard-1", "wB", api, leases)
+    assert(b.claim())
+    assert(b.poll() == 2, "exactly the uncommitted tail (5,6) replays")
+    assert(QueueRamp.slice(b.queue, 0, 2).map(_.id) == Seq("shard-1-5", "shard-1-6"))
+    QueueRamp.commitUpTo(b.queue, QueueRamp.size(b.queue))
+    assert(b.checkpoint())
+    assert(leases.get("shard-1").get.checkpoint == 6L)
+  }
+}

@@ -154,11 +154,12 @@ final class InMemoryKinesis extends KinesisApi {
 
   override def putRecords(stream: String,
       records: Seq[KinesisApi.PutEntry]): Seq[RetryingBatchWriter.Outcome] =
+  {
+    // route by partition key hash over the stream's OPEN shards (AWS
+    // hashes the key onto an open shard's hash-key range; closed shards
+    // never take writes); one topology read per batch, not per record
+    val ss = describeShards(stream).filter(_.endingSequence.isEmpty).map(_.shardId)
     records.map { e =>
-      // route by partition key hash over the stream's OPEN shards (AWS
-      // hashes the key onto an open shard's hash-key range; closed
-      // shards never take writes)
-      val ss = describeShards(stream).filter(_.endingSequence.isEmpty).map(_.shardId)
       if (ss.isEmpty) RetryingBatchWriter.Hard(s"stream $stream has no open shards")
       else {
         val shard = ss(math.floorMod(e.partitionKey.hashCode, ss.size))
@@ -166,6 +167,7 @@ final class InMemoryKinesis extends KinesisApi {
         RetryingBatchWriter.Ok
       }
     }
+  }
 }
 
 /** Thread-safe in-memory SQS with real visibility-timeout semantics —

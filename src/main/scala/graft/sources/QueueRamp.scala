@@ -87,7 +87,17 @@ object QueueRamp {
     range.foreach { case (from, until) =>
       Option(commitHooks.get(name)).toSeq
         .flatMap(h => h.synchronized(h.toVector))
-        .foreach(hook => hook(from, until))
+        .foreach { hook =>
+          // a throwing hook must not fail the engine's commit() — the
+          // batch IS durably done; the external ack retries via the
+          // next commit or redelivery (at-least-once)
+          try hook(from, until)
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[queue-ramp-$name] commit hook failed: " +
+              String.valueOf(e.getMessage))
+            e.printStackTrace()
+          }
+        }
     }
   }
 

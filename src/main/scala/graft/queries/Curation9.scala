@@ -157,5 +157,132 @@ object Curation9 {
       .orderBy("class")
   }
 
-  val all: Seq[GraftQuery] = Seq(q149, q150)
+  // -- q163: per-source document cap (domain-cap curation) --------------
+  // The RefinedWeb/C4 anti-bias gate: no source (≙ web domain) may
+  // contribute more than K documents, so a single crawler-friendly site
+  // cannot dominate the training mix. Which K survive is a HASH
+  // priority (same 52-bit rank as q149) — deterministic, uniform within
+  // the source, reproducible across engines and bug reports, where
+  // TABLESAMPLE/rand() is none of those. Report is per-source:
+  // totals, kept, dropped, and the surviving character mass (the number
+  // the token-budget mix q109 consumes next).
+  //
+  // Scale: the keep set rides the bounded-heap TopK per source key —
+  // the corpus streams through map-side heaps and is DISCARDED
+  // (a row_number window would shuffle and sort every document for a
+  // K-row-per-source answer, the q149 lesson). Character mass attaches
+  // by equi-join to the K·|sources|-sized keep relation, never the
+  // corpus; the report is |sources| rows.
+  val q163 = q("q163_source_cap",
+    s"""WITH h AS (SELECT source, doc_id, n_chars,
+      |             ${hash52Sql("doc_id")} AS hsc
+      |           FROM documents),
+      |r AS (SELECT source, doc_id, n_chars,
+      |        row_number() OVER (PARTITION BY source ORDER BY hsc DESC, doc_id) AS rk
+      |      FROM h)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN rk <= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN rk > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      |  CAST(SUM(CASE WHEN rk <= 100 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val Cap = 100
+    val docs = Tables(s, dir).documents
+    val kept = docs
+      .select(col("source"), col("doc_id"), hash52(col("doc_id")).as("hsc"))
+      .groupBy("source")
+      .agg(graft.functions.TopK.topKLong(Cap)(col("doc_id"), col("hsc")).as("top"))
+      .select(col("source"), explode(col("top")).as("e"))
+      .select(col("source"), col("e._1").as("doc_id"))
+    val keptStats = kept
+      .join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("chars_kept"))
+    docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .join(keptStats, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_docs") - coalesce(col("n_kept"), lit(0L))).as("n_dropped"),
+        coalesce(col("chars_kept"), lit(0L)).as("chars_kept"))
+      .orderBy("source")
+  }
+
+  // -- q164: embedding outlier audit (distance-to-centroid) -------------
+  // The other half of q150's neighborhood QA: instead of label
+  // disagreement, flag vectors whose affinity to their OWN quantizer
+  // cell is anomalously low — mis-embedded, mis-ingested, or genuinely
+  // out-of-distribution points that SemDeDup-era pipelines prune before
+  // training. The criterion is integer-exact: member m of cell c is an
+  // outlier iff 2·dot(q_m, q_c)·|c| < Σ_m' dot(q_m', q_c) — "less than
+  // half the cell's mean centroid affinity", evaluated by cross-multiply
+  // over SQ8 integer dots (no IEEE mean, no order sensitivity — the
+  // q154 discipline). Assignment reuses q150's quantizer verbatim, so
+  // the oracle replays the whole audit bit-for-bit.
+  //
+  // Scale: one corpus pass to assign+code (persisted), one cell-keyed
+  // join against the 16-row broadcast centroid-code relation, two
+  // cell-keyed aggregates. No pair space at all — cost is O(N·dim),
+  // report is |cells| rows. NList grows ~√N at scale (the q37b/q116
+  // discipline) and the shape is unchanged.
+  val q164 = q("q164_embedding_outliers",
+    s"""${Curation5.SqCtes},
+      |cfull AS (SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS v, qv.q
+      |          FROM embeddings e JOIN qv USING (vec_id)),
+      |cent AS (SELECT vec_id AS cent_id, v AS cent_v FROM cfull ORDER BY vec_id LIMIT 16),
+      |asn AS (SELECT f.vec_id, f.q, cent_id,
+      |          row_number() OVER (PARTITION BY f.vec_id
+      |            ORDER BY list_cosine_similarity(f.v, cent_v) DESC, cent_id) AS rk
+      |        FROM cfull f CROSS JOIN cent),
+      |assigned AS (SELECT cent_id, vec_id, q FROM asn WHERE rk = 1),
+      |centq AS (SELECT vec_id AS cent_id, q AS cq FROM cfull
+      |          WHERE vec_id IN (SELECT cent_id FROM cent)),
+      |d AS (SELECT a.cent_id, a.vec_id,
+      |        CAST(list_aggregate(list_transform(range(1, len(a.q) + 1),
+      |               i -> a.q[i] * cq[i]), 'sum') AS BIGINT) AS dot
+      |      FROM assigned a JOIN centq USING (cent_id)),
+      |cs AS (SELECT cent_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |         CAST(SUM(dot) AS BIGINT) AS sum_dot
+      |       FROM d GROUP BY 1)
+      |SELECT d.cent_id, n_vecs, sum_dot,
+      |  CAST(SUM(CASE WHEN 2 * d.dot * n_vecs < sum_dot THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_outliers
+      |FROM d JOIN cs USING (cent_id)
+      |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import graft.functions.expr.SimilarityExpressions.nearestCentroidId
+    val NList = 16
+    val c = Similarity.corpus(s, dir)
+    val cents = c.orderBy("vec_id").limit(NList).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2)
+    val dim = cents.head._2.length
+    val st = broadcast(Curation5.sqStats(s, dir))
+    val assigned = c.crossJoin(st)
+      .select(col("vec_id"),
+        nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"),
+        Curation5.sqCode(col("v")).as("q"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the 16 centroid rows carry their own codes; every centroid
+    // assigns to itself (cos=1 is the max), so the filter is exact
+    val centCodes = assigned.where(col("vec_id").isInCollection(ids))
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val dot = aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val d = assigned.join(broadcast(centCodes), Seq("cent_id"))
+      .select(col("cent_id"), col("vec_id"), dot.as("dot"))
+    val cellStats = d.groupBy("cent_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dot")).as("sum_dot"))
+    val out = d.join(broadcast(cellStats), Seq("cent_id"))
+      .groupBy(col("cent_id"), col("n_vecs"), col("sum_dot"))
+      .agg(sum(when(lit(2L) * col("dot") * col("n_vecs") < col("sum_dot"), 1L)
+        .otherwise(0L)).as("n_outliers"))
+      .orderBy("cent_id")
+    // assigned stays persisted behind the returned lazy plan (the q150
+    // discipline — the relation is referenced three times: d's base,
+    // the centroid codes, and via cellStats; the harness's inter-query
+    // sweep releases it)
+    out
+  }
+
+  val all: Seq[GraftQuery] = Seq(q149, q150, q163, q164)
 }

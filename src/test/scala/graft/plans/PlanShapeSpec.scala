@@ -23,6 +23,31 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("CartesianProduct"), s"$q plans CartesianProduct")
     }
 
+  // q163's keep set must ride the bounded-heap TopK aggregate, not a
+  // row_number window: a Window would shuffle and sort every document
+  // into |sources| tasks for a K-row-per-source answer (the q149
+  // lesson, gated the same way).
+  test("q163_source_cap keeps per-source heads via TopK aggregate, not a Window sort") {
+    val plan = executed("q163_source_cap")
+    assert(!plan.contains("Window"), s"q163 plans a Window over the corpus:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "q163 plans CartesianProduct")
+  }
+
+  // q164 has no pair space at all: assignment is a map over the corpus
+  // (its only loop join is the 1-row SQ8-stats broadcast, which may
+  // print once per reference to the cached assignment relation), and
+  // every cell join is a broadcast equi-join on cent_id.
+  test("q164_embedding_outliers cell joins are broadcast equi-joins, no cartesian") {
+    val plan = executed("q164_embedding_outliers")
+    assert(!plan.contains("CartesianProduct"), "q164 plans CartesianProduct")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"q164 cell joins are not broadcast equi-joins:\n$plan")
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach { l =>
+      assert(!l.contains("cent_id"),
+        s"q164 loop join carries the cell key (pair-space smell): $l")
+    }
+  }
+
   // q33's only loop join is the 1-row corpus-size guard broadcast (the
   // in-plan assert_true replacing the old eager count() — see the
   // planning-launches-no-job gate below); the pair stage itself must be

@@ -109,7 +109,10 @@ object StressMain {
     "q152_value_trend", "q153_index_recall_sweep", "q154_burst_detection",
     "q155_event_transitions", "q156_erasure_audit", "q157_table_profile",
     "q158_incremental_cc", "q159_threshold_sweep", "q160_attribution",
-    "q161_conversion_latency", "q162_multitouch_attribution")
+    "q161_conversion_latency", "q162_multitouch_attribution",
+    // round 10: source-cap curation (bounded-heap heads), embedding
+    // outlier audit (cell-keyed integer cross-multiply)
+    "q163_source_cap", "q164_embedding_outliers")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -54,7 +54,7 @@ final class KinesisShardConsumer(
 
   /** Claim the shard (first registration or takeover). Resumes strictly
     * after the checkpoint the previous owner last published. */
-  def claim(): Boolean = {
+  def claim(): Boolean = synchronized {
     val coord = new ShardLeaseCoordinator(workerId, leases)
     val ok = leases.get(shardId) match {
       case None    => coord.claimNewShard(shardId)
@@ -70,7 +70,7 @@ final class KinesisShardConsumer(
   /** One pull step: ≤ `limit` records after the last enqueued sequence
     * into the queue. Returns records enqueued; 0 when not owner,
     * backpressured, or the client failed (reported, never thrown). */
-  def poll(limit: Int = 500): Int = {
+  def poll(limit: Int = 500): Int = synchronized {
     if (!owned) return 0
     QueueRamp.ensureQueue(queue)
     val uncompleted = QueueRamp.size(queue) - QueueRamp.committed(queue)
@@ -104,7 +104,7 @@ final class KinesisShardConsumer(
 
   /** Publish the committed-prefix checkpoint + heartbeat. False when
     * ownership was lost (the record moved under us). */
-  def checkpoint(): Boolean = {
+  def checkpoint(): Boolean = synchronized {
     if (!owned) return false
     val committed = QueueRamp.committed(queue)
     var ck = leases.get(shardId).map(_.checkpoint).getOrElse(0L)
@@ -191,13 +191,16 @@ final class SqsPoller(
   /** Spark-side queue name (distinct namespace from the SQS queue). */
   val queue: String = s"sqs-$sqsQueue"
 
-  /** queue offset → receipt handle of the delivery that enqueued it. */
-  private val handles = scala.collection.mutable.LongMap.empty[String]
+  /** queue offset → receipt handle of the delivery that enqueued it.
+    * Concurrent-safe: the poll loop writes from the driver/scheduler
+    * thread while the engine's stream-execution thread drains via the
+    * commit hook. */
+  private val handles = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
   QueueRamp.ensureQueue(queue)
   QueueRamp.onCommit(queue) { (from, until) =>
     (from until until).foreach { off =>
-      handles.remove(off).foreach { h =>
+      Option(handles.remove(off)).foreach { h =>
         try api.delete(sqsQueue, h)
         catch { case scala.util.control.NonFatal(e) =>
           try onFailure(e) catch { case scala.util.control.NonFatal(_) => () } }
@@ -217,7 +220,7 @@ final class SqsPoller(
         QueueRamp.enqueue(queue, msgs.map(m =>
           QueueRamp.Entry(m.messageId, m.body, m.messageId, 0L)))
         msgs.zipWithIndex.foreach { case (m, i) =>
-          handles(startOffset + i) = m.receiptHandle
+          handles.put(startOffset + i, m.receiptHandle)
         }
       }
       msgs.size

@@ -228,15 +228,32 @@ object Curation8 {
       // The returned plan MUST stay TakeOrderedAndProject-headed (the
       // scale contract PlanShapeSpec gates): a global sort of a
       // corpus-sized node set for a 20-row answer is the q118/q142
-      // smell. But a 162-query suite also must not accumulate this
-      // query's persists — so materialize THROUGH the head once (20
-      // rows to the driver), release the caches, and return the same
-      // lazy head: any re-execution of it reuses the loop's shuffle
-      // files (same QueryExecution RDD), never the dropped caches.
+      // smell. But a multi-query suite also must not accumulate this
+      // query's persists. Pre-materializing here and unpersisting would
+      // make the HARNESS's action replan uncached and recompute the
+      // whole loop (a fresh QueryExecution shares no shuffle files), so
+      // instead the caches are released by a one-shot
+      // QueryExecutionListener AFTER the next successful execution on
+      // this session — normally the harness materializing this head;
+      // for plan-only callers (PlanShapeSpec), the next executed query
+      // fires it, bounding accumulation to a one-query window.
       val head = r.select(col("node"), col("r").as("score"))
         .orderBy(col("score").desc, col("node")).limit(20)
-      head.count()
-      deg.unpersist(); withDeg.unpersist(); und.unpersist()
+      val caches = Seq(deg, withDeg, und)
+      val release = new org.apache.spark.sql.util.QueryExecutionListener {
+        private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private def fire(): Unit = if (done.compareAndSet(false, true)) {
+          caches.foreach(_.unpersist())
+          s.listenerManager.unregister(this)
+        }
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = fire()
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = fire()
+      }
+      s.listenerManager.register(release)
       head
     }
   }

@@ -163,8 +163,12 @@ final class InMemoryKinesis extends KinesisApi {
       if (ss.isEmpty) RetryingBatchWriter.Hard(s"stream $stream has no open shards")
       else {
         val shard = ss(math.floorMod(e.partitionKey.hashCode, ss.size))
-        append(stream, shard, e.partitionKey, e.data)
-        RetryingBatchWriter.Ok
+        // a shard closed by a concurrent reshard between the topology
+        // snapshot and this append is a per-record retryable outcome
+        // (the caller re-routes on retry), never a mid-batch throw —
+        // putRecords' contract is one outcome per record
+        try { append(stream, shard, e.partitionKey, e.data); RetryingBatchWriter.Ok }
+        catch { case _: IllegalArgumentException => RetryingBatchWriter.Retryable }
       }
     }
   }
@@ -218,10 +222,14 @@ final class InMemorySqs(clockMs: () => Long = () => System.currentTimeMillis()) 
     val q = queues.get(queue)
     if (q == null) return false
     q.synchronized {
+      // deletes succeed with the LATEST delivery's handle even after
+      // the visibility timeout expired (AWS behavior — an engine commit
+      // slower than the timeout must still be able to delete); only a
+      // handle from a SUPERSEDED delivery is stale, because each
+      // receive overwrites receiptHandle
       q.msgs.find(m => m.receiptHandle == receiptHandle && !m.deleted) match {
-        // a handle from a superseded delivery is stale, like AWS
-        case Some(m) if m.invisibleUntilMs > clockMs() => m.deleted = true; true
-        case _ => false
+        case Some(m) => m.deleted = true; true
+        case None    => false
       }
     }
   }

@@ -72,6 +72,13 @@ final class KinesisShardConsumer(
     * backpressured, or the client failed (reported, never thrown). */
   def poll(limit: Int = 500): Int = synchronized {
     if (!owned) return 0
+    // owned without a claim() on THIS instance (registerStartable
+    // registered the lease, or a restart where the lease survived):
+    // resume from the published checkpoint, never the construction
+    // sentinel — Long.MinValue is not a valid AFTER_SEQUENCE_NUMBER
+    // against a real client and would re-read from the beginning here
+    if (lastEnqueuedSeq == Long.MinValue)
+      lastEnqueuedSeq = leases.get(shardId).map(_.checkpoint).getOrElse(0L)
     QueueRamp.ensureQueue(queue)
     val uncompleted = QueueRamp.size(queue) - QueueRamp.committed(queue)
     // admission control: never let uncompleted exceed the bound, so the

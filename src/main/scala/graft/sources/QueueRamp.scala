@@ -66,10 +66,18 @@ object QueueRamp {
     * external-system ack happens at exactly engine-commit time (≙ the
     * SQS ramp deleting messages in `success()`,
     * `contrib/amazon_sqs/ramps.py:28-31`). Hooks must not throw. */
-  def onCommit(name: String)(hook: (Long, Long) => Unit): Unit =
-    commitHooks.computeIfAbsent(name, _ => new ArrayBuffer).synchronized {
-      commitHooks.get(name) += hook
+  def onCommit(name: String)(hook: (Long, Long) => Unit): Unit = {
+    // loop: a concurrent drop() can remove the buffer between the
+    // computeIfAbsent and the append — re-fetch until the buffer we
+    // locked is still the registered one
+    var registered = false
+    while (!registered) {
+      val buf = commitHooks.computeIfAbsent(name, _ => new ArrayBuffer)
+      buf.synchronized {
+        if (commitHooks.get(name) eq buf) { buf += hook; registered = true }
+      }
     }
+  }
 
   /** Engine-driven success callback: everything below `upTo` is acked —
     * a real ramp would delete/commit in the external system here (and

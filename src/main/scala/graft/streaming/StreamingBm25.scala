@@ -66,6 +66,10 @@ object StreamingBm25 {
     val bc = spark.sparkContext.broadcast((frozen, dfMap))
 
     val kernel = udf { (text: String) =>
+      if (text == null) Seq.empty[(Long, Double)] // the Catalyst chain
+      // scored null text to null and the score filter dropped the row;
+      // the kernel must match (a null doc emits nothing, never NPEs)
+      else {
       val (qs, dfm) = bc.value
       // tf in one pass; split(_, -1) = Spark's split (keeps trailing
       // empties, so dl matches size(split(text, ' ')) exactly)
@@ -87,13 +91,21 @@ object StreamingBm25 {
             val idf = (nDocs.toDouble - dfr + 0.5) / (dfr + 0.5) + 1.0
             val sat = f * (k1 + 1.0) /
               (f + k1 * ((1.0 - b) + b * (dl / avgdl)))
-            val c = new JBigDecimal(java.lang.Double.toString(idf * sat))
+            // Catalyst's Round returns a DOUBLE (the 9-place value's
+            // nearest double) and the decimal cast re-reads THAT
+            // double's shortest repr — the round-trip matters once the
+            // 9-scaled value needs >15-16 significant digits (huge-N
+            // idf), so the kernel replicates both hops
+            val rounded = new JBigDecimal(java.lang.Double.toString(idf * sat))
+              .setScale(9, RoundingMode.HALF_UP).doubleValue
+            val c = new JBigDecimal(java.lang.Double.toString(rounded))
               .setScale(9, RoundingMode.HALF_UP)
             acc = acc.add(c)
           }
         }
         val score = acc.doubleValue
         if (score > 0.0) Some((qid, score)) else None
+      }
       }
     }
 

@@ -61,10 +61,14 @@ object StreamingBurst {
     * max event time may legitimately run ahead of the watermark by a
     * backfill chunk's span, but not by years — beyond this, the "newest
     * event" driving the forced close is treated as corrupt and the
-    * close is bounded to watermark + horizon. (A corrupt timestamp also
-    * poisons Spark's own watermark on the NEXT batch — that part is
-    * only fixable by input validation upstream; this clamp keeps THIS
-    * operator's work and frontier bounded.) */
+    * close is bounded to watermark + horizon. Residual, by design: the
+    * clamped close can still advance the key's frontier up to one
+    * horizon past the watermark, suppressing verdicts for that span —
+    * but a corrupt timestamp also poisons Spark's OWN watermark on the
+    * next batch, so every event in that span is already dropped
+    * engine-wide before reaching this fold; the clamp adds no
+    * suppression the engine doesn't, it only bounds this operator's
+    * work and frontier. True protection is input validation upstream. */
   private val ForcedCloseMaxAheadHours = 24L * 120L
   /** Hard cap on hours walked per verdicts() call — bounded fold work
     * no matter what bound the caller derived; the remainder closes in

@@ -49,16 +49,21 @@ object StreamingVoteClassifier {
     // — irrelevant here, "" is never a vote term, but kept for symmetry
     // with the StreamingBm25 kernel where length matters)
     val kernel = udf { (text: String) =>
-      val m = bcVotes.value
-      var pos = 0L; var neg = 0L; var margin = 0L; var known = 0L
-      val seen = new java.util.HashSet[String]()
-      text.split(" ", -1).foreach { t =>
-        if (seen.add(t)) m.get(t).foreach { v =>
-          known += 1; margin += v
-          if (v == 1L) pos += 1 else if (v == -1L) neg += 1
+      if (text == null) (0L, 0L, 0L, 0L) // null doc: no known tokens —
+      // the n_known filter drops it, matching the old expression chain
+      // (which nulled through and filtered) instead of NPEing the query
+      else {
+        val m = bcVotes.value
+        var pos = 0L; var neg = 0L; var margin = 0L; var known = 0L
+        val seen = new java.util.HashSet[String]()
+        text.split(" ", -1).foreach { t =>
+          if (seen.add(t)) m.get(t).foreach { v =>
+            known += 1; margin += v
+            if (v == 1L) pos += 1 else if (v == -1L) neg += 1
+          }
         }
+        (pos, neg, margin, known)
       }
-      (pos, neg, margin, known)
     }
     docs.toDF("doc_id", "text")
       .select(col("doc_id"), kernel(col("text")).as("k"))

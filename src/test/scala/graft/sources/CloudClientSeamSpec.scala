@@ -115,8 +115,15 @@ class CloudClientSeamSpec extends AnyFunSuite {
     // engine commits the first two → deleted in SQS permanently
     QueueRamp.commitUpTo(p2.queue, 2)
     assert(api.remaining("jobs") == 1)
+    // an engine commit SLOWER than the visibility timeout must still
+    // delete: the latest handle stays valid after expiry (AWS behavior)
+    // as long as no new receive superseded it
+    (1 to 1).foreach(_ => api.send("jobs", "slowbatch"))
+    val slow = api.receive("jobs", 1, 1000L)
+    now = 5000L // visibility long expired, no re-receive happened
+    assert(api.delete("jobs", slow.head.receiptHandle),
+      "latest handle must delete even after the visibility timeout")
     // the uncommitted third reappears after the visibility timeout
-    now = 2000L
     assert(p2.pollOnce() == 1, "un-deleted message must redeliver")
     val redelivered = QueueRamp.slice(p2.queue, 3, 4)
     assert(redelivered.map(_.content) == Seq("body3"), "at-least-once replay of the uncommitted message")

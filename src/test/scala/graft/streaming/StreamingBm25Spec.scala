@@ -54,13 +54,14 @@ class StreamingBm25Spec extends SparkSpecBase {
     val arriving = Seq(
       (100L, "a fresh join against a window"),
       (101L, "hash join galore hash"),
-      (102L, "completely unrelated text"))
+      (102L, "completely unrelated text"),
+      (103L, null: String)) // null doc must emit nothing, never fail the query
     input.addData(arriving)
     q.processAllAvailable()
     val got = spark.table("bm25_standing").as[(Long, Long, Double)]
       .collect().toSet
     q.stop()
-    val want = arriving.flatMap { case (id, text) =>
+    val want = arriving.filter(_._2 != null).flatMap { case (id, text) =>
       reference(text).map { case (qid, s) => (id, qid, s) } }.toSet
     assert(got == want, s"streaming scores diverge:\n$got\nvs\n$want")
     // the absent-term standing query never fires; unrelated docs emit nothing

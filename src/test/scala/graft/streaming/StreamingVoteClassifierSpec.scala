@@ -60,7 +60,8 @@ class StreamingVoteClassifierSpec extends SparkSpecBase {
     input.addData(Seq(
       (1L, "w2 w5 w8 w0"),        // pos 3, neg 1, margin 2 → keep
       (2L, "w0 w3 w999999 zzz"),  // pos 0, neg 3, margin −3 → drop
-      (3L, "zzz yyy")))           // no known token → no row
+      (3L, "zzz yyy"),            // no known token → no row
+      (4L, null: String)))        // null doc → no row, never an NPE
     q.processAllAvailable()
     val got = spark.table("vote_big")
       .as[(Long, Long, Long, Long, String)].collect().toSet

@@ -1,0 +1,139 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Tenth curation batch: corpus hygiene across *versions* of the corpus —
+  * the normalization-robust exact-dedup layer every web pipeline runs
+  * between byte-identical dedup (q27) and MinHash (q29), and the
+  * crawl-to-crawl snapshot reconciliation that tells the pipeline what
+  * actually changed since the last ingest (the number incremental
+  * passes like q114/q124/q143/q158 consume).
+  */
+object Curation10 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  /** Case/punctuation/whitespace-fold: lower → non-[a-z0-9 ] to space →
+    * collapse runs → trim. The CCNet/Dolma "fuzzy-exact" canonical form:
+    * cheap enough to run map-side over every document, strong enough to
+    * merge the re-encodes and boilerplate re-rendered copies that
+    * byte-level md5 (q27) treats as distinct. Patterns sit in the
+    * RE2 ∩ java.util.regex common dialect (the q120 discipline), so the
+    * oracle applies the identical chain. */
+  def normExpr(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+  private val normSql =
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
+  // -- q165: normalization-robust dedup census ---------------------------
+  // The corpus is deterministically "dirtied" first (every doc_id % 3 = 0
+  // document contributes a second copy with flipped case, injected
+  // punctuation, and padding whitespace — the q120 augmentation
+  // precedent, since the synthetic corpus is already clean lowercase):
+  // raw md5 dedup is blind to those copies; the normalized fingerprint
+  // merges them. The census quantifies the gap per source — how many
+  // "distinct" documents are really the same text wearing different
+  // bytes.
+  //
+  // Scale: both fingerprints are computed MAP-SIDE in one corpus pass
+  // (the shuffle carries (source, 2×32-char fp), never text), and the
+  // distinct counts come from a two-level aggregate chain — group by
+  // (source, raw_fp, norm_fp), then (source, norm_fp), then source — so
+  // there is no Expand doubling (the q157 discipline; raw_fp determines
+  // norm_fp, so counting g-rows IS counting distinct raws). Report is
+  // |sources| rows.
+  val q165 = q("q165_normalized_dedup",
+    s"""WITH dirty AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, '  ' || upper(text) || ' !! '
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (SELECT source, md5(text) AS raw_fp, md5($normSql) AS norm_fp FROM dirty),
+      |g AS (SELECT source, raw_fp, norm_fp, COUNT(*) AS n FROM f GROUP BY 1, 2, 3),
+      |g2 AS (SELECT source, norm_fp, SUM(n) AS n_docs_grp,
+      |         COUNT(*) AS n_raw_variants
+      |       FROM g GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(n_docs_grp) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_raw_variants) AS BIGINT) AS n_raw_distinct,
+      |  CAST(COUNT(*) AS BIGINT) AS n_norm_distinct,
+      |  CAST(SUM(CASE WHEN n_raw_variants >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_merged_groups
+      |FROM g2 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents.select(col("doc_id"), col("source"), col("text"))
+    val mangled = docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select((col("doc_id") + 10000000L).as("doc_id"), col("source"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+    val g = docs.union(mangled)
+      .select(col("source"), md5(col("text")).as("raw_fp"),
+        md5(normExpr(col("text"))).as("norm_fp"))
+      .groupBy("source", "raw_fp", "norm_fp").agg(count(lit(1)).as("n"))
+    val g2 = g.groupBy("source", "norm_fp")
+      .agg(sum(col("n")).as("n_docs_grp"), count(lit(1)).as("n_raw_variants"))
+    g2.groupBy("source").agg(
+        sum(col("n_docs_grp")).as("n_docs"),
+        sum(col("n_raw_variants")).as("n_raw_distinct"),
+        count(lit(1)).as("n_norm_distinct"),
+        sum(when(col("n_raw_variants") >= 2, 1L).otherwise(0L)).as("n_merged_groups"))
+      .orderBy("source")
+  }
+
+  // -- q166: corpus snapshot diff (crawl-to-crawl reconciliation) --------
+  // Two corpus versions are derived deterministically from the one
+  // stored table (snapshot A drops doc_id % 10 = 7 — "not crawled yet";
+  // snapshot B drops % 10 = 3 — "gone from the web" — and re-renders
+  // every % 4 = 1 page with a ' v2' suffix), then reconciled: every
+  // document is added, removed, changed, or unchanged, and the census
+  // reports the per-source churn — the number that sizes the
+  // incremental passes (q114's delta, q143's delta scan, q158's delta
+  // edges) and decides whether an incremental refresh beats a rebuild.
+  //
+  // Scale: each snapshot projects to (doc_id, source, md5) BEFORE the
+  // join — content hashing is map-side in the scan stage, the full-outer
+  // equi-join shuffles ~50-byte rows hash-partitioned on doc_id (never
+  // the text), and the verdict aggregate is partial+final onto
+  // |sources| rows. Presence is the join side's null-ness, not the
+  // fingerprint's, so a null-text document still diffs correctly.
+  val q166 = q("q166_snapshot_diff",
+    """WITH snap_a AS (
+      |  SELECT doc_id, source, md5(text) AS fp_a, 1 AS in_a
+      |  FROM documents WHERE doc_id % 10 <> 7),
+      |snap_b AS (
+      |  SELECT doc_id, source,
+      |    md5(CASE WHEN doc_id % 4 = 1 THEN text || ' v2' ELSE text END) AS fp_b,
+      |    1 AS in_b
+      |  FROM documents WHERE doc_id % 10 <> 3)
+      |SELECT COALESCE(snap_b.source, snap_a.source) AS source,
+      |  CAST(SUM(CASE WHEN in_a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_added,
+      |  CAST(SUM(CASE WHEN in_b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND fp_a IS DISTINCT FROM fp_b
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+      |  CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 AND fp_a IS NOT DISTINCT FROM fp_b
+      |       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+      |FROM snap_a FULL OUTER JOIN snap_b USING (doc_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir).documents
+    val snapA = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
+      .select(col("doc_id"), col("source").as("source_a"),
+        md5(col("text")).as("fp_a"), lit(1).as("in_a"))
+    val snapB = d.where(pmod(col("doc_id"), lit(10)) =!= 3)
+      .select(col("doc_id"), col("source").as("source_b"),
+        md5(when(pmod(col("doc_id"), lit(4)) === 1, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("fp_b"), lit(1).as("in_b"))
+    snapA.join(snapB, Seq("doc_id"), "full_outer")
+      .groupBy(coalesce(col("source_b"), col("source_a")).as("source"))
+      .agg(
+        sum(when(col("in_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("in_b").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1 &&
+          !(col("fp_a") <=> col("fp_b")), 1L).otherwise(0L)).as("n_changed"),
+        sum(when(col("fp_a") <=> col("fp_b") &&
+          col("in_a") === 1 && col("in_b") === 1, 1L).otherwise(0L)).as("n_unchanged"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q165, q166)
+}

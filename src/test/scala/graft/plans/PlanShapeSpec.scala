@@ -301,4 +301,26 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally spark.sparkContext.removeSparkListener(l)
     assert(jobs.get() == 0, s"planning q33 launched ${jobs.get()} job(s)")
   }
+
+  // q165's two distinct-counts must come from the two-level aggregate
+  // chain, never a multi-count-distinct Expand (which doubles the
+  // corpus-sized fingerprint relation through the shuffle — the q157
+  // discipline).
+  test("q165_normalized_dedup counts distincts without Expand") {
+    val plan = executed("q165_normalized_dedup")
+    assert(!plan.contains("Expand"), s"q165 plans an Expand doubling:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "q165 plans CartesianProduct")
+  }
+
+  // q166's reconciliation join must be a hash-partitioned full-outer
+  // EQUI-join on doc_id over the fingerprint projections — never a loop
+  // join, and never a broadcast (both snapshots are corpus-sized).
+  test("q166_snapshot_diff reconciles via a shuffled full-outer equi-join") {
+    val plan = executed("q166_snapshot_diff")
+    assert(!plan.contains("BroadcastNestedLoop"), "q166 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q166 plans CartesianProduct")
+    assert(plan.contains("FullOuter"), s"q166 did not plan a full-outer join:\n$plan")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin").exists(plan.contains)
+    assert(equi, s"q166 full-outer join is not a shuffled equi-join:\n$plan")
+  }
 }

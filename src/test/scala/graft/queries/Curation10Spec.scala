@@ -1,0 +1,106 @@
+package graft.queries
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** Twins for the hygiene/versioning batch: both queries replayed
+  * driver-side from first principles (same md5, same normalization
+  * chain, same snapshot derivations) plus their conservation
+  * invariants. Exact cross-engine hashes are the driver's DuckDB gate
+  * at sf0.01. */
+class Curation10Spec extends SparkSpecBase {
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  private def norm(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
+  private def docs() =
+    graft.Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+
+  test("q165 census matches a driver-side normalize+hash replay") {
+    val base = docs()
+    val dirty = base ++ base.filter(_._1 % 3 == 0)
+      .map { case (id, src, t) => (id + 10000000L, src, "  " + t.toUpperCase + " !! ") }
+    val expected = dirty
+      .map { case (_, src, t) => (src, md5hex(t), md5hex(norm(t))) }
+      .groupBy(r => (r._1, r._3)).toSeq
+      .map { case ((src, _), rows) =>
+        (src, rows.size.toLong, rows.map(_._2).distinct.size.toLong) }
+      .groupBy(_._1).toSeq
+      .map { case (src, groups) =>
+        (src, groups.map(_._2).sum, groups.map(_._3).sum, groups.size.toLong,
+          groups.count(_._3 >= 2).toLong) }
+      .sortBy(_._1)
+    val got = Curation10.q165.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("q165 invariants: planted mangles merge, distinct counts are ordered") {
+    val base = docs()
+    val nPlanted = base.count(_._1 % 3 == 0).toLong
+    val rows = Curation10.q165.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._2).sum == base.length + nPlanted,
+      "census must conserve every dirty-relation row")
+    rows.foreach { case (src, nDocs, nRaw, nNorm, nMerged) =>
+      assert(nNorm <= nRaw, s"$src: normalized distinct exceeds raw distinct")
+      assert(nRaw <= nDocs, s"$src: raw distinct exceeds doc count")
+      assert(nMerged <= nNorm, s"$src: merged groups exceed group count")
+    }
+    // every planted copy differs from its original byte-wise but is
+    // identical normalized, so SOME merging must be visible overall
+    assert(rows.map(r => r._3 - r._4).sum >= nPlanted,
+      "each planted case/punct copy must fold into its original's group")
+  }
+
+  test("q166 churn census matches a driver-side snapshot replay") {
+    val base = docs()
+    val a = base.filter(_._1 % 10 != 7)
+      .map { case (id, src, t) => id -> ((src, md5hex(t))) }.toMap
+    val b = base.filter(_._1 % 10 != 3)
+      .map { case (id, src, t) =>
+        id -> ((src, md5hex(if (id % 4 == 1) t + " v2" else t))) }.toMap
+    val expected = (a.keySet ++ b.keySet).toSeq
+      .map { id =>
+        val src = b.get(id).map(_._1).orElse(a.get(id).map(_._1)).get
+        val st =
+          if (!a.contains(id)) "added"
+          else if (!b.contains(id)) "removed"
+          else if (a(id)._2 != b(id)._2) "changed"
+          else "unchanged"
+        (src, st)
+      }
+      .groupBy(_._1).toSeq
+      .map { case (src, rows) =>
+        val c = rows.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+        (src, c.getOrElse("added", 0L), c.getOrElse("removed", 0L),
+          c.getOrElse("changed", 0L), c.getOrElse("unchanged", 0L)) }
+      .sortBy(_._1)
+    val got = Curation10.q166.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == expected)
+  }
+
+  test("q166 conserves the union of both snapshots") {
+    val base = docs()
+    val idsA = base.filter(_._1 % 10 != 7).map(_._1).toSet
+    val idsB = base.filter(_._1 % 10 != 3).map(_._1).toSet
+    val rows = Curation10.q166.run(spark, sfDir).collect()
+    val total = rows.map(r => r.getLong(1) + r.getLong(2) + r.getLong(3) + r.getLong(4)).sum
+    assert(total == (idsA ++ idsB).size.toLong,
+      "every document in either snapshot is counted exactly once")
+    // the planted derivations guarantee all four statuses occur
+    assert(rows.map(_.getLong(1)).sum > 0, "no added docs — derivation degenerate")
+    assert(rows.map(_.getLong(2)).sum > 0, "no removed docs — derivation degenerate")
+    assert(rows.map(_.getLong(3)).sum > 0, "no changed docs — derivation degenerate")
+    assert(rows.map(_.getLong(4)).sum > 0, "no unchanged docs — derivation degenerate")
+  }
+}

@@ -112,7 +112,8 @@ object StressMain {
     "q161_conversion_latency", "q162_multitouch_attribution",
     // round 10: source-cap curation (bounded-heap heads), embedding
     // outlier audit (cell-keyed integer cross-multiply)
-    "q163_source_cap", "q164_embedding_outliers")
+    "q163_source_cap", "q164_embedding_outliers",
+    "q165_normalized_dedup", "q166_snapshot_diff", "q167_span_purge")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

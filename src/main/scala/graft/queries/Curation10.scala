@@ -135,5 +135,83 @@ object Curation10 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q165, q166)
+  // -- q167: exact-substring purge (Lee et al. removal pass) -------------
+  // q78 computes the cross-doc duplicated-span SIGNAL; this is the
+  // REMOVAL pass built on it (Lee et al. 2022, "Deduplicating Training
+  // Data Makes Language Models Better"): every 8-token span seen in ≥2
+  // distinct documents survives only in its first document (min doc_id
+  // — q78's keeper rule); in every other document the tokens covered by
+  // any occurrence of a duplicated span are cut, and the document is
+  // reassembled from the surviving tokens. Output is the per-doc purge
+  // record: token counts before/after and the md5 of the cleaned text
+  // (the fingerprint the next pipeline stage ingests).
+  //
+  // Scale: the duplicated-span relation is built with q78's two-level
+  // aggregate (dedup (span, doc_id) map-side, then a plain count — no
+  // count-distinct Expand) and joined back to the span stream as a
+  // hash-partitioned EQUI-join on the span — never broadcast: at web
+  // scale the boilerplate-span table is itself huge. Coverage expansion
+  // is a bounded 8-element explode off the result-sized hit relation,
+  // deduped on (doc_id, p); reassembly is one doc-keyed exchange with
+  // in-row sort (the q113 pattern). The span stream is exploded twice
+  // (agg path + join path) — map-side work off the columnar scan,
+  // cheaper at scale than persisting a corpus×len intermediate.
+  val q167 = q("q167_span_purge",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tok AS (SELECT doc_id, CAST(unnest(range(0, len(t))) AS BIGINT) AS p,
+      |          unnest(t) AS w
+      |        FROM d),
+      |sp AS (SELECT doc_id, CAST(unnest(range(0, len(t) - 7)) AS BIGINT) AS pos,
+      |         unnest(list_transform(range(1, len(t) - 6),
+      |                i -> list_aggregate(t[i:i+7], 'string_agg', ' '))) AS span
+      |       FROM d WHERE len(t) >= 8),
+      |dup AS (SELECT span, min(doc_id) AS first_doc
+      |        FROM (SELECT DISTINCT span, doc_id FROM sp)
+      |        GROUP BY span HAVING COUNT(*) >= 2),
+      |hits AS (SELECT sp.doc_id, sp.pos FROM sp JOIN dup USING (span)
+      |         WHERE sp.doc_id <> dup.first_doc),
+      |cov AS (SELECT DISTINCT doc_id, pos + CAST(unnest(range(0, 8)) AS BIGINT) AS p
+      |        FROM hits),
+      |k AS (SELECT tok.doc_id, tok.p, tok.w, cov.p IS NOT NULL AS rm
+      |      FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.p = cov.p)
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      |  md5(COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' ' ORDER BY p), ''))
+      |    AS fp_clean
+      |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir).documents
+      .withColumn("_t", split(col("text"), " "))
+    val t = col("_t")
+    val spansArr = transform(sequence(lit(0), size(t) - 8),
+      i => array_join(slice(t, i + 1, lit(8)), " "))
+    def sp = d.where(size(t) >= 8)
+      .select(col("doc_id"), posexplode(spansArr).as(Seq("pos", "span")))
+    val dup = sp
+      .groupBy("span", "doc_id").agg(lit(1))
+      .groupBy("span")
+      .agg(min(col("doc_id")).as("first_doc"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2)
+      .select(col("span"), col("first_doc"))
+    val cov = sp.join(dup, Seq("span"))
+      .where(col("doc_id") =!= col("first_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos").cast("long"), col("pos").cast("long") + 7)).as("p"))
+      .distinct()
+      .withColumn("rm", lit(true))
+    d.select(col("doc_id"), posexplode(t).as(Seq("p", "w")))
+      .withColumn("p", col("p").cast("long"))
+      .join(cov, Seq("doc_id", "p"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("rm"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("rm"), lit(false)),
+            struct(col("p"), col("w"))))),
+          x => x.getField("w")), " ")).as("fp_clean"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q165, q166, q167)
 }

@@ -323,4 +323,22 @@ class PlanShapeSpec extends SparkSpecBase {
     val equi = Seq("SortMergeJoin", "ShuffledHashJoin").exists(plan.contains)
     assert(equi, s"q166 full-outer join is not a shuffled equi-join:\n$plan")
   }
+
+  // q167's duplicated-span relation is corpus-derived and potentially
+  // huge (web-scale boilerplate tables): the span join must be an
+  // EQUI-join — loop/cartesian shapes are fatal at 100× — and dup
+  // counting rides the two-level aggregate (no count-distinct Expand).
+  // Whether the equi-join broadcasts or shuffles is a stats decision
+  // (at test SF the span table IS broadcast-sized; at scale the same
+  // plan resolves to SortMergeJoin), so the gate pins the join FAMILY,
+  // not the exchange strategy.
+  test("q167_span_purge span join is an equi-join, no Expand") {
+    val plan = executed("q167_span_purge")
+    assert(!plan.contains("BroadcastNestedLoop"), "q167 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q167 plans CartesianProduct")
+    assert(!plan.contains("Expand"), s"q167 plans an Expand doubling:\n$plan")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(equi, s"q167 span join is not an equi-join:\n$plan")
+  }
 }

@@ -103,4 +103,43 @@ class Curation10Spec extends SparkSpecBase {
     assert(rows.map(_.getLong(3)).sum > 0, "no changed docs — derivation degenerate")
     assert(rows.map(_.getLong(4)).sum > 0, "no unchanged docs — derivation degenerate")
   }
+
+  test("q167 purge matches a driver-side Lee-et-al replay") {
+    val base = docs()
+    val toks = base.map { case (id, _, t) => id -> t.split(" ", -1) }.toMap
+    val spans = toks.toSeq.flatMap { case (id, w) =>
+      if (w.length >= 8) (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+      else Seq.empty
+    }
+    val bySpan = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (sp, occ) => sp -> occ.map(_._1).min }
+    val spansByDoc = spans.groupBy(_._1)
+    val expected = toks.toSeq.map { case (id, w) =>
+      val cut = Array.fill(w.length)(false)
+      spansByDoc.getOrElse(id, Seq.empty).foreach { case (_, i, sp) =>
+        bySpan.get(sp).foreach { keeper =>
+          if (keeper != id) (i until i + 8).foreach(cut(_) = true)
+        }
+      }
+      val kept = w.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+      (id, w.length.toLong, cut.count(identity).toLong, md5hex(kept.mkString(" ")))
+    }.sortBy(_._1)
+    val got = Curation10.q167.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == expected)
+  }
+
+  test("q167 invariants: keepers intact, untouched docs fingerprint-stable") {
+    val base = docs()
+    val rawFp = base.map { case (id, _, t) => id -> md5hex(t) }.toMap
+    val rows = Curation10.q167.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.length == base.length, "every document gets a purge record")
+    rows.foreach { case (id, nTok, nRem, fp) =>
+      assert(nRem <= nTok, s"doc $id removes more tokens than it has")
+      if (nRem == 0) assert(fp == rawFp(id), s"untouched doc $id changed fingerprint")
+      else assert(fp != rawFp(id), s"doc $id lost $nRem tokens but kept its fingerprint")
+    }
+    assert(rows.map(_._3).sum > 0, "corpus has cross-doc spans; purge must cut some")
+  }
 }

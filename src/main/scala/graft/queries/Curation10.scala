@@ -180,8 +180,14 @@ object Curation10 {
       |  md5(COALESCE(string_agg(CASE WHEN NOT rm THEN w END, ' ' ORDER BY p), ''))
       |    AS fp_clean
       |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    val d = Tables(s, dir).documents
-      .withColumn("_t", split(col("text"), " "))
+    spanPurgeOn(Tables(s, dir).documents.select(col("doc_id"), col("text")))
+  }
+
+  /** q167's purge over any (doc_id, text) relation — exposed so specs
+    * can drive it with generated corpora (the allPairsJaccardOn
+    * pattern). */
+  def spanPurgeOn(docs: DataFrame): DataFrame = {
+    val d = docs.withColumn("_t", split(col("text"), " "))
     val t = col("_t")
     val spansArr = transform(sequence(lit(0), size(t) - 8),
       i => array_join(slice(t, i + 1, lit(8)), " "))

@@ -142,4 +142,43 @@ class Curation10Spec extends SparkSpecBase {
     }
     assert(rows.map(_._3).sum > 0, "corpus has cross-doc spans; purge must cut some")
   }
+
+  test("q167 purge equals brute force on randomized dense-duplication corpora") {
+    // Tiny vocab + short docs force the edge cases the real corpus
+    // never hits: docs shorter than a span, docs that lose EVERY
+    // token (fp_clean of the empty string), spans duplicated within
+    // one doc only (not removable), and keeper docs that are
+    // themselves cut by OTHER spans.
+    val vocab = Array("a", "b") // 2^8 = 256 possible spans → dense cross-doc collisions
+    val rng = new scala.util.Random(42)
+    var totalRemoved = 0L
+    for (trial <- 1 to 15) {
+      val corpus = (0L until 12L).map { id =>
+        val len = rng.nextInt(16) // 0..15 tokens
+        (id, Array.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      // brute force (same rules as the sf replay, on the generated corpus)
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+      val spans = toks.toSeq.flatMap { case (id, w) =>
+        if (w.length >= 8) (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+        else Seq.empty }
+      val bySpan = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+        .map { case (sp, occ) => sp -> occ.map(_._1).min }
+      val spansByDoc = spans.groupBy(_._1)
+      val expected = toks.toSeq.map { case (id, w) =>
+        val cut = Array.fill(w.length)(false)
+        spansByDoc.getOrElse(id, Seq.empty).foreach { case (_, i, sp) =>
+          bySpan.get(sp).foreach { k => if (k != id) (i until i + 8).foreach(cut(_) = true) }
+        }
+        val kept = w.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+        (id, w.length.toLong, cut.count(identity).toLong, md5hex(kept.mkString(" ")))
+      }.sortBy(_._1)
+      import spark.implicits._
+      val got = Curation10.spanPurgeOn(corpus.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+      assert(got == expected, s"trial $trial diverged on corpus: $corpus")
+      totalRemoved += got.map(_._3).sum
+    }
+    assert(totalRemoved > 0, "no trial produced a removal — generator degenerate")
+  }
 }

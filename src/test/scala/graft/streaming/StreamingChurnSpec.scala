@@ -1,0 +1,82 @@
+package graft.streaming
+
+import graft.{SparkSpecBase, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import StreamingChurn.{ChurnVerdict, CrawlRecord}
+
+/** The live churn monitor must classify a re-crawl exactly as q166's
+  * batch reconciliation does: snapshot A streams in as the first crawl,
+  * snapshot B (plus tombstones for the vanished docs) as the second,
+  * and the second crawl's verdict census per source equals the batch
+  * report bit-for-bit. */
+class StreamingChurnSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("second-crawl verdict census equals q166's batch reconciliation") {
+    val base = Tables(spark, sfDir).documents
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // the q166 derivations, as crawl record streams
+    val crawlA = base.filter(_._1 % 10 != 7)
+      .map { case (id, src, t) => CrawlRecord(id, src, Some(md5hex(t)), 1L) }
+    val inB = base.filter(_._1 % 10 != 3)
+      .map { case (id, src, t) =>
+        CrawlRecord(id, src, Some(md5hex(if (id % 4 == 1) t + " v2" else t)), 2L) }
+    val tombstones = base.filter(_._1 % 10 == 3) // in A (3≠7), gone from B
+      .map { case (id, src, _) => CrawlRecord(id, src, None, 2L) }
+    val crawlB = inB ++ tombstones
+
+    val input = MemoryStream[CrawlRecord](spark)
+    val q = StreamingChurn.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("churn_out")
+      .outputMode("append").start()
+    try {
+      input.addData(crawlA.toSeq); q.processAllAvailable()
+      input.addData(crawlB.toSeq); q.processAllAvailable()
+      val got = spark.table("churn_out").as[ChurnVerdict].collect()
+        .filter(_.seq == 2L)
+        .groupBy(_.source).map { case (src, vs) =>
+          val c = vs.groupBy(_.status).map { case (k, v) => k -> v.size.toLong }
+          (src, c.getOrElse("added", 0L), c.getOrElse("removed", 0L),
+            c.getOrElse("changed", 0L), c.getOrElse("unchanged", 0L))
+        }.toSeq.sortBy(_._1)
+      val want = graft.queries.Curation10.q166.run(spark, sfDir).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("at-least-once replay cannot double-count added/changed") {
+    val recs = Seq(
+      CrawlRecord(1L, "s", Some("aa"), 1L),
+      CrawlRecord(2L, "s", Some("bb"), 1L))
+    val input = MemoryStream[CrawlRecord](spark)
+    val q = StreamingChurn.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("churn_replay")
+      .outputMode("append").start()
+    try {
+      input.addData(recs); q.processAllAvailable()
+      // redelivery of the same records, then a change and a double tombstone
+      input.addData(recs :+ CrawlRecord(1L, "s", Some("cc"), 2L)); q.processAllAvailable()
+      input.addData(Seq(CrawlRecord(2L, "s", None, 3L),
+        CrawlRecord(2L, "s", None, 4L))); q.processAllAvailable()
+      val vs = spark.table("churn_replay").as[ChurnVerdict].collect()
+      assert(vs.count(v => v.status == "added") == 2, "replay minted extra added verdicts")
+      assert(vs.count(v => v.status == "changed") == 1)
+      // doc 1's seq=1 record appears twice: the original classified
+      // "added", its batch-2 redelivery downgraded to "unchanged"
+      assert(vs.filter(v => v.seq == 1L && v.doc_id == 1L).map(_.status).sorted.toSeq ==
+        Seq("added", "unchanged"))
+      // replayed originals re-classify as unchanged (the no-double-count rule)
+      assert(vs.count(v => v.status == "unchanged") == 2)
+      // both tombstones say removed; the second is the idempotent no-state case
+      assert(vs.count(v => v.status == "removed") == 2)
+    } finally q.stop()
+  }
+}

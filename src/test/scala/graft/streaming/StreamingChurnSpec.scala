@@ -79,4 +79,36 @@ class StreamingChurnSpec extends SparkSpecBase {
       assert(vs.count(v => v.status == "removed") == 2)
     } finally q.stop()
   }
+
+  test("churn state survives a checkpoint restart between crawls") {
+    val dir = java.nio.file.Files.createTempDirectory("churn_ckpt").toString
+    val input = MemoryStream[CrawlRecord](spark)
+    def start() = StreamingChurn.verdicts(input.toDS())
+      .writeStream.format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .outputMode("append").start()
+
+    val q1 = start()
+    input.addData(Seq(
+      CrawlRecord(1L, "s", Some("aa"), 1L),
+      CrawlRecord(2L, "s", Some("bb"), 1L),
+      CrawlRecord(3L, "s", Some("cc"), 1L)))
+    q1.processAllAvailable(); q1.stop()
+
+    // restart against the same checkpoint: crawl 2 must classify
+    // against the state REBUILT from the store, not a blank slate
+    val q2 = start()
+    input.addData(Seq(
+      CrawlRecord(1L, "s", Some("aa"), 2L), // same fp     -> unchanged
+      CrawlRecord(2L, "s", Some("b2"), 2L), // new fp      -> changed
+      CrawlRecord(3L, "s", None, 2L),       // tombstone   -> removed
+      CrawlRecord(4L, "s", Some("dd"), 2L)  // never seen  -> added
+    ))
+    q2.processAllAvailable(); q2.stop()
+
+    val got = spark.read.parquet(s"$dir/out").as[ChurnVerdict].collect()
+      .filter(_.seq == 2L).map(v => v.doc_id -> v.status).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
 }

@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSession
   *   6. classifier calibration (q148): the held-out threshold curve
   *   7. index tuning (q153): recall@5 / MRR per IVF probe count
   *   8. inspection sample (q149): the reproducible eyeball set
+  *   9. normalization-dedup census (q165): bytes-vs-text duplicate gap
+  *  10. snapshot churn (q166): crawl-to-crawl added/removed/changed
+  *  11. span-purge records (q167): per-doc tokens cut + clean fingerprint
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -44,7 +47,10 @@ object GovernanceMain {
       "label-noise audit" -> "q150_label_noise",
       "classifier calibration (held-out sweep)" -> "q148_vote_threshold_sweep",
       "index tuning (IVF probe sweep)" -> "q153_index_recall_sweep",
-      "inspection sample (first rows)" -> "q149_inspection_sample")
+      "inspection sample (first rows)" -> "q149_inspection_sample",
+      "normalization-dedup census" -> "q165_normalized_dedup",
+      "snapshot churn (crawl-to-crawl)" -> "q166_snapshot_diff",
+      "span purge (first rows)" -> "q167_span_purge")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

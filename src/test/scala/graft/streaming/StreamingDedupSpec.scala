@@ -46,6 +46,27 @@ class StreamingDedupSpec extends SparkSpecBase {
     q.stop()
   }
 
+  test("normalized fingerprint (q165's canonical form) dedups case/punct twins in-stream") {
+    // the SAME normExpr the batch census (q165) hashes: a re-encoded
+    // copy ("  UPPER !! " mangling) must merge with its original as it
+    // arrives, not only in the batch compaction pass
+    val input = MemoryStream[(Timestamp, Long, String)](spark, 2)
+    val deduped = input.toDS().toDF("ts", "doc_id", "text")
+      .withColumn("content_hash", md5(graft.queries.Curation10.normExpr(col("text"))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_hash")
+    val q = deduped.writeStream.format("memory").queryName("norm_dedup_out")
+      .outputMode(OutputMode.Append).start()
+    input.addData(Seq(
+      (ts(0), 1L, "the quick brown fox"),
+      (ts(1), 2L, "  THE QUICK brown FOX !! "), // q165's mangle: same canonical form
+      (ts(2), 3L, "the quick brown foxes")))    // genuinely different
+    q.processAllAvailable()
+    val ids = spark.table("norm_dedup_out").select("doc_id").as[Long].collect().sorted
+    assert(ids.sameElements(Array(1L, 3L)), s"got ${ids.mkString(",")}")
+    q.stop()
+  }
+
   test("dedup state survives checkpointed restart without re-emitting") {
     // memory sinks can't recover a checkpoint — use the file sink, the
     // shape a real ingest job runs (dedup stream → parquet).

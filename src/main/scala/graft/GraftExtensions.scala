@@ -84,7 +84,9 @@ object GraftFunctions {
     ("graft_quality_gate", new ExpressionInfo(classOf[QualityGateExpr].getName, "graft_quality_gate"),
       (es: Seq[Expression]) => QualityGateExpr(es(0),
         intLit(es(1), "minTok"), intLit(es(2), "maxTok"),
-        doubleLit(es(3), "minTtr"), doubleLit(es(4), "maxRep"))))
+        doubleLit(es(3), "minTtr"), doubleLit(es(4), "maxRep"))),
+    ("graft_norm_text", new ExpressionInfo(classOf[NormalizeTextExpr].getName, "graft_norm_text"),
+      (es: Seq[Expression]) => NormalizeTextExpr(es(0))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

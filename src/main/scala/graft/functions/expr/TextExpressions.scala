@@ -58,6 +58,39 @@ object TextKernels {
     true
   }
 
+  /** Canonical text fold (q165's normalization) as ONE pass: lowercase,
+    * map every char outside [a-z0-9] to a separator, emit single spaces
+    * between kept runs — trim and run-collapse fall out of the walk.
+    * Semantically identical to the three-regex chain
+    * `trim(regexp_replace(regexp_replace(lower(s), "[^a-z0-9 ]", " "),
+    * " +", " "))` (NormalizeFoldSpec proves it on adversarial inputs):
+    * a surrogate pair naively yields two separators where the regex's
+    * code-point match yields one, but both collapse to the same single
+    * space, so a UTF-16 char walk is exact. One kernel call replaces
+    * three compiled-regex passes + two intermediate string allocations
+    * per row — the difference on a map-side pass over 100 TB of text.
+    * Lowercasing goes through `UTF8String.toLowerCase` (what Spark's
+    * own `lower()` calls), never the default-locale JVM one. */
+  def normalizeFold(text: UTF8String): UTF8String = {
+    val s = (if (text == null) UTF8String.EMPTY_UTF8 else text).toLowerCase.toString
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSep = false
+    var started = false
+    var i = 0
+    while (i < n) {
+      val ch = s.charAt(i)
+      if ((ch >= 'a' && ch <= 'z') || (ch >= '0' && ch <= '9')) {
+        if (pendingSep && started) sb.append(' ')
+        sb.append(ch)
+        started = true
+        pendingSep = false
+      } else pendingSep = true
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
     * already-computed k-gram hash sequence: sliding window of `w`
     * hashes, keep the rightmost minimum of each window, dedupe
@@ -134,7 +167,19 @@ case class QualityGateExpr(child: Expression, minTok: Int, maxTok: Int,
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class NormalizeTextExpr(child: Expression) extends UnaryKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_text"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.normalizeFold(a.asInstanceOf[UTF8String])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.normalizeFold($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
+  def normText(text: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
   def qualityGate(text: Column, minTok: Int, maxTok: Int,

@@ -20,10 +20,18 @@ object Curation10 {
     * collapse runs → trim. The CCNet/Dolma "fuzzy-exact" canonical form:
     * cheap enough to run map-side over every document, strong enough to
     * merge the re-encodes and boilerplate re-rendered copies that
-    * byte-level md5 (q27) treats as distinct. Patterns sit in the
-    * RE2 ∩ java.util.regex common dialect (the q120 discipline), so the
-    * oracle applies the identical chain. */
+    * byte-level md5 (q27) treats as distinct. The oracle runs the
+    * three-regex chain (`lower` → `[^a-z0-9 ]`→' ' → collapse → trim,
+    * RE2 ∩ java.util.regex common dialect per the q120 discipline); the
+    * Spark side runs the single-pass native kernel, proven equal to the
+    * chain on adversarial inputs by NormalizeFoldSpec — one codegen'd
+    * char walk instead of three compiled-regex passes per row. */
   def normExpr(c: Column): Column =
+    graft.functions.expr.TextExpressions.normText(c)
+
+  /** The regex-chain twin of [[normExpr]] — the oracle's formulation,
+    * kept as the executable spec the kernel is gated against. */
+  def normRegexExpr(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
   private val normSql =
     "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"

@@ -26,6 +26,16 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.getSeq[Long](6) == Seq(255L, 0L, 0L, 0L))
   }
 
+  test("graft_norm_text evaluates from SQL and matches the regex chain") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_norm_text('  THE Quick  brown-FOX!! 123 ') AS n,
+        |  graft_norm_text('') AS empty, graft_norm_text(NULL) AS nul""".stripMargin).head()
+    assert(r.getString(0) == "the quick brown fox 123")
+    assert(r.getString(1) == "")
+    assert(r.isNullAt(2))
+  }
+
   test("graft_quality_gate evaluates from SQL with numeric literals") {
     GraftFunctions.register(spark)
     val r = spark.sql(

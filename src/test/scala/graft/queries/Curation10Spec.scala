@@ -181,4 +181,25 @@ class Curation10Spec extends SparkSpecBase {
     }
     assert(totalRemoved > 0, "no trial produced a removal — generator degenerate")
   }
+
+  test("q167 hot span: one boilerplate line in 500 docs purges everywhere but the keeper") {
+    // the Zipf-head case the span join must survive: a single span's
+    // occurrence list is 500 deep (all probe rows land on one key).
+    // Each doc = 4 unique lead tokens + the shared 8-token boilerplate:
+    // unique windows all mix doc-specific tokens, so ONLY the pure
+    // boilerplate span (the last window) duplicates across docs.
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val corpus = (0L until 500L).map(id => (id, s"u${id}a u${id}b u${id}c u${id}d " + boiler))
+    val got = Curation10.spanPurgeOn(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.size == 500)
+    val (keeper, rest) = got.partition(_._1 == 0L)
+    assert(keeper.head._3 == 0L, "keeper doc must lose nothing")
+    assert(keeper.head._4 == md5hex(corpus.head._2))
+    rest.foreach { case (id, nTok, nRem, fp) =>
+      assert(nTok == 12L && nRem == 8L, s"doc $id: expected exactly the boilerplate cut")
+      assert(fp == md5hex(s"u${id}a u${id}b u${id}c u${id}d"), s"doc $id wrong residue")
+    }
+  }
 }

@@ -124,7 +124,6 @@ object StatsServer {
          |$rows</table></section>""".stripMargin
     }.mkString("\n")
     s"""<!doctype html><html><head><meta charset="utf-8">
-       |<meta http-equiv="refresh" content="5">
        |<title>graft pipeline status</title>
        |<style>
        |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
@@ -132,9 +131,49 @@ object StatsServer {
        |.st-available{color:#2a7}.st-busy{color:#b80}
        |.st-overloaded{color:#d40}.st-failing{color:#c00}
        |</style></head><body><h1>Pipeline status</h1>
+       |<div id="groups">
        |${if (groups.isEmpty) "<p>No queries running.</p>" else sections}
-       |<p><a href="/api/status/">raw JSON</a></p></body></html>""".stripMargin
+       |</div>
+       |<p><a href="/api/status/">raw JSON</a></p>
+       |$pollerScript</body></html>""".stripMargin
   }
+
+  /** Live refresh without a JS build step: poll `/api/status/` (the
+    * same JSON the reference's React bundle consumed,
+    * `webserver.py:127-148`) and re-render the group sections
+    * client-side — same grouping (name up to the first '-'), same
+    * worst-member severity, same columns as the server-rendered first
+    * paint, which stays in place as the no-JS fallback. */
+  private val pollerScript: String =
+    """<script>
+      |const SEV = {available:0, busy:1, overloaded:2, failing:3};
+      |const esc = s => String(s).replace(/&/g,"&amp;").replace(/</g,"&lt;").replace(/>/g,"&gt;");
+      |async function tick() {
+      |  try {
+      |    const qs = await (await fetch('/api/status/')).json();
+      |    const by = {};
+      |    qs.forEach(q => { (by[q.name.split('-')[0]] ||= []).push(q); });
+      |    const html = Object.keys(by).sort().map(g => {
+      |      const ms = by[g].sort((a,b) => a.name < b.name ? -1 : 1);
+      |      const st = ms.reduce((w,q) => (SEV[q.status]||0) > (SEV[w]||0) ? q.status : w, 'available');
+      |      const waiting = ms.reduce((n,q) => n + q.waiting, 0);
+      |      const processed = ms.reduce((n,q) => n + q.processed, 0);
+      |      const rows = ms.map(q =>
+      |        `<tr><td><a href="/detail/${encodeURIComponent(q.name)}/">${esc(q.name)}</a></td>` +
+      |        `<td class="st-${q.status}">${q.status}</td><td>${q.processed}</td>` +
+      |        `<td>${q.waiting}</td><td>${q.failed}</td>` +
+      |        `<td>${q.avg_time_taken_ms.toFixed(1)}</td>` +
+      |        `<td>${q['95_percentile_ms'].toFixed(1)}</td></tr>`).join('');
+      |      return `<section><h2>${esc(g)} <span class="st-${st}">${st}</span></h2>` +
+      |        `<p>processed ${processed} &middot; waiting ${waiting}</p>` +
+      |        `<table><tr><th>query</th><th>status</th><th>processed</th><th>waiting</th>` +
+      |        `<th>failed</th><th>avg ms</th><th>p95 ms</th></tr>${rows}</table></section>`;
+      |    }).join('');
+      |    document.getElementById('groups').innerHTML = html || '<p>No queries running.</p>';
+      |  } catch (e) { /* server restarting; keep last render */ }
+      |}
+      |setInterval(tick, 2000);
+      |</script>""".stripMargin
 
   /** JSON twin of [[detailHtml]] — the reference's detail endpoint
     * serves JSON to its bundled UI (`motorway/webserver.py:53-64`);

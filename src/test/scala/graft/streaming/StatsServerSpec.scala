@@ -51,6 +51,11 @@ class StatsServerSpec extends SparkSpecBase {
       assert(html.contains("available"), "group status missing")
       assert(html.contains("processed 2"), "group processed total missing")
       assert(html.contains("""<a href="/api/status/">"""), "JSON link missing")
+      // the live poller re-renders from the same JSON endpoint the
+      // server-rendered fallback was built from (no meta refresh)
+      assert(html.contains("fetch('/api/status/')"), "live poller missing")
+      assert(html.contains("""id="groups""""), "poller render target missing")
+      assert(!html.contains("http-equiv=\"refresh\""), "stale meta-refresh still present")
 
       // unknown paths are not swallowed by the root handler
       val missUrl = new java.net.URI(s"http://127.0.0.1:${server.boundPort}/nope").toURL

@@ -215,8 +215,23 @@ object StatsServer {
       s"""<tr><td>$ts</td><td>${esc(f.messageId)}</td><td>${esc(f.error)}</td></tr>
          |<tr><td colspan="3"><pre>${esc(f.traceback)}</pre></td></tr>""".stripMargin
     }.mkString("\n")
+    val poll =
+      s"""<script>
+         |async function tick() {
+         |  try {
+         |    const d = await (await fetch('/api/detail/' +
+         |      encodeURIComponent(${jsString(s.name)}) + '/')).json();
+         |    document.querySelectorAll('#live td[data-k]').forEach(td => {
+         |      const v = d[td.dataset.k];
+         |      td.textContent = typeof v === 'number' && !Number.isInteger(v) ? v.toFixed(1) : v;
+         |    });
+         |    const st = document.getElementById('st');
+         |    st.textContent = d.status; st.className = 'st-' + d.status;
+         |  } catch (e) { /* server restarting; keep last render */ }
+         |}
+         |setInterval(tick, 2000);
+         |</script>""".stripMargin
     s"""<!doctype html><html><head><meta charset="utf-8">
-       |<meta http-equiv="refresh" content="5">
        |<title>${esc(s.name)} — detail</title>
        |<style>
        |body{font-family:sans-serif;margin:2em}table{border-collapse:collapse}
@@ -225,22 +240,29 @@ object StatsServer {
        |.st-available{color:#2a7}.st-busy{color:#b80}
        |.st-overloaded{color:#d40}.st-failing{color:#c00}
        |</style></head><body>
-       |<h1>${esc(s.name)} <span class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</span></h1>
+       |<h1>${esc(s.name)} <span id="st" class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</span></h1>
        |<h2>Currently processing</h2>
-       |<table>
-       |<tr><th>processed</th><td>${s.processed}</td></tr>
-       |<tr><th>success</th><td>${s.success}</td></tr>
-       |<tr><th>failed</th><td>${s.failed}</td></tr>
-       |<tr><th>waiting</th><td>${s.waiting}</td></tr>
-       |<tr><th>peak waiting</th><td>${s.peakWaiting}</td></tr>
-       |<tr><th>last batch ms</th><td>$lastBatch</td></tr>
-       |<tr><th>avg ms</th><td>${f1(s.avgTimeTakenMs)}</td></tr>
-       |<tr><th>p95 ms</th><td>${f1(s.p95TimeTakenMs)}</td></tr>
+       |<table id="live">
+       |<tr><th>processed</th><td data-k="processed">${s.processed}</td></tr>
+       |<tr><th>success</th><td data-k="success">${s.success}</td></tr>
+       |<tr><th>failed</th><td data-k="failed">${s.failed}</td></tr>
+       |<tr><th>waiting</th><td data-k="waiting">${s.waiting}</td></tr>
+       |<tr><th>peak waiting</th><td data-k="peak_waiting">${s.peakWaiting}</td></tr>
+       |<tr><th>last batch ms</th><td data-k="last_batch_ms">$lastBatch</td></tr>
+       |<tr><th>avg ms</th><td data-k="avg_time_taken_ms">${f1(s.avgTimeTakenMs)}</td></tr>
+       |<tr><th>p95 ms</th><td data-k="95_percentile_ms">${f1(s.p95TimeTakenMs)}</td></tr>
        |</table>
        |${if (lagRows.nonEmpty) s"<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>$lagRows</table>" else ""}
        |<h2>Failed messages (${s.failures.size})</h2>
        |${if (failureRows.isEmpty) "<p>None.</p>"
           else s"<table><tr><th>timestamp</th><th>message id</th><th>error</th></tr>$failureRows</table>"}
-       |<p><a href="/">back to dashboard</a></p></body></html>""".stripMargin
+       |<p><a href="/">back to dashboard</a></p>
+       |$poll</body></html>""".stripMargin
   }
+
+  /** JS string literal (JSON escaping is a superset of what a JS
+    * double-quoted literal needs). */
+  private def jsString(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("<", "\\u003c") + "\""
 }

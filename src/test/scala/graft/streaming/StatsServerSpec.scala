@@ -105,6 +105,10 @@ class StatsServerSpec extends SparkSpecBase {
       assert(html.contains("poisoned payload"), "dead letter error missing")
       assert(html.contains("IllegalStateException"), "traceback missing")
       assert(html.contains("st-failing"), "failing status not surfaced")
+      // detail page polls its JSON twin live (no meta refresh)
+      assert(html.contains("fetch('/api/detail/"), "detail live poller missing")
+      assert(html.contains("""data-k="processed""""), "poller cell targets missing")
+      assert(!html.contains("http-equiv=\"refresh\""), "stale meta-refresh still present")
       // dashboard rows link to the detail page
       val (_, dash) = get("/")
       assert(dash.contains("""href="/detail/detail_probe/""""), "dashboard detail link missing")

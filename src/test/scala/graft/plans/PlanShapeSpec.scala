@@ -306,10 +306,15 @@ class PlanShapeSpec extends SparkSpecBase {
   // chain, never a multi-count-distinct Expand (which doubles the
   // corpus-sized fingerprint relation through the shuffle — the q157
   // discipline).
-  test("q165_normalized_dedup counts distincts without Expand") {
+  test("q165_normalized_dedup counts distincts without Expand, one corpus scan") {
     val plan = executed("q165_normalized_dedup")
     assert(!plan.contains("Expand"), s"q165 plans an Expand doubling:\n$plan")
     assert(!plan.contains("CartesianProduct"), "q165 plans CartesianProduct")
+    // the dirty renderings explode in-map off a SINGLE documents scan —
+    // a base ∪ mangled union would read the corpus twice
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"q165 scans the corpus $scans times:\n$plan")
   }
 
   // q166's reconciliation join must be a hash-partitioned full-outer

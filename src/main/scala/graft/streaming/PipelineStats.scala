@@ -110,6 +110,10 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
     * and the `available|busy` status heuristic. */
   def snapshotJson: String = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // locale-pinned decimals: the f-interpolator's %.1f follows the JVM
+    // default locale, and a comma decimal ("12,3") is invalid JSON —
+    // the dashboard's live poller would silently stop updating
+    def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val nowMinute = clockMinute() % 60
     snapshot.toSeq.sortBy(_._1).map { case (name, s) =>
       val lag = s.sourceLag.toSeq.sortBy(_._1)
@@ -117,7 +121,7 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
       s"""{"name":"${esc(name)}","processed":${s.processed},"success":${s.success},""" +
         s""""failed":${s.failed},"waiting":${s.waiting},"peak_waiting":${s.peakWaiting},""" +
         s""""behind_latest":$lag,""" +
-        f""""avg_time_taken_ms":${s.avgTimeTakenMs}%.1f,"95_percentile_ms":${s.p95TimeTakenMs}%.1f,""" +
+        s""""avg_time_taken_ms":${f1(s.avgTimeTakenMs)},"95_percentile_ms":${f1(s.p95TimeTakenMs)},""" +
         s""""status":"${s.state(nowMinute)}"}"""
     }.mkString("[", ",", "]")
   }

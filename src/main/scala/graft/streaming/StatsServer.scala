@@ -217,16 +217,29 @@ object StatsServer {
     }.mkString("\n")
     val poll =
       s"""<script>
+         |const FLOAT_KEYS = {avg_time_taken_ms: 1, '95_percentile_ms': 1};
+         |const esc = s => String(s).replace(/&/g,"&amp;").replace(/</g,"&lt;").replace(/>/g,"&gt;");
          |async function tick() {
          |  try {
          |    const d = await (await fetch('/api/detail/' +
          |      encodeURIComponent(${jsString(s.name)}) + '/')).json();
          |    document.querySelectorAll('#live td[data-k]').forEach(td => {
          |      const v = d[td.dataset.k];
-         |      td.textContent = typeof v === 'number' && !Number.isInteger(v) ? v.toFixed(1) : v;
+         |      td.textContent = FLOAT_KEYS[td.dataset.k] ? v.toFixed(1) : v;
          |    });
          |    const st = document.getElementById('st');
          |    st.textContent = d.status; st.className = 'st-' + d.status;
+         |    const lag = Object.entries(d.behind_latest || {}).sort();
+         |    document.getElementById('lag').innerHTML = lag.length === 0 ? '' :
+         |      '<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>' +
+         |      lag.map(([s,l]) => `<tr><td>$${esc(s)}</td><td>$${l}</td></tr>`).join('') + '</table>';
+         |    const fs = d.failed_messages || [];
+         |    document.getElementById('fails').innerHTML =
+         |      `<h2>Failed messages ($${fs.length})</h2>` + (fs.length === 0 ? '<p>None.</p>' :
+         |      '<table><tr><th>timestamp</th><th>message id</th><th>error</th></tr>' +
+         |      fs.map(f => `<tr><td>$${esc(f.timestamp)}</td><td>$${esc(f.message_id)}</td>` +
+         |        `<td>$${esc(f.error)}</td></tr><tr><td colspan="3"><pre>$${esc(f.traceback)}</pre></td></tr>`)
+         |        .join('') + '</table>');
          |  } catch (e) { /* server restarting; keep last render */ }
          |}
          |setInterval(tick, 2000);
@@ -252,10 +265,14 @@ object StatsServer {
        |<tr><th>avg ms</th><td data-k="avg_time_taken_ms">${f1(s.avgTimeTakenMs)}</td></tr>
        |<tr><th>p95 ms</th><td data-k="95_percentile_ms">${f1(s.p95TimeTakenMs)}</td></tr>
        |</table>
+       |<div id="lag">
        |${if (lagRows.nonEmpty) s"<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>$lagRows</table>" else ""}
+       |</div>
+       |<div id="fails">
        |<h2>Failed messages (${s.failures.size})</h2>
        |${if (failureRows.isEmpty) "<p>None.</p>"
           else s"<table><tr><th>timestamp</th><th>message id</th><th>error</th></tr>$failureRows</table>"}
+       |</div>
        |<p><a href="/">back to dashboard</a></p>
        |$poll</body></html>""".stripMargin
   }

@@ -7,29 +7,36 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * reconciling two finished snapshots with a full-outer join, the
   * re-crawl RECORD STREAM is classified as it arrives. Each document's
   * last content fingerprint lives in keyed state; an arriving record is
-  * `added` (no state), `changed` (fingerprint differs), `unchanged`
-  * (same), or `removed` (a tombstone — `fp = None` — from the crawler's
-  * gone-from-the-web signal, which also clears the state). The verdict
-  * stream feeds the same per-source churn census q166 reports, while the
-  * state table IS the living snapshot.
+  * `added` (no live fingerprint), `changed` (fingerprint differs),
+  * `unchanged` (same), or `removed` (a tombstone — `fp = None` — from
+  * the crawler's gone-from-the-web signal). The verdict stream feeds
+  * the same per-source churn census q166 reports, while the state table
+  * IS the living snapshot.
   *
-  * Scale: state is one (doc_id → 32-char fp) entry per live document —
-  * exactly the size of the snapshot the batch query would scan, keyed
-  * and distributed on the same doc_id the batch join shuffles on. No
-  * text rides the stream: fingerprints are computed upstream, map-side,
-  * by the ingest stage (the q166 projection discipline).
+  * Scale: state is one (doc_id → 32-char fp + 8-byte seq) entry per
+  * OBSERVED document, keyed and distributed on the same doc_id the
+  * batch join shuffles on. No text rides the stream: fingerprints are
+  * computed upstream, map-side, by the ingest stage (the q166
+  * projection discipline). A removed document keeps a tombstone entry
+  * (fp absent, seq retained) — the fence that makes redelivery safe
+  * below; remove-heavy corpora compact it offline with the q156-style
+  * erasure pass.
   *
-  * At-least-once: replaying an `added`/`changed` record finds the state
-  * it wrote and re-classifies as `unchanged` — duplicate deliveries
-  * cannot double-count churn. Replaying a tombstone re-emits `removed`
-  * with no state (idempotent clear). Census consumers therefore
-  * over-count only `unchanged` under replay — the one verdict no
-  * downstream pass acts on.
+  * At-least-once: every observation carries a monotone `seq` (crawl
+  * sequence number), and the state keeps the high-water seq. A
+  * redelivered record — in the same batch or many batches later —
+  * carries a seq at or below the high-water mark and is DROPPED without
+  * a verdict, so duplicate delivery can never double-count any status
+  * and a stale pre-tombstone record cannot resurrect a removed doc.
+  * A NEW tombstone for an already-absent doc classifies `unchanged`
+  * (absent → absent), mirroring the batch diff, which has no verdict
+  * for never-present documents.
   */
 object StreamingChurn {
 
-  /** One re-crawl observation; `fp` None = tombstone. `seq` orders
-    * observations of the same doc within a batch (crawl sequence). */
+  /** One re-crawl observation; `fp` None = tombstone. `seq` is the
+    * crawl sequence number — strictly increasing per doc across
+    * genuine observations, repeated only on redelivery. */
   final case class CrawlRecord(doc_id: Long, source: String,
       fp: Option[String], seq: Long)
 
@@ -37,7 +44,7 @@ object StreamingChurn {
       status: String, seq: Long)
 
   // public: GroupState encoders need constructor access
-  final case class DocState(fp: String)
+  final case class DocState(fp: Option[String], seq: Long)
 
   def verdicts(records: Dataset[CrawlRecord]): Dataset[ChurnVerdict] = {
     val spark = records.sparkSession
@@ -47,21 +54,21 @@ object StreamingChurn {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (id: Long, rows: Iterator[CrawlRecord], state: GroupState[DocState]) =>
           var cur = state.getOption
-          val out = rows.toSeq.sortBy(_.seq).map { r =>
-            val status = (cur, r.fp) match {
-              case (None, Some(_))                      => "added"
-              case (Some(_), None)                      => "removed"
-              case (None, None)                         => "removed" // tombstone replay: idempotent
-              case (Some(s), Some(f)) if s.fp == f      => "unchanged"
-              case _                                    => "changed"
+          val out = rows.toSeq.sortBy(_.seq).flatMap { r =>
+            if (cur.exists(r.seq <= _.seq)) None // redelivery: fenced, no verdict
+            else {
+              val status = (cur.flatMap(_.fp), r.fp) match {
+                case (None, Some(_))                 => "added"
+                case (Some(_), None)                 => "removed"
+                case (None, None)                    => "unchanged" // absent → absent
+                case (Some(s), Some(f)) if s == f    => "unchanged"
+                case _                               => "changed"
+              }
+              cur = Some(DocState(r.fp, r.seq))
+              Some(ChurnVerdict(id, r.source, status, r.seq))
             }
-            cur = r.fp.map(DocState)
-            ChurnVerdict(id, r.source, status, r.seq)
           }
-          cur match {
-            case Some(s) => state.update(s)
-            case None    => if (state.exists) state.remove()
-          }
+          cur.foreach(state.update)
           out.iterator
       }
   }

@@ -14,8 +14,33 @@ class Curation10Spec extends SparkSpecBase {
     java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
 
+  // Locale.ROOT case maps: the replay must match Spark's locale-
+  // independent lower()/upper(), not the default-locale JVM ones
+  // (tr_TR maps i->İ and breaks the fingerprints)
+  private val Root = java.util.Locale.ROOT
   private def norm(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+    s.toLowerCase(Root).replaceAll("[^a-z0-9 ]", " ").replaceAll(" +", " ").trim
+
+  /** Brute-force Lee-et-al purge — the one replay both the sf test and
+    * the randomized-corpus test compare against. */
+  private def bruteForcePurge(corpus: Seq[(Long, String)]): Seq[(Long, Long, Long, String)] = {
+    val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
+    val spans = toks.toSeq.flatMap { case (id, w) =>
+      if (w.length >= 8) (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
+      else Seq.empty
+    }
+    val bySpan = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
+      .map { case (sp, occ) => sp -> occ.map(_._1).min }
+    val spansByDoc = spans.groupBy(_._1)
+    toks.toSeq.map { case (id, w) =>
+      val cut = Array.fill(w.length)(false)
+      spansByDoc.getOrElse(id, Seq.empty).foreach { case (_, i, sp) =>
+        bySpan.get(sp).foreach { k => if (k != id) (i until i + 8).foreach(cut(_) = true) }
+      }
+      val kept = w.zipWithIndex.collect { case (t, i) if !cut(i) => t }
+      (id, w.length.toLong, cut.count(identity).toLong, md5hex(kept.mkString(" ")))
+    }.sortBy(_._1)
+  }
 
   private def docs() =
     graft.Tables(spark, sfDir).documents
@@ -25,7 +50,7 @@ class Curation10Spec extends SparkSpecBase {
   test("q165 census matches a driver-side normalize+hash replay") {
     val base = docs()
     val dirty = base ++ base.filter(_._1 % 3 == 0)
-      .map { case (id, src, t) => (id + 10000000L, src, "  " + t.toUpperCase + " !! ") }
+      .map { case (id, src, t) => (id + 10000000L, src, "  " + t.toUpperCase(Root) + " !! ") }
     val expected = dirty
       .map { case (_, src, t) => (src, md5hex(t), md5hex(norm(t))) }
       .groupBy(r => (r._1, r._3)).toSeq
@@ -105,25 +130,7 @@ class Curation10Spec extends SparkSpecBase {
   }
 
   test("q167 purge matches a driver-side Lee-et-al replay") {
-    val base = docs()
-    val toks = base.map { case (id, _, t) => id -> t.split(" ", -1) }.toMap
-    val spans = toks.toSeq.flatMap { case (id, w) =>
-      if (w.length >= 8) (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
-      else Seq.empty
-    }
-    val bySpan = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
-      .map { case (sp, occ) => sp -> occ.map(_._1).min }
-    val spansByDoc = spans.groupBy(_._1)
-    val expected = toks.toSeq.map { case (id, w) =>
-      val cut = Array.fill(w.length)(false)
-      spansByDoc.getOrElse(id, Seq.empty).foreach { case (_, i, sp) =>
-        bySpan.get(sp).foreach { keeper =>
-          if (keeper != id) (i until i + 8).foreach(cut(_) = true)
-        }
-      }
-      val kept = w.zipWithIndex.collect { case (t, i) if !cut(i) => t }
-      (id, w.length.toLong, cut.count(identity).toLong, md5hex(kept.mkString(" ")))
-    }.sortBy(_._1)
+    val expected = bruteForcePurge(docs().map { case (id, _, t) => (id, t) })
     val got = Curation10.q167.run(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
     assert(got == expected)
@@ -157,22 +164,7 @@ class Curation10Spec extends SparkSpecBase {
         val len = rng.nextInt(16) // 0..15 tokens
         (id, Array.fill(len)(vocab(rng.nextInt(vocab.length))).mkString(" "))
       }
-      // brute force (same rules as the sf replay, on the generated corpus)
-      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1) }.toMap
-      val spans = toks.toSeq.flatMap { case (id, w) =>
-        if (w.length >= 8) (0 to w.length - 8).map(i => (id, i, w.slice(i, i + 8).mkString(" ")))
-        else Seq.empty }
-      val bySpan = spans.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= 2)
-        .map { case (sp, occ) => sp -> occ.map(_._1).min }
-      val spansByDoc = spans.groupBy(_._1)
-      val expected = toks.toSeq.map { case (id, w) =>
-        val cut = Array.fill(w.length)(false)
-        spansByDoc.getOrElse(id, Seq.empty).foreach { case (_, i, sp) =>
-          bySpan.get(sp).foreach { k => if (k != id) (i until i + 8).foreach(cut(_) = true) }
-        }
-        val kept = w.zipWithIndex.collect { case (t, i) if !cut(i) => t }
-        (id, w.length.toLong, cut.count(identity).toLong, md5hex(kept.mkString(" ")))
-      }.sortBy(_._1)
+      val expected = bruteForcePurge(corpus)
       import spark.implicits._
       val got = Curation10.spanPurgeOn(corpus.toDF("doc_id", "text")).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq

@@ -52,7 +52,7 @@ class StreamingChurnSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
-  test("at-least-once replay cannot double-count added/changed") {
+  test("at-least-once replay and stale redelivery are fenced by the seq high-water mark") {
     val recs = Seq(
       CrawlRecord(1L, "s", Some("aa"), 1L),
       CrawlRecord(2L, "s", Some("bb"), 1L))
@@ -62,21 +62,29 @@ class StreamingChurnSpec extends SparkSpecBase {
       .outputMode("append").start()
     try {
       input.addData(recs); q.processAllAvailable()
-      // redelivery of the same records, then a change and a double tombstone
+      // redelivery of the same records, then a genuine change
       input.addData(recs :+ CrawlRecord(1L, "s", Some("cc"), 2L)); q.processAllAvailable()
+      // a STALE cross-batch redelivery of doc 1's crawl-1 record: must
+      // neither emit a verdict nor resurrect fp=aa (the corruption the
+      // fence exists for), proven by the next genuine record being
+      // 'unchanged' vs cc, not 'changed' vs aa
+      input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 1L))); q.processAllAvailable()
+      input.addData(Seq(CrawlRecord(1L, "s", Some("cc"), 3L))); q.processAllAvailable()
+      // tombstone, then a redelivered pre-tombstone record (fenced),
+      // then a NEW tombstone observation (absent -> absent)
       input.addData(Seq(CrawlRecord(2L, "s", None, 3L),
+        CrawlRecord(2L, "s", Some("bb"), 1L),
         CrawlRecord(2L, "s", None, 4L))); q.processAllAvailable()
       val vs = spark.table("churn_replay").as[ChurnVerdict].collect()
       assert(vs.count(v => v.status == "added") == 2, "replay minted extra added verdicts")
-      assert(vs.count(v => v.status == "changed") == 1)
-      // doc 1's seq=1 record appears twice: the original classified
-      // "added", its batch-2 redelivery downgraded to "unchanged"
-      assert(vs.filter(v => v.seq == 1L && v.doc_id == 1L).map(_.status).sorted.toSeq ==
-        Seq("added", "unchanged"))
-      // replayed originals re-classify as unchanged (the no-double-count rule)
+      assert(vs.count(v => v.status == "changed") == 1, "stale redelivery double-counted a change")
+      // doc 1's seq=1 record emits exactly once across its three deliveries
+      assert(vs.count(v => v.seq == 1L && v.doc_id == 1L) == 1)
+      // genuine cc-after-cc is unchanged; doc 2's absent->absent tombstone too
       assert(vs.count(v => v.status == "unchanged") == 2)
-      // both tombstones say removed; the second is the idempotent no-state case
-      assert(vs.count(v => v.status == "removed") == 2)
+      assert(vs.count(v => v.status == "removed") == 1)
+      // the fenced pre-tombstone record did not resurrect doc 2
+      assert(!vs.exists(v => v.doc_id == 2L && v.seq == 1L && v.status != "added"))
     } finally q.stop()
   }
 

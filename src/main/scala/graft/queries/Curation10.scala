@@ -71,17 +71,19 @@ object Curation10 {
       |  CAST(SUM(CASE WHEN n_raw_variants >= 2 THEN 1 ELSE 0 END) AS BIGINT)
       |    AS n_merged_groups
       |FROM g2 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-    // ONE corpus scan: each doc explodes to its 1-2 dirty renderings
-    // in-map (a union of base + filtered-mangled relations would scan
-    // the table twice — the read that doubles at 100 TB). Fingerprints
-    // only need (source, text); the synthetic dirty doc_id exists only
-    // in the oracle's UNION ALL formulation, where it changes nothing
-    // the census can see.
-    val g = Tables(s, dir).documents
-      .select(col("source"), explode(
-        when(pmod(col("doc_id"), lit(3)) === 0,
-          array(col("text"), concat(lit("  "), upper(col("text")), lit(" !! "))))
-          .otherwise(array(col("text")))).as("text"))
+    // Two columnar scans (base ∪ filtered-mangled), NOT a single-scan
+    // array-explode: the explode variant materializes every document's
+    // text into an in-row array (copied on build and again on explode)
+    // and measured 2.4x SLOWER at sf0.1 (1.7 s vs 0.7 s, warm family
+    // context) — a pruned parquet re-scan is cheaper than copying the
+    // corpus through ArrayData. The second scan reads 3 columns with
+    // the %3 filter applied at the batch level; at 100 TB both scans
+    // parallelize freely while the array copy would ride every row.
+    val docs0 = Tables(s, dir).documents.select(col("doc_id"), col("source"), col("text"))
+    val mangled = docs0.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("source"),
+        concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
+    val g = docs0.union(mangled)
       .select(col("source"), md5(col("text")).as("raw_fp"),
         md5(normExpr(col("text"))).as("norm_fp"))
       .groupBy("source", "raw_fp", "norm_fp").agg(count(lit(1)).as("n"))

@@ -68,7 +68,11 @@ object TextKernels {
     * code-point match yields one, but both collapse to the same single
     * space, so a UTF-16 char walk is exact. One kernel call replaces
     * three compiled-regex passes + two intermediate string allocations
-    * per row — the difference on a map-side pass over 100 TB of text.
+    * per row: measured ~15x faster than the chain on a pure
+    * normalization pass (0.14-0.23 s vs 2.3-2.4 s over 50k warm cached
+    * docs, local[32]) — the margin that matters on a map-side pass over
+    * 100 TB of text, though inside q165 itself md5 + the fingerprint
+    * shuffle dominate and the two forms time equally.
     * Lowercasing goes through `UTF8String.toLowerCase` (what Spark's
     * own `lower()` calls), never the default-locale JVM one. */
   def normalizeFold(text: UTF8String): UTF8String = {

@@ -46,7 +46,14 @@ object StreamingChurn {
   // public: GroupState encoders need constructor access
   final case class DocState(fp: Option[String], seq: Long)
 
-  def verdicts(records: Dataset[CrawlRecord]): Dataset[ChurnVerdict] = {
+  /** @param fenced optional counter for records dropped by the seq
+    *   fence — zero under clean delivery, so a nonzero rate IS the
+    *   upstream-replay-storm signal; wire it to the ops dashboard the
+    *   way StreamingBurst wires its alerts. Accumulators are
+    *   at-least-once under task retry (may over-count on retry) —
+    *   fine for a rate gauge, never used for correctness. */
+  def verdicts(records: Dataset[CrawlRecord],
+      fenced: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[ChurnVerdict] = {
     val spark = records.sparkSession
     import spark.implicits._
     records
@@ -55,7 +62,10 @@ object StreamingChurn {
         (id: Long, rows: Iterator[CrawlRecord], state: GroupState[DocState]) =>
           var cur = state.getOption
           val out = rows.toSeq.sortBy(_.seq).flatMap { r =>
-            if (cur.exists(r.seq <= _.seq)) None // redelivery: fenced, no verdict
+            if (cur.exists(r.seq <= _.seq)) {
+              fenced.foreach(_.add(1L)) // redelivery: fenced, no verdict
+              None
+            }
             else {
               val status = (cur.flatMap(_.fp), r.fp) match {
                 case (None, Some(_))                 => "added"

@@ -57,7 +57,8 @@ class StreamingChurnSpec extends SparkSpecBase {
       CrawlRecord(1L, "s", Some("aa"), 1L),
       CrawlRecord(2L, "s", Some("bb"), 1L))
     val input = MemoryStream[CrawlRecord](spark)
-    val q = StreamingChurn.verdicts(input.toDS())
+    val fenced = spark.sparkContext.longAccumulator("churn_fenced")
+    val q = StreamingChurn.verdicts(input.toDS(), Some(fenced))
       .writeStream.format("memory").queryName("churn_replay")
       .outputMode("append").start()
     try {
@@ -85,6 +86,10 @@ class StreamingChurnSpec extends SparkSpecBase {
       assert(vs.count(v => v.status == "removed") == 1)
       // the fenced pre-tombstone record did not resurrect doc 2
       assert(!vs.exists(v => v.doc_id == 2L && v.seq == 1L && v.status != "added"))
+      // the four dropped redeliveries are OBSERVABLE: recs replayed in
+      // batch 2 (x2), doc 1's stale batch-3 record, doc 2's
+      // pre-tombstone replay — the replay-storm gauge
+      assert(fenced.value == 4L, s"fence counter saw ${fenced.value}, expected 4")
     } finally q.stop()
   }
 

@@ -20,6 +20,59 @@ object Bench {
       .asScala.map(_.getCollectionTime).sum
   }
 
+  /** Prior-run per-query seconds, for the swing gate: prefer the full
+    * map this main wrote last run (`bench_full.json` in cwd — survives
+    * across rounds in the repo workspace), else best-effort re-parse of
+    * the newest driver artifact's truncated stdout tail (qNN-prefix
+    * keys). Only a prior taken at the SAME scale factor is comparable,
+    * so both paths gate on the sf recorded in the artifact. No JSON dep
+    * in main: regex extraction over the flat shapes this file emits. */
+  /** Extract per-query seconds from a prior `bench_full.json` body —
+    * full-name keys — provided its recorded sf matches. */
+  private[graft] def parsePriorFull(full: String, sfDir: String): Map[String, Double] = {
+    val sfTag = sfDir.split('/').last // "sf0.1"
+    val priorSf = raw""""sf":"([^"]+)"""".r.findFirstMatchIn(full).map(_.group(1))
+    if (priorSf.exists(p => p == sfDir || p.split('/').last == sfTag))
+      raw""""(q[0-9]+[a-z]?_[a-z0-9_]+)":\{"t":([0-9.]+)""".r
+        .findAllMatchIn(full).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    else Map.empty
+  }
+
+  /** Extract per-query seconds from a driver BENCH_r artifact (qNN
+    * prefix keys; the captured stdout tail may be truncated mid-line —
+    * whatever pairs survive are still usable priors). The driver
+    * records sf as a bare number, so the gate compares digits. */
+  private[graft] def parsePriorTail(s: String, sfDir: String): Map[String, Double] = {
+    val digits = java.util.regex.Pattern.quote(sfDir.split('/').last.stripPrefix("sf"))
+    if (raw""""sf"\s*:\s*$digits""".r.findFirstIn(s).isEmpty) Map.empty
+    else raw""""(q[0-9]+[a-z]?)":([0-9.]+)""".r
+      .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+  }
+
+  /** "noise" when the best observed run is back inside 2x prior (a
+    * one-off environmental window); "regression" when even the rerun is
+    * slow. t2 < 0 means the rerun itself errored — judge on t1 alone. */
+  private[graft] def swingVerdict(t1: Double, t2: Double, prior: Double): String = {
+    val best = if (t2 >= 0) math.min(t1, t2) else t1
+    if (best <= 2 * prior) "noise" else "regression"
+  }
+
+  private[graft] def loadPrior(sfDir: String): Map[String, Double] = {
+    import scala.jdk.CollectionConverters._
+    def read(p: java.nio.file.Path): String =
+      try new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      catch { case _: Throwable => "" }
+    val fromFull = parsePriorFull(read(java.nio.file.Paths.get("bench_full.json")), sfDir)
+    if (fromFull.nonEmpty) return fromFull
+    // fallback: newest BENCH_r*.json tail (driver capture, may be cut)
+    val benches =
+      try java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
+        .sortBy(_.getFileName.toString)
+      catch { case _: Throwable => Seq.empty }
+    benches.lastOption.map(p => parsePriorTail(read(p), sfDir)).getOrElse(Map.empty)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -115,10 +168,39 @@ object Bench {
     val times = results.map(_._2._1).sorted
     val median = if (times.isEmpty) 0.0 else times(times.length / 2)
     val outlierCut = math.max(3 * median, 2.5)
-    val rerun: Map[String, Double] = results.collect {
+    val medianRerun: Map[String, Double] = results.collect {
       case (name, (dt, _, _)) if median > 0 && dt > outlierCut =>
         name -> selected.collectFirst { case (`name`, fn) => runOnce(fn)._1 }.getOrElse(-1.0)
     }.toMap
+
+    // Prior-round memory (the r10 q139 lesson: a 10 s noise-window
+    // number shipped as the headline because the auto-rerun had nothing
+    // to compare against). Any query >2x its prior-run time — even if
+    // it ducked the 3x-median cut — gets a rerun, and the swing ships
+    // with both times, the prior, and a verdict: "noise" when the best
+    // observed run is back inside 2x prior (a one-off environmental
+    // window), "regression" when even the rerun is slow (a real plan
+    // change that must not hide as assumed noise). Sub-second queries
+    // are below the scheduling-jitter floor and never flagged.
+    val prior = loadPrior(sfDir)
+    def priorOf(name: String): Option[Double] =
+      prior.get(name).orElse(prior.get(name.takeWhile(_ != '_'))).filter(_ > 0)
+    val swungNames = results.collect {
+      case (name, (dt, _, _))
+        if dt > 1.0 && priorOf(name).exists(p => dt > 2 * p) => name
+    }
+    val swingRerun: Map[String, Double] = swungNames
+      .filterNot(medianRerun.contains)
+      .map(name => name ->
+        selected.collectFirst { case (`name`, fn) => runOnce(fn)._1 }.getOrElse(-1.0))
+      .toMap
+    val rerun = medianRerun ++ swingRerun
+    val swings: Seq[(String, (Double, Double, Double, String))] = swungNames.map { name =>
+      val t1 = results.collectFirst { case (`name`, (dt, _, _)) => dt }.getOrElse(-1.0)
+      val t2 = rerun.getOrElse(name, -1.0)
+      val p = priorOf(name).getOrElse(-1.0)
+      name -> (t1, t2, p, swingVerdict(t1, t2, p))
+    }
 
     def f3(v: Double): String = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2._1).sum
@@ -135,6 +217,10 @@ object Bench {
       val t1 = results.collectFirst { case (`k`, (dt, _, _)) => dt }.getOrElse(-1.0)
       "\"" + k.takeWhile(_ != '_') + "\":{\"t1\":" + f3(t1) + ",\"t2\":" + f3(t2) + "}"
     }.mkString("{", ",", "}")
+    val swingsJson = swings.sortBy(_._1).map { case (k, (t1, t2, p, verdict)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":{\"t1\":" + f3(t1) + ",\"t2\":" + f3(t2) +
+        ",\"prior\":" + f3(p) + ",\"verdict\":\"" + verdict + "\"}"
+    }.mkString("{", ",", "}")
 
     // Full-name per-query map goes to a file (capture-size-proof);
     // stdout gets ONE compact line — query keys truncated to their qNN
@@ -144,13 +230,13 @@ object Bench {
       "\"" + k + "\":{\"t\":" + f3(dt) + ",\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
     }.mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$full}"""
+      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$full}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       (fullLine + "\n").getBytes("UTF-8"))
     catch { case _: Throwable => () }
     val qs = results.map { case (k, (dt, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$qs}""")
     System.out.flush()
     Thread.sleep(200) // let stdout drain before shutdown log noise
     spark.stop()

@@ -64,7 +64,7 @@ object ThroughputMain {
     }
 
     // -- passthrough: the transport ceiling -----------------------------
-    {
+    val passPerSec = {
       val in = MemoryStream[Message[String]](spark, 8)
       val run = Pipeline(spark)
         .addRamp("in", in.toDS())
@@ -75,10 +75,11 @@ object ThroughputMain {
       val n = spark.table("thr_pass").count()
       require(n == total, s"passthrough lost messages: $n of $total")
       println(f"[throughput] passthrough  $total%8d msgs  $sec%6.1f s  ${total / sec}%,10.0f msgs/s")
+      total / sec
     }
 
     // -- wordcount: split + exchange + keyed state ----------------------
-    {
+    val (wcPerSec, wordsPerSec) = {
       val split = Intersection[String, String]("Split") { m =>
         m.content.split(" ").iterator.map(w => m.spinOff(w, Some(w)))
       }
@@ -102,7 +103,31 @@ object ThroughputMain {
       run.stop()
       val words = total.toLong * wordsPerMsg
       println(f"[throughput] wordcount    $total%8d msgs  $sec%6.1f s  ${total / sec}%,10.0f msgs/s  (~${words / sec}%,.0f words/s through keyed state)")
+      (total / sec, words / sec)
     }
+
+    // Round artifact (VERDICT r10 item 7): one JSON line on stdout plus
+    // a THROUGHPUT_r{N}.json file next to the driver's BENCH_r{N}.json,
+    // so streaming throughput regressions are as visible round-over-
+    // round as batch ones. N is inferred as newest BENCH round + 1 (this
+    // main runs during round N, before the driver writes BENCH_r{N}).
+    val round = {
+      import scala.jdk.CollectionConverters._
+      val rs = try java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.matches("BENCH_r\\d+\\.json") =>
+          s.stripPrefix("BENCH_r").stripSuffix(".json").toInt }
+        .toSeq
+      catch { case _: Throwable => Seq.empty[Int] }
+      if (rs.isEmpty) 0 else rs.max + 1
+    }
+    val json =
+      f"""{"metric":"streaming_throughput","unit":"msgs_per_sec","messages":$total,"cpus":"$cpus","passthrough":$passPerSec%.0f,"wordcount":$wcPerSec%.0f,"words_per_sec":$wordsPerSec%.0f}"""
+    println(json)
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(f"THROUGHPUT_r$round%02d.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () }
 
     spark.stop()
   }

@@ -233,25 +233,40 @@ object Curation8 {
       // make the HARNESS's action replan uncached and recompute the
       // whole loop (a fresh QueryExecution shares no shuffle files), so
       // instead the caches are released by a one-shot
-      // QueryExecutionListener AFTER the next successful execution on
-      // this session — normally the harness materializing this head;
-      // for plan-only callers (PlanShapeSpec), the next executed query
-      // fires it, bounding accumulation to a one-query window.
+      // QueryExecutionListener that fires when an execution whose plan
+      // CONTAINS this head (sameResult subtree — covers collect, count,
+      // and write commands wrapping it) completes — an unrelated query
+      // executing first no longer drops the caches out from under the
+      // loop. Plan-only callers (PlanShapeSpec) never execute the head,
+      // so a fallback releases after a bounded number of unrelated
+      // executions instead of leaking the persists + listener forever.
+      // Residual (documented, perf-only): executing the head TWICE
+      // recomputes uncached the second time — one-shot release cannot
+      // know how many materializations are coming.
       val head = r.select(col("node"), col("r").as("score"))
         .orderBy(col("score").desc, col("node")).limit(20)
       val caches = Seq(deg, withDeg, und)
+      val target = head.queryExecution.analyzed
       val release = new org.apache.spark.sql.util.QueryExecutionListener {
         private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        private val unrelated = new java.util.concurrent.atomic.AtomicInteger(0)
+        private val UnrelatedGrace = 3
         private def fire(): Unit = if (done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist())
           s.listenerManager.unregister(this)
         }
+        private def handle(qe: org.apache.spark.sql.execution.QueryExecution): Unit = {
+          val isHead =
+            try qe.analyzed.exists(p => (p eq target) || p.sameResult(target))
+            catch { case scala.util.control.NonFatal(_) => false }
+          if (isHead || unrelated.incrementAndGet() >= UnrelatedGrace) fire()
+        }
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            durationNs: Long): Unit = fire()
+            durationNs: Long): Unit = handle(qe)
         override def onFailure(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,
-            exception: Exception): Unit = fire()
+            exception: Exception): Unit = handle(qe)
       }
       s.listenerManager.register(release)
       head

@@ -92,8 +92,11 @@ final class KinesisShardConsumer(
       lastMillisBehindVal = res.millisBehindLatest
       if (res.records.isEmpty) 0
       else {
-        val startOffset = QueueRamp.size(queue)
-        QueueRamp.enqueue(queue, res.records.map(r =>
+        // startOffset comes from enqueue itself (atomic under the queue
+        // lock) — a separate size() read would race a concurrent
+        // producer (old lease owner in the takeover window) and skew
+        // the offset→sequence inflight mapping
+        val startOffset = QueueRamp.enqueue(queue, res.records.map(r =>
           QueueRamp.Entry(s"$shardId-${r.sequenceNumber}", r.data,
             r.partitionKey, r.arrivalMicros)))
         res.records.zipWithIndex.foreach { case (r, i) =>
@@ -223,8 +226,8 @@ final class SqsPoller(
       api.ensureQueue(sqsQueue)
       val msgs = api.receive(sqsQueue, max, visibilityTimeoutMs)
       if (msgs.nonEmpty) {
-        val startOffset = QueueRamp.size(queue)
-        QueueRamp.enqueue(queue, msgs.map(m =>
+        // atomic offset from enqueue — see KinesisShardConsumer.poll
+        val startOffset = QueueRamp.enqueue(queue, msgs.map(m =>
           QueueRamp.Entry(m.messageId, m.body, m.messageId, 0L)))
         msgs.zipWithIndex.foreach { case (m, i) =>
           handles.put(startOffset + i, m.receiptHandle)

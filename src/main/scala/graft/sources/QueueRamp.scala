@@ -48,8 +48,19 @@ object QueueRamp {
     created
   }
 
-  def enqueue(name: String, msgs: Seq[Entry]): Unit = q(name).synchronized {
+  /** Append `msgs` and return the offset of the FIRST appended entry,
+    * atomically under the queue lock. Callers mapping offsets to
+    * external bookkeeping (shard-sequence inflight lists, SQS receipt
+    * handles) MUST use this return value: a separate `size()` read
+    * followed by `enqueue` races with a concurrent producer on the same
+    * queue — e.g. the old lease owner during a takeover window, whose
+    * `owned` check passed just before the lease moved — and skews the
+    * offset→external-id mapping, which would let checkpoints publish
+    * sequences whose offsets were never committed. */
+  def enqueue(name: String, msgs: Seq[Entry]): Long = q(name).synchronized {
+    val start = q(name).entries.size.toLong
     q(name).entries ++= msgs
+    start
   }
 
   def size(name: String): Long = q(name).synchronized(q(name).entries.size.toLong)

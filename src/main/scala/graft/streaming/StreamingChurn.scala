@@ -19,8 +19,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * computed upstream, map-side, by the ingest stage (the q166
   * projection discipline). A removed document keeps a tombstone entry
   * (fp absent, seq retained) — the fence that makes redelivery safe
-  * below; remove-heavy corpora compact it offline with the q156-style
-  * erasure pass.
+  * below; remove-heavy corpora bound it inline with the
+  * `tombstoneRetentionMs` compaction (drop tombstones idle past the
+  * source's replay horizon) or the q156-style offline erasure pass.
   *
   * At-least-once: every observation carries a monotone `seq` (crawl
   * sequence number), and the state keeps the high-water seq. A
@@ -51,35 +52,66 @@ object StreamingChurn {
     *   upstream-replay-storm signal; wire it to the ops dashboard the
     *   way StreamingBurst wires its alerts. Accumulators are
     *   at-least-once under task retry (may over-count on retry) —
-    *   fine for a rate gauge, never used for correctness. */
+    *   fine for a rate gauge, never used for correctness.
+    * @param tombstoneRetentionMs opt-in TOMBSTONE compaction: a removed
+    *   doc's entry drops from state once it has been idle this long
+    *   (processing-time timeout). The fence only has to cover the
+    *   source's replay horizon (e.g. Kinesis' bounded stream retention
+    *   — replays older than the horizon cannot arrive), so set this ≥
+    *   that horizon and the state bound becomes |live docs| +
+    *   |tombstones inside the horizon| instead of growing with every
+    *   doc ever removed. Documented degrade past the horizon: a
+    *   stale pre-tombstone redelivery arriving AFTER compaction is no
+    *   longer fenced and resurrects the doc as `added` — exactly the
+    *   batch q166 semantics against a compacted snapshot. LIVE entries
+    *   never expire (they are the living snapshot); they just re-arm.
+    *   Operational note: with retention on, the engine keeps scheduling
+    *   timeout-sweep micro-batches (`shouldRunAnotherBatch` is always
+    *   true under ProcessingTimeTimeout), so pace the query with a real
+    *   `Trigger.ProcessingTime` and drive tests by polling the sink —
+    *   `processAllAvailable()` waits for a no-batch signal the sweep
+    *   loop never gives and would block forever. */
   def verdicts(records: Dataset[CrawlRecord],
-      fenced: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[ChurnVerdict] = {
+      fenced: Option[org.apache.spark.util.LongAccumulator] = None,
+      tombstoneRetentionMs: Option[Long] = None): Dataset[ChurnVerdict] = {
     val spark = records.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (tombstoneRetentionMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     records
       .groupByKey(_.doc_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (id: Long, rows: Iterator[CrawlRecord], state: GroupState[DocState]) =>
-          var cur = state.getOption
-          val out = rows.toSeq.sortBy(_.seq).flatMap { r =>
-            if (cur.exists(r.seq <= _.seq)) {
-              fenced.foreach(_.add(1L)) // redelivery: fenced, no verdict
-              None
-            }
-            else {
-              val status = (cur.flatMap(_.fp), r.fp) match {
-                case (None, Some(_))                 => "added"
-                case (Some(_), None)                 => "removed"
-                case (None, None)                    => "unchanged" // absent → absent
-                case (Some(s), Some(f)) if s == f    => "unchanged"
-                case _                               => "changed"
+          if (tombstoneRetentionMs.isDefined && state.hasTimedOut) {
+            // idle past the replay horizon: tombstones compact away;
+            // live snapshots re-arm and stay
+            if (state.getOption.exists(_.fp.isEmpty)) state.remove()
+            else tombstoneRetentionMs.foreach(state.setTimeoutDuration)
+            Iterator.empty
+          } else {
+            var cur = state.getOption
+            val out = rows.toSeq.sortBy(_.seq).flatMap { r =>
+              if (cur.exists(r.seq <= _.seq)) {
+                fenced.foreach(_.add(1L)) // redelivery: fenced, no verdict
+                None
               }
-              cur = Some(DocState(r.fp, r.seq))
-              Some(ChurnVerdict(id, r.source, status, r.seq))
+              else {
+                val status = (cur.flatMap(_.fp), r.fp) match {
+                  case (None, Some(_))                 => "added"
+                  case (Some(_), None)                 => "removed"
+                  case (None, None)                    => "unchanged" // absent → absent
+                  case (Some(s), Some(f)) if s == f    => "unchanged"
+                  case _                               => "changed"
+                }
+                cur = Some(DocState(r.fp, r.seq))
+                Some(ChurnVerdict(id, r.source, status, r.seq))
+              }
             }
+            cur.foreach(state.update)
+            if (state.exists) tombstoneRetentionMs.foreach(state.setTimeoutDuration)
+            out.iterator
           }
-          cur.foreach(state.update)
-          out.iterator
       }
   }
 }

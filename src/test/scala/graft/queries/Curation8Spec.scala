@@ -98,6 +98,62 @@ class Curation8Spec extends SparkSpecBase {
     } finally sys.props.remove("graft.pr.driverFallbackEdges")
   }
 
+  private def eventually(timeoutMs: Long = 20000)(cond: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var ok = cond
+    while (!ok && System.currentTimeMillis() < deadline) { Thread.sleep(200); ok = cond }
+    ok
+  }
+
+  // q146's OWN loop persists (und/deg/withDeg) must release exactly when
+  // the returned head executes — not when an unrelated query does. The
+  // shared allPairsJaccard persists (d/prefix) stay cached by design
+  // (cross-query reuse; the harness sweep owns them), so the probe is
+  // the materialized-persist count relative to the post-construction
+  // snapshot, never an absolute isEmpty.
+  private def nCachedRdds: Int = spark.sparkContext.getPersistentRDDs.size
+
+  test("q146 loop persists survive an unrelated execution and release after the head runs") {
+    sys.props("graft.pr.driverFallbackEdges") = "0" // force the distributed path
+    try {
+      spark.catalog.clearCache()
+      assert(nCachedRdds == 0, "stale caches before test")
+      val head = Curation8.q146.run(spark, sfDir)
+      // construction materialized und (edge count) and deg (node count)
+      // plus the shared pair persists — all registered
+      val n0 = nCachedRdds
+      assert(n0 >= 4, s"expected shared + loop persists materialized, saw $n0")
+      // ONE unrelated execution (inside the fallback grace) must not
+      // drop the caches out from under the not-yet-materialized loop
+      spark.range(10).count()
+      Thread.sleep(1000) // listener bus is async — give a wrong fire time to land
+      assert(nCachedRdds == n0,
+        "an unrelated execution released the q146 caches early")
+      head.collect() // materializes withDeg (+1), then the listener fires (-3)
+      assert(eventually()(nCachedRdds == n0 - 2),
+        s"executing the head must release the 3 loop persists (have $nCachedRdds, started $n0)")
+    } finally {
+      sys.props.remove("graft.pr.driverFallbackEdges")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("q146 plan-only caller: persists release after a bounded window of unrelated executions") {
+    sys.props("graft.pr.driverFallbackEdges") = "0"
+    try {
+      spark.catalog.clearCache()
+      Curation8.q146.run(spark, sfDir) // head never executed (PlanShapeSpec's pattern)
+      val n0 = nCachedRdds
+      assert(n0 >= 4)
+      (1 to 4).foreach(_ => spark.range(10).count()) // > UnrelatedGrace
+      assert(eventually()(nCachedRdds == n0 - 2),
+        s"plan-only q146 leaked its persists past the grace window (have $nCachedRdds, started $n0)")
+    } finally {
+      sys.props.remove("graft.pr.driverFallbackEdges")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("q158 incremental clustering census equals a full-graph recompute") {
     // full recompute: CC over ALL pairs, then the same census — the
     // path the incremental operator exists to avoid

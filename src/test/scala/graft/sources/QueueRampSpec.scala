@@ -203,6 +203,42 @@ class QueueRampSpec extends SparkSpecBase {
     QueueRamp.drop(qn)
   }
 
+  test("enqueue returns the start offset atomically under producer races") {
+    // the takeover window: the old lease owner and the new one both
+    // pass their `owned` check and enqueue into the same shard queue —
+    // offsets derived from a separate size() read would interleave and
+    // skew the offset→sequence mapping; the atomic return cannot
+    val qn = "ramp-atomic-offset"
+    QueueRamp.drop(qn)
+    QueueRamp.ensureQueue(qn)
+    val nThreads = 8; val nBatches = 50
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, Seq[String])]())
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    (0 until nThreads).foreach { t =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        (0 until nBatches).foreach { b =>
+          val ids = (0 until 3).map(i => s"t$t-b$b-$i")
+          val off = QueueRamp.enqueue(qn, ids.map(id =>
+            QueueRamp.Entry(id, id, null, 0L)))
+          got.add((off, ids))
+        }
+      }})
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(QueueRamp.size(qn) == nThreads.toLong * nBatches * 3)
+    got.forEach { t =>
+      val (off, ids) = t
+      assert(QueueRamp.slice(qn, off, off + ids.size).map(_.id) == ids,
+        s"offset $off does not hold the batch that claimed it")
+    }
+    QueueRamp.drop(qn)
+  }
+
   test("polling ramp enqueues per tick with stable ids") {
     val qn = "ramp-poll"
     QueueRamp.drop(qn)

@@ -93,6 +93,43 @@ class StreamingChurnSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("tombstone retention compacts state below the bound; live entries survive") {
+    val input = MemoryStream[CrawlRecord](spark)
+    val q = StreamingChurn.verdicts(input.toDS(), tombstoneRetentionMs = Some(1500L))
+      .writeStream.format("memory").queryName("churn_ttl")
+      .outputMode("append").start()
+    try {
+      input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 1L),
+        CrawlRecord(2L, "s", Some("bb"), 1L)))
+      q.processAllAvailable()
+      input.addData(Seq(CrawlRecord(2L, "s", None, 2L))) // doc 2 removed
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L,
+        "live + tombstone entries expected before the horizon")
+      Thread.sleep(2500) // idle past the retention horizon
+      // a batch for an unrelated doc sweeps timed-out groups
+      input.addData(Seq(CrawlRecord(3L, "s", Some("cc"), 3L)))
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2L,
+        "doc 2's tombstone must compact away (doc 1 live + doc 3 remain)")
+      // live doc 1 survived compaction: same fp still classifies unchanged
+      input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 4L)))
+      q.processAllAvailable()
+      val vs = spark.table("churn_ttl").as[ChurnVerdict].collect()
+      assert(vs.find(v => v.doc_id == 1L && v.seq == 4L).exists(_.status == "unchanged"),
+        "compaction must not drop LIVE snapshot entries")
+      // the documented degrade past the horizon: a stale pre-tombstone
+      // redelivery is no longer fenced and resurrects doc 2 as added —
+      // exactly the batch-q166-vs-compacted-snapshot semantics
+      input.addData(Seq(CrawlRecord(2L, "s", Some("bb"), 1L)))
+      q.processAllAvailable()
+      val res = spark.table("churn_ttl").as[ChurnVerdict].collect()
+        .filter(v => v.doc_id == 2L && v.seq == 1L)
+      assert(res.map(_.status).toSeq == Seq("added"),
+        "past the horizon the stale record re-adds (documented degrade)")
+    } finally q.stop()
+  }
+
   test("churn state survives a checkpoint restart between crawls") {
     val dir = java.nio.file.Files.createTempDirectory("churn_ckpt").toString
     val input = MemoryStream[CrawlRecord](spark)

@@ -95,37 +95,50 @@ class StreamingChurnSpec extends SparkSpecBase {
 
   test("tombstone retention compacts state below the bound; live entries survive") {
     val input = MemoryStream[CrawlRecord](spark)
-    val q = StreamingChurn.verdicts(input.toDS(), tombstoneRetentionMs = Some(1500L))
+    // ProcessingTimeTimeout keeps scheduling timeout-sweep micro-batches,
+    // so processAllAvailable() would block forever (operator scaladoc):
+    // pace with a real trigger and poll the sink/progress under deadline.
+    val q = StreamingChurn.verdicts(input.toDS(), tombstoneRetentionMs = Some(2000L))
       .writeStream.format("memory").queryName("churn_ttl")
-      .outputMode("append").start()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def rows() = spark.table("churn_ttl").as[ChurnVerdict].collect().toSeq
+    def stateRows() =
+      Option(q.lastProgress).map(_.stateOperators.head.numRowsTotal)
     try {
       input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 1L),
         CrawlRecord(2L, "s", Some("bb"), 1L)))
-      q.processAllAvailable()
+      pollUntil("both 'added' verdicts")(rows().size == 2)
       input.addData(Seq(CrawlRecord(2L, "s", None, 2L))) // doc 2 removed
-      q.processAllAvailable()
-      assert(q.lastProgress.stateOperators.head.numRowsTotal == 2L,
-        "live + tombstone entries expected before the horizon")
-      Thread.sleep(2500) // idle past the retention horizon
-      // a batch for an unrelated doc sweeps timed-out groups
+      pollUntil("'removed' verdict")(rows().size == 3)
+      pollUntil("live + tombstone entries before the horizon")(
+        stateRows().contains(2L))
+      Thread.sleep(3000) // idle past the 2 s retention horizon; sweeps run
+      // a batch for an unrelated doc (and the paced sweep batches) clears
+      // timed-out tombstones
       input.addData(Seq(CrawlRecord(3L, "s", Some("cc"), 3L)))
-      q.processAllAvailable()
-      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 2L,
-        "doc 2's tombstone must compact away (doc 1 live + doc 3 remain)")
+      pollUntil("doc 3 verdict")(rows().exists(_.doc_id == 3L))
+      pollUntil("doc 2's tombstone compacts away (doc 1 live + doc 3 remain)")(
+        stateRows().exists(_ <= 2L))
       // live doc 1 survived compaction: same fp still classifies unchanged
       input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 4L)))
-      q.processAllAvailable()
-      val vs = spark.table("churn_ttl").as[ChurnVerdict].collect()
-      assert(vs.find(v => v.doc_id == 1L && v.seq == 4L).exists(_.status == "unchanged"),
+      pollUntil("doc 1 seq-4 verdict")(
+        rows().exists(v => v.doc_id == 1L && v.seq == 4L))
+      assert(rows().find(v => v.doc_id == 1L && v.seq == 4L)
+        .exists(_.status == "unchanged"),
         "compaction must not drop LIVE snapshot entries")
       // the documented degrade past the horizon: a stale pre-tombstone
       // redelivery is no longer fenced and resurrects doc 2 as added —
-      // exactly the batch-q166-vs-compacted-snapshot semantics
+      // exactly the batch-q166-vs-compacted-snapshot semantics. (The
+      // crawl-1 'added' verdict for doc 2 shares (doc_id, seq), so count
+      // the NEW emission rather than asserting a single row.)
+      val before = rows().count(v => v.doc_id == 2L && v.seq == 1L)
       input.addData(Seq(CrawlRecord(2L, "s", Some("bb"), 1L)))
-      q.processAllAvailable()
-      val res = spark.table("churn_ttl").as[ChurnVerdict].collect()
-        .filter(v => v.doc_id == 2L && v.seq == 1L)
-      assert(res.map(_.status).toSeq == Seq("added"),
+      pollUntil("stale pre-tombstone record re-emits past the horizon")(
+        rows().count(v => v.doc_id == 2L && v.seq == 1L) == before + 1)
+      assert(rows().filter(v => v.doc_id == 2L && v.seq == 1L)
+        .forall(_.status == "added"),
         "past the horizon the stale record re-adds (documented degrade)")
     } finally q.stop()
   }

@@ -92,24 +92,31 @@ class StreamingSourceCapSpec extends SparkSpecBase {
   test("idle retention drops an idle source's entry; the returning source draws a fresh epoch budget") {
     val Cap = 1
     val input = MemoryStream[CapRecord](spark, 4)
+    // ProcessingTimeTimeout keeps scheduling timeout-sweep micro-batches,
+    // so processAllAvailable() would block forever (operator scaladoc):
+    // pace with a real trigger and poll the sink/progress under deadline.
     val q = StreamingSourceCap.admissions(input.toDS(), Cap,
-        idleRetentionMs = Some(1500L))
+        idleRetentionMs = Some(2000L))
       .writeStream.format("memory").queryName("cap_ttl")
-      .outputMode("append").start()
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def rows() = spark.table("cap_ttl").as[Verdict].collect().toSeq
+    def stateRows() =
+      Option(q.lastProgress).map(_.stateOperators.head.numRowsTotal)
     try {
       input.addData(Seq(CapRecord(1, "s", 10), CapRecord(2, "s", 11)))
-      q.processAllAvailable() // 1 admitted, 2 rejected; state: 1 source entry
-      assert(q.lastProgress.stateOperators.head.numRowsTotal == 1L)
-      Thread.sleep(2500) // source "s" idle past the horizon
-      // traffic on another source sweeps the timed-out entry
+      pollUntil("both verdicts (1 admitted, 2 rejected)")(rows().size == 2)
+      pollUntil("one source entry in state")(stateRows().contains(1L))
+      Thread.sleep(3000) // source "s" idle past the 2 s horizon; sweeps run
+      // traffic on another source; the timed-out "s" entry is swept
       input.addData(Seq(CapRecord(7, "t", 1)))
-      q.processAllAvailable()
-      assert(q.lastProgress.stateOperators.head.numRowsTotal <= 1L,
-        "idle source entry must compact away")
+      pollUntil("doc 7 verdict")(rows().exists(_.doc_id == 7L))
+      pollUntil("idle source entry compacts away")(stateRows().exists(_ <= 1L))
       // the documented semantic: a returning source opens a NEW epoch
       input.addData(Seq(CapRecord(3, "s", 12)))
-      q.processAllAvailable()
-      val vs = spark.table("cap_ttl").as[Verdict].collect()
+      pollUntil("doc 3 verdict")(rows().exists(_.doc_id == 3L))
+      val vs = rows()
       assert(vs.find(_.doc_id == 3L).exists(_.admitted),
         "post-horizon return must draw a fresh budget (per-epoch cap)")
       assert(vs.count(v => v.source == "s" && v.admitted) == 2, "one admit per epoch")

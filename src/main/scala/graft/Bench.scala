@@ -40,12 +40,16 @@ object Bench {
 
   /** Extract per-query seconds from a driver BENCH_r artifact (qNN
     * prefix keys; the captured stdout tail may be truncated mid-line —
-    * whatever pairs survive are still usable priors). The driver
-    * records sf as a bare number, so the gate compares digits. */
+    * whatever pairs survive are still usable priors). The artifact's
+    * "tail" field is a JSON STRING, so its quotes arrive
+    * backslash-escaped (`\"q103\":1.441`) — the key regex accepts both
+    * the escaped and bare forms. The driver records sf as a bare
+    * number; the gate compares digits, anchored so a 0.1 run never
+    * accepts a 0.15 prior. */
   private[graft] def parsePriorTail(s: String, sfDir: String): Map[String, Double] = {
     val digits = java.util.regex.Pattern.quote(sfDir.split('/').last.stripPrefix("sf"))
-    if (raw""""sf"\s*:\s*$digits""".r.findFirstIn(s).isEmpty) Map.empty
-    else raw""""(q[0-9]+[a-z]?)":([0-9.]+)""".r
+    if (raw""""sf"\s*:\s*$digits(?![0-9])""".r.findFirstIn(s).isEmpty) Map.empty
+    else raw"""\\?"(q[0-9]+[a-z]?)\\?":([0-9.]+)""".r
       .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
 
@@ -64,11 +68,13 @@ object Bench {
       catch { case _: Throwable => "" }
     val fromFull = parsePriorFull(read(java.nio.file.Paths.get("bench_full.json")), sfDir)
     if (fromFull.nonEmpty) return fromFull
-    // fallback: newest BENCH_r*.json tail (driver capture, may be cut)
+    // fallback: newest BENCH_r*.json tail (driver capture, may be cut);
+    // newest by the PARSED round number — lexicographic puts r100
+    // before r11
     val benches =
       try java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
         .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
-        .sortBy(_.getFileName.toString)
+        .sortBy(_.getFileName.toString.replaceAll("[^0-9]", "").toInt)
       catch { case _: Throwable => Seq.empty }
     benches.lastOption.map(p => parsePriorTail(read(p), sfDir)).getOrElse(Map.empty)
   }

@@ -30,8 +30,17 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(Bench.parsePriorFull(moved, "/root/testdata/sf0.1").nonEmpty)
   }
 
-  test("parsePriorTail salvages qNN pairs from a truncated driver capture") {
-    // the r10 artifact shape: leading fields lost, line cut mid-pair
+  test("parsePriorTail reads the real artifact shape: tail is a JSON string with escaped quotes") {
+    // verbatim prefix shape of BENCH_r11.json: the "tail" field is a
+    // JSON string, so every quote inside it is backslash-escaped
+    val art = "{\n  \"n\": 11,\n  \"rc\": 0,\n  \"sf\": 0.1,\n  \"tail\": " +
+      "\"\\\"q108\\\":2.384,\\\"q109\\\":1.358,\\\"q10\\\":1.083,\\\"q139\\\":9.969,\\\"q11"
+    val m = Bench.parsePriorTail(art, "/root/testdata/sf0.1")
+    assert(m("q139") == 9.969 && m("q10") == 1.083 && m("q108") == 2.384)
+    assert(!m.contains("q11"), "the cut-off pair must not produce a bogus entry")
+  }
+
+  test("parsePriorTail also salvages a bare (unescaped) stdout capture") {
     val tail = """"sf": 0.1, "tail": ","q108":2.384,"q109":1.358,"q10":1.083,"q139":9.969,"q11"""
     val m = Bench.parsePriorTail(tail, "/root/testdata/sf0.1")
     assert(m("q139") == 9.969 && m("q10") == 1.083 && m("q108") == 2.384)
@@ -41,6 +50,13 @@ class BenchSwingSpec extends AnyFunSuite {
   test("parsePriorTail gates on the bare-number sf (0.1 prior never compares to 0.01 run)") {
     val tail = """"sf": 0.1, "q139":9.969"""
     assert(Bench.parsePriorTail(tail, "/root/testdata/sf0.01").isEmpty)
+  }
+
+  test("parsePriorTail sf gate anchors the digits: a 0.15 prior never drives a 0.1 run") {
+    val tail = """"sf": 0.15, "tail": "\"q139\":9.969""""
+    assert(Bench.parsePriorTail(tail, "/root/testdata/sf0.1").isEmpty)
+    assert(Bench.parsePriorTail(""""sf": 0.125, "q139":9.969""",
+      "/root/testdata/sf0.1").isEmpty)
   }
 
   test("swing verdicts: rerun inside 2x prior is noise; both runs slow is a regression") {

@@ -86,7 +86,9 @@ object GraftFunctions {
         intLit(es(1), "minTok"), intLit(es(2), "maxTok"),
         doubleLit(es(3), "minTtr"), doubleLit(es(4), "maxRep"))),
     ("graft_norm_text", new ExpressionInfo(classOf[NormalizeTextExpr].getName, "graft_norm_text"),
-      (es: Seq[Expression]) => NormalizeTextExpr(es(0))))
+      (es: Seq[Expression]) => NormalizeTextExpr(es(0))),
+    ("graft_norm_unicode", new ExpressionInfo(classOf[UnicodeFoldExpr].getName, "graft_norm_unicode"),
+      (es: Seq[Expression]) => UnicodeFoldExpr(es(0))))
 
   /** Register into an already-built session. */
   def register(spark: SparkSession): Unit = {

@@ -95,6 +95,59 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Unicode-aware canonical fold — the CCNet/Dolma-class superset of
+    * [[normalizeFold]] for corpora that aren't clean ASCII: NFKC
+    * compatibility normalization (ligature fi→fi, fullwidth Ａ→A,
+    * NBSP/ideographic space→space, math alphanumerics 𝐀→A), full
+    * lowercase via `String.toLowerCase(Locale.ROOT)` (final-sigma and
+    * other SpecialCasing rules, never the default locale), then NFD
+    * decomposition with combining marks DROPPED (é→e, harakat strip) —
+    * a mark glues to its base, it never becomes a separator. The final
+    * walk keeps Unicode letters/digits (CJK survives, unlike the ASCII
+    * fold) and folds every other code-point run to one space, trimmed.
+    *
+    * ASCII inputs take a fast path straight into [[normalizeFold]] —
+    * bit-equal by construction (UnicodeFoldSpec proves it on the corpus
+    * and generated garbage), so a 100 TB mostly-ASCII corpus pays the
+    * Normalizer only on rows that actually carry non-ASCII bytes; the
+    * pre-scan is one char walk. Per-codepoint iteration (not per-char)
+    * keeps astral symbols one separator wide. */
+  def unicodeFold(text: UTF8String): UTF8String = {
+    val raw = if (text == null) UTF8String.EMPTY_UTF8 else text
+    val s0 = raw.toString
+    var ascii = true
+    var k = 0
+    while (ascii && k < s0.length) {
+      if (s0.charAt(k) >= 0x80) ascii = false
+      k += 1
+    }
+    if (ascii) return normalizeFold(raw)
+    import java.text.Normalizer
+    val lower = Normalizer.normalize(s0, Normalizer.Form.NFKC)
+      .toLowerCase(java.util.Locale.ROOT)
+    val nfd = Normalizer.normalize(lower, Normalizer.Form.NFD)
+    val n = nfd.length
+    val sb = new java.lang.StringBuilder(n)
+    var pendingSep = false
+    var started = false
+    var i = 0
+    while (i < n) {
+      val cp = nfd.codePointAt(i)
+      val t = Character.getType(cp)
+      if (t == Character.NON_SPACING_MARK || t == Character.COMBINING_SPACING_MARK ||
+          t == Character.ENCLOSING_MARK) {
+        () // diacritic: dropped, glued to its base — never a separator
+      } else if (Character.isLetterOrDigit(cp)) {
+        if (pendingSep && started) sb.append(' ')
+        sb.appendCodePoint(Character.toLowerCase(cp))
+        started = true
+        pendingSep = false
+      } else pendingSep = true
+      i += Character.charCount(cp)
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
     * already-computed k-gram hash sequence: sliding window of `w`
     * hashes, keep the rightmost minimum of each window, dedupe
@@ -181,9 +234,21 @@ case class NormalizeTextExpr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class UnicodeFoldExpr(child: Expression) extends UnaryKernelExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_norm_unicode"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.unicodeFold(a.asInstanceOf[UTF8String])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.unicodeFold($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def normText(text: Column): Column =
     ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
+  def normUnicode(text: Column): Column =
+    ColumnBridge.column(UnicodeFoldExpr(ColumnBridge.expression(text)))
   def langId(text: Column): Column =
     ColumnBridge.column(LangIdExpr(ColumnBridge.expression(text)))
   def qualityGate(text: Column, minTok: Int, maxTok: Int,

@@ -33,8 +33,18 @@ object Curation10 {
     * kept as the executable spec the kernel is gated against. */
   def normRegexExpr(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
-  private val normSql =
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private def normSqlOn(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+  private val normSql = normSqlOn("text")
+
+  /** Unicode-aware canonical fold (q168's normalization): NFKC + full
+    * case fold + diacritic strip + letter/digit walk — see
+    * [[graft.functions.expr.TextKernels.unicodeFold]]. Reduces exactly
+    * to [[normExpr]] on ASCII input (the fast path IS the ASCII
+    * kernel), which is what lets q168's oracle reason about the fold
+    * through the ASCII regex chain on the canonical source text. */
+  def unicodeNormExpr(c: Column): Column =
+    graft.functions.expr.TextExpressions.normUnicode(c)
 
   // -- q165: normalization-robust dedup census ---------------------------
   // The corpus is deterministically "dirtied" first (every doc_id % 3 = 0
@@ -83,9 +93,18 @@ object Curation10 {
     val mangled = docs0.where(pmod(col("doc_id"), lit(3)) === 0)
       .select(col("doc_id"), col("source"),
         concat(lit("  "), upper(col("text")), lit(" !! ")).as("text"))
-    val g = docs0.union(mangled)
+    dedupCensusOf(docs0.union(mangled), normExpr)
+  }
+
+  /** The q165 census over any dirtied (source, text) relation: map-side
+    * raw + normalized fingerprints (the shuffle carries (source,
+    * 2×32-char fp), never text), two-level aggregate with no Expand
+    * doubling, |sources| output rows. Shared by q165 (ASCII fold) and
+    * q168 (Unicode fold) — same census, different kernel. */
+  def dedupCensusOf(dirty: DataFrame, norm: Column => Column): DataFrame = {
+    val g = dirty
       .select(col("source"), md5(col("text")).as("raw_fp"),
-        md5(normExpr(col("text"))).as("norm_fp"))
+        md5(norm(col("text"))).as("norm_fp"))
       .groupBy("source", "raw_fp", "norm_fp").agg(count(lit(1)).as("n"))
     val g2 = g.groupBy("source", "norm_fp")
       .agg(sum(col("n")).as("n_docs_grp"), count(lit(1)).as("n_raw_variants"))
@@ -235,5 +254,70 @@ object Curation10 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q165, q166, q167)
+  // -- q168: Unicode-fold dedup census -----------------------------------
+  // The q165 census riding the Unicode kernel over a Unicode-BEARING
+  // corpus: every doc_id % 3 = 0 document contributes a second copy
+  // mangled with real Unicode noise — uppercased with composed
+  // diacritics injected (A→Á), fullwidth compatibility characters
+  // (E→Ｅ), the fi ligature substituted for its ASCII digraph
+  // (FI→ﬁ), and NBSP / em-dash / fullwidth-! padding. The ASCII fold
+  // (q165) is blind to ALL of it — every mangle survives the
+  // [^a-z0-9 ]→space wall as a distinct or destroyed token — while the
+  // NFKC+casefold+diacritic-strip kernel folds each copy back onto its
+  // source document exactly.
+  //
+  // Oracle design (the q120/q165 augmentation discipline): DuckDB has
+  // no NFKC, so the oracle cannot run the Unicode fold itself. Instead
+  // each dirty row carries its CANONICAL source text alongside the
+  // mangled bytes: raw_fp hashes the mangled text (bit-identical
+  // construction in both engines), norm_fp hashes the ASCII chain over
+  // the canonical text — sound because unicodeFold(mangle(t)) ==
+  // asciiFold(t) for ASCII t (every injected code point either folds
+  // back or is erased; UnicodeFoldSpec proves the equivalence on the
+  // real corpus). The Spark side computes norm_fp from the MANGLED
+  // bytes through the real kernel, so any NFKC/casefold/mark-strip
+  // defect inflates n_norm_distinct and hash-mismatches the census.
+  //
+  // Scale: identical plan to q165 — two pruned columnar scans (base ∪
+  // filtered-mangled), map-side fingerprints, fp-only shuffle; the
+  // Normalizer runs only on rows that actually carry non-ASCII bytes
+  // (the kernel's ASCII pre-scan), i.e. only on the mangled third.
+  private val mangleSql =
+    "' ' || chr(160) || replace(replace(replace(upper(text), 'A', 'Á'), " +
+      "'E', 'Ｅ'), 'FI', 'ﬁ') || '—！ '"
+  val q168 = q("q168_unicode_fold_census",
+    s"""WITH dirty AS (
+      |  SELECT doc_id, source, text AS raw_text, text AS canon_src FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 10000000, source, $mangleSql AS raw_text, text AS canon_src
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |f AS (SELECT source, md5(raw_text) AS raw_fp,
+      |        md5(${normSqlOn("canon_src")}) AS norm_fp FROM dirty),
+      |g AS (SELECT source, raw_fp, norm_fp, COUNT(*) AS n FROM f GROUP BY 1, 2, 3),
+      |g2 AS (SELECT source, norm_fp, SUM(n) AS n_docs_grp,
+      |         COUNT(*) AS n_raw_variants
+      |       FROM g GROUP BY 1, 2)
+      |SELECT source,
+      |  CAST(SUM(n_docs_grp) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_raw_variants) AS BIGINT) AS n_raw_distinct,
+      |  CAST(COUNT(*) AS BIGINT) AS n_norm_distinct,
+      |  CAST(SUM(CASE WHEN n_raw_variants >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_merged_groups
+      |FROM g2 GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val docs0 = Tables(s, dir).documents.select(col("doc_id"), col("source"), col("text"))
+    dedupCensusOf(docs0.union(unicodeMangled(docs0)), unicodeNormExpr)
+  }
+
+  /** q168's deterministic Unicode dirtying — exposed so UnicodeFoldSpec
+    * can prove the fold-equivalence premise the oracle rests on. Must
+    * stay byte-identical to `mangleSql` (both feed md5). */
+  def unicodeMangled(docs: DataFrame): DataFrame =
+    docs.where(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id"), col("source"),
+        concat(lit(" \u00A0"), // space + NBSP (chr(160) in the oracle)
+          replace(replace(replace(upper(col("text")), lit("A"), lit("Á")),
+            lit("E"), lit("Ｅ")), lit("FI"), lit("ﬁ")),
+          lit("—！ ")).as("text"))
+
+  val all: Seq[GraftQuery] = Seq(q165, q166, q167, q168)
 }

@@ -90,7 +90,19 @@ final class KinesisShardConsumer(
       val res = api.getRecords(stream, shardId, lastEnqueuedSeq,
         math.min(limit.toLong, room).toInt)
       lastMillisBehindVal = res.millisBehindLatest
-      if (res.records.isEmpty) 0
+      if (res.records.isEmpty) {
+        // shard closed by a reshard AND everything up to its ending
+        // sequence enqueued: flag the queue as draining so the engine
+        // can finalize the tail's ack without waiting for data that
+        // will never arrive — the prerequisite for the lease checkpoint
+        // reaching `ending` and the children becoming claimable
+        // ([[KinesisResharding.registerStartable]]; KCL's SHARD_END
+        // checkpoint).
+        if (api.describeShards(stream).find(_.shardId == shardId)
+            .exists(_.endingSequence.exists(_ <= lastEnqueuedSeq)))
+          QueueRamp.markDrainable(queue)
+        0
+      }
       else {
         // startOffset comes from enqueue itself (atomic under the queue
         // lock) — a separate size() read would race a concurrent

@@ -23,6 +23,7 @@ object QueueRamp {
     val entries = new ArrayBuffer[Entry]()
     val acked = new ArrayBuffer[Entry]()
     var committed: Long = 0L
+    var draining: Boolean = false // see markDrainable
   }
 
   private val queues = new ConcurrentHashMap[String, Q]()
@@ -123,4 +124,24 @@ object QueueRamp {
   def committed(name: String): Long = q(name).synchronized(q(name).committed)
   def ackedIds(name: String): Seq[String] = q(name).synchronized(q(name).acked.map(_.id).toSeq)
   def drop(name: String): Unit = { queues.remove(name); commitHooks.remove(name) }
+
+  /** Mark the queue as DRAINING: its producer is finished forever (a
+    * Kinesis shard closed by a reshard, fully enqueued). The engine
+    * withholds `commit(end_N)` until it constructs batch N+1 — which
+    * never happens on a queue that will never see another record — so
+    * without this flag a closed shard's tail is never externally acked
+    * and the lease checkpoint never reaches the shard's ending sequence:
+    * the reshard handoff stalls with children forever unclaimable
+    * (probed empirically: the final commit does not arrive on idle or
+    * even across a query restart). With the flag set,
+    * [[QueueRampProvider]]'s `latestOffset(start, _)` treats `start` as
+    * committed — safe because the engine only asks for offsets after
+    * `start` once the batch ending at `start` has fully completed (sink
+    * write + commit log), i.e. the same trigger where `commit(start)`
+    * would have fired had there been more data; the KCL SHARD_END
+    * checkpoint special-case, expressed at the queue seam. Normal
+    * (non-draining) queues keep the engine's own commit timing
+    * untouched. */
+  def markDrainable(name: String): Unit = q(name).synchronized { q(name).draining = true }
+  def isDrainable(name: String): Boolean = q(name).synchronized(q(name).draining)
 }

@@ -95,6 +95,15 @@ final class QueueRampStream(queue: String, partitions: Int, maxPerTrigger: Long)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val available = QueueRamp.size(queue)
     val from = start.asInstanceOf[QueuePosition].pos
+    // Draining queue (closed shard, fully enqueued): the engine only
+    // asks for offsets after `start` once the batch ending at `start`
+    // has fully completed, so treating `start` as committed here is
+    // exactly commit-equivalent in safety — and it is the ONLY way the
+    // tail of a producer-finished queue ever acks, because commit(end)
+    // is withheld until a next batch that will never construct (see
+    // [[QueueRamp.markDrainable]]). Non-draining queues keep the
+    // engine's own commit timing.
+    if (QueueRamp.isDrainable(queue)) QueueRamp.commitUpTo(queue, from)
     limit match {
       case r: ReadMaxRows => QueuePosition(math.min(available, from + r.maxRows()))
       case _              => QueuePosition(available)

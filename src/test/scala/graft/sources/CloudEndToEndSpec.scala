@@ -82,6 +82,75 @@ class CloudEndToEndSpec extends SparkSpecBase {
     QueueRamp.drop(consumer.queue)
   }
 
+  test("mid-stream shard split: children claimable only after the parent drains through the engine; no record lost or duplicated") {
+    val api = new InMemoryKinesis
+    val leases = new InMemoryLeaseTable
+    val stream = "resh-e2e"
+    api.createShard(stream, "shard-1")
+    (1 to 6).foreach(i => api.append(stream, "shard-1", s"k$i", s"rec$i"))
+    // bootstrap: the parentless shard registers through the same path
+    // children will use later
+    assert(KinesisResharding.registerStartable(stream, "w1", api, leases) == Seq("shard-1"))
+    val parent = new KinesisShardConsumer(stream, "shard-1", "w1", api, leases)
+    QueueRamp.drop(parent.queue)
+    assert(parent.poll() == 6)
+    val qP = streamOf(parent.queue, "resh_parent")
+    val children = Seq("shard-1a", "shard-1b")
+    val childConsumers = children.map(id => new KinesisShardConsumer(stream, id, "w1", api, leases))
+    var childQs = Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
+    try {
+      qP.processAllAvailable()
+      assert(spark.table("resh_parent").count() == 6)
+      // MID-STREAM: two more records land, then the reshard fires while
+      // the query keeps running; post-split traffic goes to the children
+      api.append(stream, "shard-1", "k7", "rec7")
+      api.append(stream, "shard-1", "k8", "rec8")
+      api.splitShard(stream, "shard-1", "shard-1a", "shard-1b")
+      api.append(stream, "shard-1a", "k9", "rec9")
+      api.append(stream, "shard-1b", "k10", "rec10")
+      api.append(stream, "shard-1b", "k11", "rec11")
+      // the reshard boundary: children must NOT be claimable while the
+      // parent still has an unconsumed tail (records 7,8)
+      assert(KinesisResharding.registerStartable(stream, "w1", api, leases).isEmpty,
+        "children registered before the parent drained")
+      assert(!KinesisResharding.drained(stream, "shard-1", api, leases))
+      // the owner drains the tail through the REAL engine
+      assert(parent.poll() == 2)
+      qP.processAllAvailable()
+      assert(spark.table("resh_parent").count() == 8)
+      // the next poll sees the closed shard fully enqueued and flags the
+      // queue as draining; the running query's idle triggers then
+      // finalize the tail's source ack — without the drain flag this
+      // commit NEVER arrives (no batch will ever construct again) and
+      // the handoff stalls with children forever unclaimable
+      assert(parent.poll() == 0)
+      pollUntil("engine acks the closed parent's tail")(
+        QueueRamp.committed(parent.queue) == 8L)
+      assert(parent.checkpoint())
+      assert(KinesisResharding.drained(stream, "shard-1", api, leases))
+      // now — and only now — the children register and consume
+      assert(KinesisResharding.registerStartable(stream, "w1", api, leases).sorted == children)
+      childConsumers.foreach(c => QueueRamp.drop(c.queue))
+      assert(childConsumers.map(_.poll()).sum == 3)
+      childQs = childConsumers.zipWithIndex.map { case (c, i) =>
+        streamOf(c.queue, s"resh_child_$i") }
+      childQs.foreach(_.processAllAvailable())
+      // exactly-once across the reshard: every produced record appears
+      // exactly once across the parent + child sinks
+      import spark.implicits._
+      val got = Seq("resh_parent", "resh_child_0", "resh_child_1")
+        .flatMap(t => spark.table(t).select("id", "content")
+          .as[(String, String)].collect())
+      val want = (1 to 8).map(i => s"shard-1-$i" -> s"rec$i") ++
+        Seq("shard-1a-1" -> "rec9", "shard-1b-1" -> "rec10", "shard-1b-2" -> "rec11")
+      assert(got.size == want.size, s"lost or duplicated records: got ${got.size}")
+      assert(got.toSet == want.toSet)
+    } finally {
+      qP.stop(); childQs.foreach(_.stop())
+      QueueRamp.drop(parent.queue); childConsumers.foreach(c => QueueRamp.drop(c.queue))
+    }
+  }
+
   test("crash mid-stream: the committed prefix sticks, only the tail replays") {
     val api = new InMemoryKinesis
     val leases = new InMemoryLeaseTable

@@ -239,7 +239,11 @@ object Curation8 {
       // executing first no longer drops the caches out from under the
       // loop. Plan-only callers (PlanShapeSpec) never execute the head,
       // so a fallback releases after a bounded number of unrelated
-      // executions instead of leaking the persists + listener forever.
+      // executions instead of leaking the persists + listener forever —
+      // gated on a wall-clock grace too, so a caller that constructs
+      // the query, runs a few interactive queries, and only then
+      // materializes the head (a notebook session) does not get its
+      // loop caches dropped by the counting alone.
       // Residual (documented, perf-only): executing the head TWICE
       // recomputes uncached the second time — one-shot release cannot
       // know how many materializations are coming.
@@ -251,6 +255,13 @@ object Curation8 {
         private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
         private val unrelated = new java.util.concurrent.atomic.AtomicInteger(0)
         private val UnrelatedGrace = 3
+        // fallback arms only after BOTH a count of unrelated executions
+        // AND this wall-clock grace — counting alone would release a
+        // deferred-materialization caller's caches after 3 quick
+        // queries (prop override is for the specs)
+        private val graceMs =
+          sys.props.get("graft.pr.cacheGraceMs").map(_.toLong).getOrElse(60000L)
+        private val armedAtMs = System.currentTimeMillis()
         private def fire(): Unit = if (done.compareAndSet(false, true)) {
           caches.foreach(_.unpersist())
           s.listenerManager.unregister(this)
@@ -259,7 +270,8 @@ object Curation8 {
           val isHead =
             try qe.analyzed.exists(p => (p eq target) || p.sameResult(target))
             catch { case scala.util.control.NonFatal(_) => false }
-          if (isHead || unrelated.incrementAndGet() >= UnrelatedGrace) fire()
+          if (isHead || (unrelated.incrementAndGet() >= UnrelatedGrace &&
+              System.currentTimeMillis() - armedAtMs >= graceMs)) fire()
         }
         override def onSuccess(funcName: String,
             qe: org.apache.spark.sql.execution.QueryExecution,

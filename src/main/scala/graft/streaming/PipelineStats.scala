@@ -77,6 +77,15 @@ object PipelineStats {
       else percentileFromCounts(
         batchDurationsMs.groupBy(_.toDouble).view.mapValues(_.size.toLong).toMap, 0.95)
 
+    /** The last 60 minute-buckets oldest→newest, ending at the CURRENT
+      * minute — the reference's 60-minute histogram series
+      * (`controller.py:55-59`) in render order for the dashboard
+      * sparklines and the `/api/status/` minute arrays. */
+    def minuteSeries(nowMinute: Int): Seq[MinuteBucket] =
+      (59 to 0 by -1).map { i =>
+        histogram.getOrElse(((nowMinute - i) % 60 + 60) % 60, MinuteBucket())
+      }
+
     /** Reference state heuristic (`motorway/webserver.py:110-121`):
       * waiting>0 → busy; waiting greater than everything processed in
       * the last 3 minutes → overloaded; plus `failing` when errors were
@@ -118,10 +127,13 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
     snapshot.toSeq.sortBy(_._1).map { case (name, s) =>
       val lag = s.sourceLag.toSeq.sortBy(_._1)
         .map { case (src, l) => s""""${esc(src)}":$l""" }.mkString("{", ",", "}")
+      val minutes = s.minuteSeries(nowMinute)
       s"""{"name":"${esc(name)}","processed":${s.processed},"success":${s.success},""" +
         s""""failed":${s.failed},"waiting":${s.waiting},"peak_waiting":${s.peakWaiting},""" +
         s""""behind_latest":$lag,""" +
         s""""avg_time_taken_ms":${f1(s.avgTimeTakenMs)},"95_percentile_ms":${f1(s.p95TimeTakenMs)},""" +
+        s""""minutes_processed":${minutes.map(_.processedCount).mkString("[", ",", "]")},""" +
+        s""""minutes_errors":${minutes.map(_.errorCount).mkString("[", ",", "]")},""" +
         s""""status":"${s.state(nowMinute)}"}"""
     }.mkString("[", ",", "]")
   }

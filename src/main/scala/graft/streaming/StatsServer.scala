@@ -96,6 +96,32 @@ object StatsServer {
   private def f1(v: Double): String =
     String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
 
+  /** Inline SVG sparkline for a per-minute series (oldest→newest) — the
+    * reference dashboard's 60-minute histogram strip
+    * (`motorway/controller.py:55-59`), as a single neutral 2px polyline
+    * (one series per cell: the column header names it, no legend; ink
+    * stays on text, the hue only on the mark). Coordinates are
+    * Locale.ROOT-formatted — a comma decimal breaks the SVG path the
+    * same way it breaks JSON. The no-traffic case renders an empty
+    * strip, not a zero-line (nothing to read). */
+  private[streaming] def sparklineSvg(series: Seq[Long], width: Int = 120,
+      height: Int = 20): String = {
+    def fp(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
+    val n = series.size
+    if (n == 0 || series.forall(_ == 0L))
+      return s"""<svg class="spark" width="$width" height="$height" role="img"><title>no traffic in the last hour</title></svg>"""
+    val max = math.max(1L, series.max)
+    val pts = series.zipWithIndex.map { case (v, i) =>
+      val x = if (n == 1) width / 2.0 else i.toDouble * width / (n - 1)
+      val y = height - 2 - v.toDouble / max * (height - 4)
+      s"${fp(x)},${fp(y)}"
+    }.mkString(" ")
+    s"""<svg class="spark" width="$width" height="$height" role="img">""" +
+      s"""<title>last hour by minute, peak $max</title>""" +
+      s"""<polyline points="$pts" fill="none" stroke="#36608a" stroke-width="2"""" +
+      s""" stroke-linejoin="round" stroke-linecap="round"/></svg>"""
+  }
+
   /** Server-rendered dashboard: the reference's group view
     * (`webserver.py:110-148`) — group = name up to the first '-',
     * per-group waiting/processed totals and the worst member state. */
@@ -115,12 +141,13 @@ object StatsServer {
         val href = java.net.URLEncoder.encode(s.name, "UTF-8")
         f"""<tr><td><a href="/detail/$href/">${esc(s.name)}</a></td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
           s"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
-          s"""<td>${f1(s.avgTimeTakenMs)}</td><td>${f1(s.p95TimeTakenMs)}</td></tr>"""
+          s"""<td>${f1(s.avgTimeTakenMs)}</td><td>${f1(s.p95TimeTakenMs)}</td>""" +
+          s"""<td>${sparklineSvg(s.minuteSeries(nowMinute).map(_.processedCount))}</td></tr>"""
       }.mkString("\n")
       s"""<section><h2>${esc(group)} <span class="st-$groupState">$groupState</span></h2>
          |<p>processed $processed &middot; waiting $waiting</p>
          |<table><tr><th>query</th><th>status</th><th>processed</th><th>waiting</th>
-         |<th>failed</th><th>avg ms</th><th>p95 ms</th></tr>
+         |<th>failed</th><th>avg ms</th><th>p95 ms</th><th>last hour</th></tr>
          |$rows</table></section>""".stripMargin
     }.mkString("\n")
     s"""<!doctype html><html><head><meta charset="utf-8">
@@ -138,6 +165,25 @@ object StatsServer {
        |$pollerScript</body></html>""".stripMargin
   }
 
+  /** JS twin of [[sparklineSvg]] (same geometry and stroke), shared by
+    * the dashboard and detail pollers so the client re-render matches
+    * the server-rendered first paint. */
+  private val sparkJs: String =
+    """function spark(series, w = 120, h = 20) {
+      |  if (!series || !series.length || series.every(v => v === 0))
+      |    return `<svg class="spark" width="${w}" height="${h}" role="img"><title>no traffic in the last hour</title></svg>`;
+      |  const max = Math.max(1, ...series);
+      |  const pts = series.map((v, i) => {
+      |    const x = series.length === 1 ? w / 2 : i * w / (series.length - 1);
+      |    const y = h - 2 - v / max * (h - 4);
+      |    return `${x.toFixed(1)},${y.toFixed(1)}`;
+      |  }).join(' ');
+      |  return `<svg class="spark" width="${w}" height="${h}" role="img">` +
+      |    `<title>last hour by minute, peak ${max}</title>` +
+      |    `<polyline points="${pts}" fill="none" stroke="#36608a" stroke-width="2"` +
+      |    ` stroke-linejoin="round" stroke-linecap="round"/></svg>`;
+      |}""".stripMargin
+
   /** Live refresh without a JS build step: poll `/api/status/` (the
     * same JSON the reference's React bundle consumed,
     * `webserver.py:127-148`) and re-render the group sections
@@ -148,6 +194,7 @@ object StatsServer {
     """<script>
       |const SEV = {available:0, busy:1, overloaded:2, failing:3};
       |const esc = s => String(s).replace(/&/g,"&amp;").replace(/</g,"&lt;").replace(/>/g,"&gt;");
+      |""".stripMargin + sparkJs + """
       |async function tick() {
       |  try {
       |    const qs = await (await fetch('/api/status/')).json();
@@ -163,11 +210,12 @@ object StatsServer {
       |        `<td class="st-${q.status}">${q.status}</td><td>${q.processed}</td>` +
       |        `<td>${q.waiting}</td><td>${q.failed}</td>` +
       |        `<td>${q.avg_time_taken_ms.toFixed(1)}</td>` +
-      |        `<td>${q['95_percentile_ms'].toFixed(1)}</td></tr>`).join('');
+      |        `<td>${q['95_percentile_ms'].toFixed(1)}</td>` +
+      |        `<td>${spark(q.minutes_processed)}</td></tr>`).join('');
       |      return `<section><h2>${esc(g)} <span class="st-${st}">${st}</span></h2>` +
       |        `<p>processed ${processed} &middot; waiting ${waiting}</p>` +
       |        `<table><tr><th>query</th><th>status</th><th>processed</th><th>waiting</th>` +
-      |        `<th>failed</th><th>avg ms</th><th>p95 ms</th></tr>${rows}</table></section>`;
+      |        `<th>failed</th><th>avg ms</th><th>p95 ms</th><th>last hour</th></tr>${rows}</table></section>`;
       |    }).join('');
       |    document.getElementById('groups').innerHTML = html || '<p>No queries running.</p>';
       |  } catch (e) { /* server restarting; keep last render */ }
@@ -189,11 +237,14 @@ object StatsServer {
         s""","message_id":"${esc(f.messageId)}","error":"${esc(f.error)}"""" +
         s""","traceback":"${esc(f.traceback)}"}"""
     }.mkString("[", ",", "]")
+    val minutes = s.minuteSeries(nowMinute)
     s"""{"name":"${esc(s.name)}","status":"${s.state(nowMinute)}"""" +
       s""","processed":${s.processed},"success":${s.success},"failed":${s.failed}""" +
       s""","waiting":${s.waiting},"peak_waiting":${s.peakWaiting},"behind_latest":$lag,""" +
       s""""avg_time_taken_ms":${f1(s.avgTimeTakenMs)},"95_percentile_ms":${f1(s.p95TimeTakenMs)},""" +
       s""""last_batch_ms":${s.batchDurationsMs.lastOption.getOrElse(0L)}""" +
+      s""","minutes_processed":${minutes.map(_.processedCount).mkString("[", ",", "]")}""" +
+      s""","minutes_errors":${minutes.map(_.errorCount).mkString("[", ",", "]")}""" +
       s""","failed_messages":$failures}"""
   }
 
@@ -219,6 +270,7 @@ object StatsServer {
       s"""<script>
          |const FLOAT_KEYS = {avg_time_taken_ms: 1, '95_percentile_ms': 1};
          |const esc = s => String(s).replace(/&/g,"&amp;").replace(/</g,"&lt;").replace(/>/g,"&gt;");
+         |${sparkJs}
          |async function tick() {
          |  try {
          |    const d = await (await fetch('/api/detail/' +
@@ -229,6 +281,7 @@ object StatsServer {
          |    });
          |    const st = document.getElementById('st');
          |    st.textContent = d.status; st.className = 'st-' + d.status;
+         |    document.getElementById('spark').innerHTML = spark(d.minutes_processed || [], 360, 48);
          |    const lag = Object.entries(d.behind_latest || {}).sort();
          |    document.getElementById('lag').innerHTML = lag.length === 0 ? '' :
          |      '<h2>Source backlog</h2><table><tr><th>source</th><th>records behind</th></tr>' +
@@ -252,8 +305,11 @@ object StatsServer {
        |pre{margin:0;white-space:pre-wrap;color:#900}
        |.st-available{color:#2a7}.st-busy{color:#b80}
        |.st-overloaded{color:#d40}.st-failing{color:#c00}
+       |.muted{color:#888;font-size:0.7em;font-weight:normal}
        |</style></head><body>
        |<h1>${esc(s.name)} <span id="st" class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</span></h1>
+       |<h2>Last hour <span class="muted">(processed per minute)</span></h2>
+       |<div id="spark">${sparklineSvg(s.minuteSeries(nowMinute).map(_.processedCount), width = 360, height = 48)}</div>
        |<h2>Currently processing</h2>
        |<table id="live">
        |<tr><th>processed</th><td data-k="processed">${s.processed}</td></tr>

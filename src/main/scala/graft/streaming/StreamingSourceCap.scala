@@ -35,10 +35,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Scale: state per source is one long counter, one high-water seq and
   * ≤ `cap` admitted ids (~8·cap bytes) — independent of corpus size;
   * the shuffle is the same source-keyed exchange the batch cap uses;
-  * verdicts are append-mode. Admitted sets never expire by design — a
-  * cap is a corpus property, not a window property; `compact` (below)
-  * drops the per-source entry entirely when a source is erased, the
-  * q156-style reset.
+  * verdicts are append-mode. Admitted sets never expire by default — a
+  * cap is a corpus property, not a window property; the opt-in
+  * `idleRetentionMs` timeout (below) drops a source's whole entry once
+  * it has been idle past the horizon, the q156-style reset, shifting
+  * the cap to per-activity-epoch.
+  *
+  * Note on redelivered verdicts: a fenced record re-emits its original
+  * ADMITTED bit (from the admitted set), but its `n_admitted` field
+  * carries the CURRENT per-source counter, not a replay of the value at
+  * original delivery — the counter is an audit gauge of cap occupancy
+  * at emission time, and storing per-record historical counters would
+  * grow state past the ~8·cap bound for no fence benefit.
   */
 object StreamingSourceCap {
 

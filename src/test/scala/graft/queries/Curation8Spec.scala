@@ -123,12 +123,14 @@ class Curation8Spec extends SparkSpecBase {
       // plus the shared pair persists — all registered
       val n0 = nCachedRdds
       assert(n0 >= 4, s"expected shared + loop persists materialized, saw $n0")
-      // ONE unrelated execution (inside the fallback grace) must not
-      // drop the caches out from under the not-yet-materialized loop
-      spark.range(10).count()
+      // FOUR unrelated executions (past the fallback COUNT) must not
+      // drop the caches out from under the not-yet-materialized loop:
+      // the wall-clock grace (60 s default) holds them — exactly the
+      // deferred-materialization caller the time gate protects
+      (1 to 4).foreach(_ => spark.range(10).count())
       Thread.sleep(1000) // listener bus is async — give a wrong fire time to land
       assert(nCachedRdds == n0,
-        "an unrelated execution released the q146 caches early")
+        "unrelated executions released the q146 caches inside the time grace")
       head.collect() // materializes withDeg (+1), then the listener fires (-3)
       assert(eventually()(nCachedRdds == n0 - 2),
         s"executing the head must release the 3 loop persists (have $nCachedRdds, started $n0)")
@@ -138,8 +140,9 @@ class Curation8Spec extends SparkSpecBase {
     }
   }
 
-  test("q146 plan-only caller: persists release after a bounded window of unrelated executions") {
+  test("q146 plan-only caller: persists release after the unrelated-execution count AND time grace") {
     sys.props("graft.pr.driverFallbackEdges") = "0"
+    sys.props("graft.pr.cacheGraceMs") = "0" // collapse the time gate for the spec
     try {
       spark.catalog.clearCache()
       Curation8.q146.run(spark, sfDir) // head never executed (PlanShapeSpec's pattern)
@@ -150,6 +153,7 @@ class Curation8Spec extends SparkSpecBase {
         s"plan-only q146 leaked its persists past the grace window (have $nCachedRdds, started $n0)")
     } finally {
       sys.props.remove("graft.pr.driverFallbackEdges")
+      sys.props.remove("graft.pr.cacheGraceMs")
       spark.catalog.clearCache()
     }
   }

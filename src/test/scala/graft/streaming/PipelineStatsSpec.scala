@@ -39,6 +39,19 @@ class PipelineStatsSpec extends SparkSpecBase {
       assert(json.contains("\"name\":\"stats_probe\""))
       assert(json.contains("\"processed\":3"))
       assert(json.contains("\"status\":\"available\""))
+      // per-minute history rides the status JSON (controller.py:55-59
+      // histogram): 60 entries oldest→newest, the injected clock pins
+      // this batch's counts to the LAST entry (current minute = 30)
+      val minutes = "\"minutes_processed\":\\[([0-9,]+)\\]".r
+        .findFirstMatchIn(json).map(_.group(1).split(',').map(_.toLong).toSeq)
+      assert(minutes.exists(_.size == 60), s"60 minute buckets expected: $minutes")
+      assert(minutes.exists(_.last == 3L), "current minute's count must be the last entry")
+      assert(minutes.exists(_.init.forall(_ == 0L)))
+      assert(json.contains("\"minutes_errors\":["))
+      // render path: the minute series draws as a sparkline polyline
+      val svg = StatsServer.sparklineSvg(minutes.get)
+      assert(svg.contains("<polyline") && svg.contains("peak 3"))
+      assert(StatsServer.sparklineSvg(Seq.fill(60)(0L)).contains("no traffic"))
     } finally spark.streams.removeListener(listener)
   }
 

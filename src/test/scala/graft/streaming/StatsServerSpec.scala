@@ -38,6 +38,7 @@ class StatsServerSpec extends SparkSpecBase {
       assert(body.contains("\"avg_time_taken_ms\""))
       assert(body.contains("\"95_percentile_ms\""))
       assert(body.contains("\"status\":\"available\""))
+      assert(body.contains("\"minutes_processed\":["), "minute series missing from /api/status/")
 
       // the human-facing dashboard at / renders the same snapshot as
       // HTML, grouped by the name prefix before '-' (webserver.py
@@ -55,6 +56,12 @@ class StatsServerSpec extends SparkSpecBase {
       // server-rendered fallback was built from (no meta refresh)
       assert(html.contains("fetch('/api/status/')"), "live poller missing")
       assert(html.contains("""id="groups""""), "poller render target missing")
+      // the per-minute sparkline renders server-side AND the poller
+      // carries its JS twin for the live re-render
+      assert(html.contains("""class="spark""""), "server-rendered sparkline missing")
+      assert(html.contains("<polyline"), "sparkline polyline missing (2 rows processed this minute)")
+      assert(html.contains("function spark("), "JS sparkline twin missing")
+      assert(html.contains("<th>last hour</th>"), "sparkline column header missing")
       assert(!html.contains("http-equiv=\"refresh\""), "stale meta-refresh still present")
 
       // unknown paths are not swallowed by the root handler

@@ -349,4 +349,27 @@ class PlanShapeSpec extends SparkSpecBase {
       .exists(plan.contains)
     assert(equi, s"q167 span join is not an equi-join:\n$plan")
   }
+
+  // q168 is the q165 census riding the unicode kernel: same two-level
+  // aggregate, so the distinct counts must never plan an Expand, and
+  // the whole query is scan→project→aggregate (no join, no Generate).
+  test("q168_unicode_fold_census keeps the census shape: no Expand, no Generate") {
+    val plan = executed("q168_unicode_fold_census")
+    assert(!plan.contains("Expand"), s"q168 plans an Expand doubling:\n$plan")
+    assert(!plan.contains("Generate"), s"q168 plans a Generate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "q168 plans CartesianProduct")
+  }
+
+  // q169's frontier census never touches document text: the scan must
+  // prune to (doc_id, source), and its COUNT(DISTINCT url) must ride
+  // the (source, canon, url) pre-aggregate — an Expand or a corpus-wide
+  // distinct would shuffle the whole frontier per measure at 100×.
+  test("q169_url_canon_census prunes text from the scan and plans no Expand") {
+    val plan = executed("q169_url_canon_census")
+    assert(!plan.contains("Expand"), s"q169 plans an Expand:\n$plan")
+    assert(!plan.contains("Generate") && !plan.contains("CartesianProduct"))
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"q169 reads text it never uses:\n$reads")
+  }
 }

@@ -203,6 +203,90 @@ abstract class SqsApiConformance(impl: String) extends AnyFunSuite {
   }
 }
 
+/** Conformance for the lease-election store: the CAS semantics
+  * [[ShardLeaseCoordinator]] builds takeover/heartbeat on. A DynamoDB
+  * adapter maps: get ← GetItem(ConsistentRead=true), scan ← Scan,
+  * putIfAbsent ← PutItem(ConditionExpression
+  * attribute_not_exists(shardId)), putIf ← PutItem(ConditionExpression
+  * over the stored attributes the predicate reads) — with
+  * ConditionalCheckFailedException returned as `false`, never thrown.
+  * The concurrency tests are the contract's heart: condition failure
+  * must be atomic with the replace (a read-check-write adapter that
+  * races loses leases). */
+abstract class LeaseTableConformance(impl: String) extends AnyFunSuite {
+  protected def fixture(): Option[LeaseTable]
+
+  private def withF(body: LeaseTable => Unit): Unit =
+    fixture() match {
+      case Some(t) => body(t)
+      case None    => info(s"$impl fixture unavailable (env gate) — skipped")
+    }
+
+  test(s"[$impl] putIfAbsent: first registration wins, record visible via get and scan") {
+    withF { t =>
+      val lease = ShardLease("s-1", checkpoint = 0L, "w1", heartbeat = 0L)
+      assert(t.putIfAbsent(lease), "first put must create")
+      assert(!t.putIfAbsent(lease.copy(workerId = "w2")), "second put must refuse")
+      assert(t.get("s-1").contains(lease), "get must read the winner's record")
+      assert(t.scan().contains(lease))
+      assert(t.get("s-2").isEmpty)
+    }
+  }
+
+  test(s"[$impl] putIf: condition sees the STORED record; failure mutates nothing") {
+    withF { t =>
+      val v0 = ShardLease("s-1", 5L, "w1", 3L)
+      t.putIfAbsent(v0)
+      // condition false -> no mutation, false returned (never thrown)
+      assert(!t.putIf(v0.copy(workerId = "w2"))(old => old.checkpoint == 99L))
+      assert(t.get("s-1").contains(v0), "failed CAS must not mutate")
+      // condition evaluated against the stored value, not the new one
+      assert(t.putIf(v0.copy(workerId = "w2", checkpoint = 8L))(old =>
+        old.checkpoint == 5L && old.workerId == "w1"))
+      assert(t.get("s-1").exists(l => l.workerId == "w2" && l.checkpoint == 8L))
+      // putIf on a missing record is false, not an upsert
+      assert(!t.putIf(ShardLease("ghost", 0L, "w1", 0L))(_ => true))
+      assert(t.get("ghost").isEmpty)
+    }
+  }
+
+  test(s"[$impl] concurrent putIfAbsent: exactly one creator wins") {
+    withF { t =>
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val wins = (1 to 16).map { i =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = t.putIfAbsent(ShardLease("race", 0L, s"w$i", 0L))
+          })
+        }.count(_.get())
+        assert(wins == 1, s"$wins creators won the same shard")
+      } finally pool.shutdown()
+    }
+  }
+
+  test(s"[$impl] concurrent CAS increments lose no update (linearizable conditional put)") {
+    withF { t =>
+      t.putIfAbsent(ShardLease("ctr", 0L, "w", 0L))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val Attempts = 40
+        val succeeded = (1 to Attempts).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Boolean] {
+            def call(): Boolean = {
+              val cur = t.get("ctr").get
+              t.putIf(cur.copy(checkpoint = cur.checkpoint + 1))(old =>
+                old.checkpoint == cur.checkpoint)
+            }
+          })
+        }.count(_.get())
+        assert(t.get("ctr").get.checkpoint == succeeded.toLong,
+          "every successful CAS must be reflected exactly once (no lost updates)")
+        assert(succeeded >= 1)
+      } finally pool.shutdown()
+    }
+  }
+}
+
 /** The in-memory doubles run the contract unconditionally. */
 class InMemoryKinesisConformance extends KinesisApiConformance("in-memory") {
   override protected def fixture(): Option[KinesisConformanceFixture] =
@@ -219,6 +303,10 @@ class InMemoryKinesisConformance extends KinesisApiConformance("in-memory") {
         (a, b)
       }
     })
+}
+
+class InMemoryLeaseTableConformance extends LeaseTableConformance("in-memory") {
+  override protected def fixture(): Option[LeaseTable] = Some(new InMemoryLeaseTable)
 }
 
 class InMemorySqsConformance extends SqsApiConformance("in-memory") {

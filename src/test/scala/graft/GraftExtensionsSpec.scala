@@ -36,6 +36,16 @@ class GraftExtensionsSpec extends SparkSpecBase {
     assert(r.isNullAt(2))
   }
 
+  test("graft_norm_unicode evaluates from SQL: NFKC + case fold + diacritic strip") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_norm_unicode('CafÉ  ﬁNANCE!') AS n,
+        |  graft_norm_unicode('ascii only 7') AS a, graft_norm_unicode(NULL) AS nul""".stripMargin).head()
+    assert(r.getString(0) == "cafe finance")
+    assert(r.getString(1) == "ascii only 7")
+    assert(r.isNullAt(2))
+  }
+
   test("graft_quality_gate evaluates from SQL with numeric literals") {
     GraftFunctions.register(spark)
     val r = spark.sql(

@@ -29,11 +29,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * keyed on the canonical form — the same key the batch census
   * aggregates on — and canonicalization runs before it, so the
   * exchange never carries un-canonicalized variants as distinct keys.
-  * Verdicts are append-mode. Frontier state is long-lived by design (a
-  * frontier is a corpus property); bound it with the same
-  * processing-time-timeout compaction StreamingSourceCap uses if the
-  * crawl's URL space is unbounded and a re-fetch after the horizon is
-  * acceptable.
+  * Verdicts are append-mode. Frontier state is long-lived by default (a
+  * frontier is a corpus property); for an unbounded URL space opt into
+  * `idleRetentionMs` — a canonical URL idle past the horizon drops its
+  * entry (processing-time timeout), bounding state to the pages seen
+  * inside the horizon. Documented degrade: a variant arriving after its
+  * page's entry compacted re-admits (one extra fetch per horizon —
+  * exactly a crawler's re-visit policy). With retention on, the engine
+  * keeps scheduling timeout-sweep micro-batches: pace the query with a
+  * real `Trigger.ProcessingTime` and poll the sink in tests —
+  * `processAllAvailable()` would block forever (see
+  * [[StreamingChurn.verdicts]]).
   */
 object StreamingFrontier {
 
@@ -53,17 +59,31 @@ object StreamingFrontier {
 
   /** @param fenced optional counter for redeliveries caught by the seq
     *   fence — zero under clean delivery (rate gauge only, never
-    *   correctness: accumulators over-count under task retry). */
+    *   correctness: accumulators over-count under task retry).
+    * @param idleRetentionMs opt-in compaction for unbounded URL spaces:
+    *   a canonical URL idle this long drops its entry, so state is
+    *   bounded by the pages active inside the horizon; a post-horizon
+    *   variant re-admits (one extra fetch per horizon — the re-visit
+    *   degrade). Set ≥ the delivery replay horizon or an expired page's
+    *   redeliveries also re-fetch. See the class doc's pacing note. */
   def verdicts(records: Dataset[FrontierRecord],
-      fenced: Option[org.apache.spark.util.LongAccumulator] = None): Dataset[FrontierVerdict] = {
+      fenced: Option[org.apache.spark.util.LongAccumulator] = None,
+      idleRetentionMs: Option[Long] = None): Dataset[FrontierVerdict] = {
     val spark = records.sparkSession
     import spark.implicits._
+    val timeoutConf =
+      if (idleRetentionMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     records
       .withColumn("canon", graft.queries.Curation11.canonUrlExpr(col("url")))
       .as[CanonRecord]
       .groupByKey(_.canon)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (canon: String, it: Iterator[CanonRecord], st: GroupState[FrontierState]) =>
+          if (idleRetentionMs.isDefined && st.hasTimedOut) {
+            st.remove() // idle past the horizon: the page may re-fetch
+            Iterator.empty
+          } else {
           val st0 = st.getOption.getOrElse(FrontierState(Long.MinValue, Long.MinValue))
           var firstSeq = st0.firstSeq
           var high = st0.highSeq
@@ -83,7 +103,9 @@ object StreamingFrontier {
             }
           }
           st.update(FrontierState(firstSeq, high))
+          idleRetentionMs.foreach(st.setTimeoutDuration)
           out.iterator
+          }
       }
   }
 }

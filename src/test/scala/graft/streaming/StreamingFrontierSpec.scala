@@ -42,6 +42,35 @@ class StreamingFrontierSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("idle retention compacts a page's entry; a post-horizon variant re-admits (re-visit degrade)") {
+    val input = MemoryStream[FrontierRecord](spark, 4)
+    // ProcessingTimeTimeout keeps scheduling sweep batches — pace with a
+    // real trigger and poll under deadline (operator scaladoc).
+    val q = StreamingFrontier.verdicts(input.toDS(), idleRetentionMs = Some(2000L))
+      .writeStream.format("memory").queryName("frontier_ttl")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(100L))
+      .start()
+    def rows() = spark.table("frontier_ttl").as[FrontierVerdict].collect().toSeq
+    def stateRows() =
+      Option(q.lastProgress).map(_.stateOperators.head.numRowsTotal)
+    try {
+      input.addData(Seq(FrontierRecord("http://x.com/p", "s", 1),
+        FrontierRecord("https://www.x.com/p/", "s", 2)))
+      pollUntil("fetch + skip verdicts")(rows().size == 2)
+      pollUntil("one canonical entry in state")(stateRows().contains(1L))
+      Thread.sleep(3000) // page idle past the 2 s horizon; sweeps run
+      input.addData(Seq(FrontierRecord("x.com/q", "s", 3)))
+      pollUntil("q's verdict")(rows().exists(_.seq == 3L))
+      pollUntil("p's idle entry compacts away")(stateRows().exists(_ <= 1L))
+      // the documented degrade: a post-horizon variant of p re-admits
+      input.addData(Seq(FrontierRecord("x.com/p?utm_source=b", "s", 4)))
+      pollUntil("p re-admits")(rows().exists(_.seq == 4L))
+      assert(rows().find(_.seq == 4L).exists(_.fetch),
+        "post-horizon variant must re-fetch (one extra fetch per horizon)")
+    } finally q.stop()
+  }
+
   test("redelivery fence: replays re-emit their original verdict and never re-fetch") {
     def rec(url: String, seq: Long) = FrontierRecord(url, "s", seq)
     // two variants of one page + one distinct page

@@ -48,7 +48,9 @@ object Bench {
     * accepts a 0.15 prior. */
   private[graft] def parsePriorTail(s: String, sfDir: String): Map[String, Double] = {
     val digits = java.util.regex.Pattern.quote(sfDir.split('/').last.stripPrefix("sf"))
-    if (raw""""sf"\s*:\s*$digits(?![0-9])""".r.findFirstIn(s).isEmpty) Map.empty
+    // anchor rejects a following digit OR '.', so an integer-sf run
+    // (sf1) never accepts a fractional prior (1.5)
+    if (raw""""sf"\s*:\s*$digits(?![0-9.])""".r.findFirstIn(s).isEmpty) Map.empty
     else raw"""\\?"(q[0-9]+[a-z]?)\\?":([0-9.]+)""".r
       .findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
   }
@@ -71,10 +73,12 @@ object Bench {
     // fallback: newest BENCH_r*.json tail (driver capture, may be cut);
     // newest by the PARSED round number — lexicographic puts r100
     // before r11
+    // round digits capped at 9 so the toLong can never throw and nuke
+    // the whole listing (an unparsable stray name just doesn't match)
     val benches =
       try java.nio.file.Files.list(java.nio.file.Paths.get(".")).iterator().asScala
-        .filter(_.getFileName.toString.matches("BENCH_r\\d+\\.json")).toSeq
-        .sortBy(_.getFileName.toString.replaceAll("[^0-9]", "").toInt)
+        .filter(_.getFileName.toString.matches("BENCH_r\\d{1,9}\\.json")).toSeq
+        .sortBy(_.getFileName.toString.replaceAll("[^0-9]", "").toLong)
       catch { case _: Throwable => Seq.empty }
     benches.lastOption.map(p => parsePriorTail(read(p), sfDir)).getOrElse(Map.empty)
   }

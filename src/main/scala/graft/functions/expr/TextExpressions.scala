@@ -114,14 +114,18 @@ object TextKernels {
     * keeps astral symbols one separator wide. */
   def unicodeFold(text: UTF8String): UTF8String = {
     val raw = if (text == null) UTF8String.EMPTY_UTF8 else text
-    val s0 = raw.toString
+    // ASCII pre-scan over the UTF-8 BYTES (a non-ASCII code point always
+    // carries a high bit), so the dominant clean-row path allocates no
+    // intermediate String here — normalizeFold does its own single copy
     var ascii = true
     var k = 0
-    while (ascii && k < s0.length) {
-      if (s0.charAt(k) >= 0x80) ascii = false
+    val nb = raw.numBytes
+    while (ascii && k < nb) {
+      if (raw.getByte(k) < 0) ascii = false
       k += 1
     }
     if (ascii) return normalizeFold(raw)
+    val s0 = raw.toString
     import java.text.Normalizer
     val lower = Normalizer.normalize(s0, Normalizer.Form.NFKC)
       .toLowerCase(java.util.Locale.ROOT)

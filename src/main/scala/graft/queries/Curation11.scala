@@ -19,23 +19,33 @@ object Curation11 {
     * verbatim with the oracle (the q120 RE2 ∩ java.util.regex common
     * dialect): case-insensitively strip the scheme and a leading
     * `www.`, drop the fragment, drop `utm_*` tracking parameters, drop
-    * a trailing slash. A full canonicalizer also lower-cases the
-    * authority and split-sorts surviving query parameters; the corpus
-    * construction below keeps hosts lowercase and carries only
-    * tracking parameters, so the regex chain IS the full rule for this
-    * shape (and stays expressible identically in both engines, which
-    * is what makes the census hash-comparable). */
+    * a trailing slash. utm stripping is three passes so a tracking
+    * param FIRST in the query string never eats the `?` of a surviving
+    * param: `&utm_x=v` terms drop anywhere, then a leading
+    * `?utm_x=v&rest` promotes `rest` to `?rest`, then a query that was
+    * only utm drops entirely ('x.com/p?utm_a=1&id=7' → 'x.com/p?id=7',
+    * not the malformed 'x.com/p&id=7' a single `[?&]utm...` pass
+    * produces). A full canonicalizer also lower-cases the authority and
+    * split-sorts surviving query parameters; the corpus construction
+    * below keeps hosts lowercase, so the regex chain IS the full rule
+    * for this shape (and stays expressible identically in both
+    * engines, which is what makes the census hash-comparable —
+    * StreamingFrontier runs the same kernel on live URLs). */
   def canonUrlExpr(c: Column): Column = {
     val noScheme = regexp_replace(c, "^(?i)https?://(www\\.)?", "")
     val noFrag = regexp_replace(noScheme, "#.*$", "")
-    val noUtm = regexp_replace(noFrag, "[?&]utm_[a-z]+=[^&#]*", "")
+    val noAmpUtm = regexp_replace(noFrag, "&utm_[a-z]+=[^&#]*", "")
+    val noLeadUtm = regexp_replace(noAmpUtm, "\\?utm_[a-z]+=[^&#]*&", "?")
+    val noUtm = regexp_replace(noLeadUtm, "\\?utm_[a-z]+=[^&#]*$", "")
     regexp_replace(noUtm, "/$", "")
   }
 
   private def canonUrlSql(c: String): String =
-    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace($c, " +
+    s"regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+      s"regexp_replace(regexp_replace($c, " +
       "'^(?i)https?://(www\\.)?', '', 'g'), '#.*$', '', 'g'), " +
-      "'[?&]utm_[a-z]+=[^&#]*', '', 'g'), '/$', '', 'g')"
+      "'&utm_[a-z]+=[^&#]*', '', 'g'), '\\?utm_[a-z]+=[^&#]*&', '?', 'g'), " +
+      "'\\?utm_[a-z]+=[^&#]*$', '', 'g'), '/$', '', 'g')"
 
   // -- q169: canonical-URL dedup census ----------------------------------
   // The corpus has no URL column, so one is DERIVED deterministically in

@@ -34,7 +34,8 @@ final class KinesisShardConsumer(
     api: KinesisApi,
     leases: LeaseTable,
     maxUncompleted: Int = 3000,
-    onFailure: Throwable => Unit = KinesisShardConsumer.stderrReporter) {
+    onFailure: Throwable => Unit = KinesisShardConsumer.stderrReporter,
+    closedCheckIntervalMs: Long = 10000L) {
 
   /** One Spark-side queue per shard keeps offsets shard-linear, so the
     * queue's committed prefix maps 1:1 onto a shard checkpoint. */
@@ -45,6 +46,10 @@ final class KinesisShardConsumer(
   private val inflight = scala.collection.mutable.ArrayDeque.empty[(Long, Long)]
   private var lastEnqueuedSeq: Long = Long.MinValue
   private var lastMillisBehindVal: Long = 0L
+  // 0 (not MinValue — the subtraction would overflow): the FIRST empty
+  // poll may check closure immediately, the reshard-handoff path never
+  // waits out the rate-limit interval
+  private var lastClosedCheckMs: Long = 0L
 
   def owned: Boolean = leases.get(shardId).exists(_.workerId == workerId)
 
@@ -97,10 +102,19 @@ final class KinesisShardConsumer(
         // will never arrive — the prerequisite for the lease checkpoint
         // reaching `ending` and the children becoming claimable
         // ([[KinesisResharding.registerStartable]]; KCL's SHARD_END
-        // checkpoint).
-        if (api.describeShards(stream).find(_.shardId == shardId)
-            .exists(_.endingSequence.exists(_ <= lastEnqueuedSeq)))
-          QueueRamp.markDrainable(queue)
+        // checkpoint). A tailing consumer's steady state is empty
+        // polls, so the topology read is RATE-LIMITED (AWS ListShards
+        // is ~100 TPS per stream and a per-shard fleet polling every
+        // few hundred ms would throttle the whole stream's control
+        // plane) and skipped once the flag is set — it never unsets.
+        val now = System.currentTimeMillis()
+        if (!QueueRamp.isDrainable(queue) &&
+            now - lastClosedCheckMs >= closedCheckIntervalMs) {
+          lastClosedCheckMs = now
+          if (api.describeShards(stream).find(_.shardId == shardId)
+              .exists(_.endingSequence.exists(_ <= lastEnqueuedSeq)))
+            QueueRamp.markDrainable(queue)
+        }
         0
       }
       else {

@@ -68,7 +68,8 @@ object PipelineStats {
       sourceLag: Map[String, Long] = Map.empty,
       batchDurationsMs: Vector[Long] = Vector.empty,
       histogram: Map[Int, MinuteBucket] = Map.empty,
-      failures: Vector[FailureRecord] = Vector.empty) {
+      failures: Vector[FailureRecord] = Vector.empty,
+      lastSeenMs: Long = 0L) {
     def avgTimeTakenMs: Double =
       if (batchDurationsMs.isEmpty) 0.0
       else batchDurationsMs.sum.toDouble / batchDurationsMs.size
@@ -80,11 +81,23 @@ object PipelineStats {
     /** The last 60 minute-buckets oldest→newest, ending at the CURRENT
       * minute — the reference's 60-minute histogram series
       * (`controller.py:55-59`) in render order for the dashboard
-      * sparklines and the `/api/status/` minute arrays. */
-    def minuteSeries(nowMinute: Int): Seq[MinuteBucket] =
-      (59 to 0 by -1).map { i =>
-        histogram.getOrElse(((nowMinute - i) % 60 + 60) % 60, MinuteBucket())
+      * sparklines and the `/api/status/` minute arrays.
+      *
+      * The wrap-around histogram is only cleaned by progress events
+      * (each zeroes the upcoming bucket), so an IDLE query's stale
+      * buckets would alias hour-old counts into the "last hour": any
+      * minute slot that fell inside the idle gap since `lastSeenMs`
+      * renders as zero instead — an hour-idle query renders an empty
+      * strip, never a fabricated one. */
+    def minuteSeries(nowMinute: Int, nowMs: Long): Seq[MinuteBucket] = {
+      val gapMin =
+        if (lastSeenMs <= 0L) 60L
+        else math.min(60L, math.max(0L, (nowMs - lastSeenMs) / 60000L))
+      (59 to 0 by -1).map { d =>
+        if (d < gapMin) MinuteBucket() // slot recurred inside the idle gap
+        else histogram.getOrElse(((nowMinute - d) % 60 + 60) % 60, MinuteBucket())
       }
+    }
 
     /** Reference state heuristic (`motorway/webserver.py:110-121`):
       * waiting>0 → busy; waiting greater than everything processed in
@@ -106,7 +119,9 @@ object PipelineStats {
   * numInputRows + batch duration; exceptions surface via
   * `QueryTerminatedEvent`. The 60-minute histogram keeps the
   * reference's minute-bucket layout (`controller.py:55-59`). */
-final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener.wallClockMinute)
+final class PipelineStatsListener(
+    clockMinute: () => Int = PipelineStatsListener.wallClockMinute,
+    clockMs: () => Long = () => System.currentTimeMillis())
     extends StreamingQueryListener {
   import PipelineStats._
 
@@ -124,10 +139,11 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
     // the dashboard's live poller would silently stop updating
     def f1(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val nowMinute = clockMinute() % 60
+    val nowMs = clockMs()
     snapshot.toSeq.sortBy(_._1).map { case (name, s) =>
       val lag = s.sourceLag.toSeq.sortBy(_._1)
         .map { case (src, l) => s""""${esc(src)}":$l""" }.mkString("{", ",", "}")
-      val minutes = s.minuteSeries(nowMinute)
+      val minutes = s.minuteSeries(nowMinute, nowMs)
       s"""{"name":"${esc(name)}","processed":${s.processed},"success":${s.success},""" +
         s""""failed":${s.failed},"waiting":${s.waiting},"peak_waiting":${s.peakWaiting},""" +
         s""""behind_latest":$lag,""" +
@@ -164,6 +180,7 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
       val bucket = s.histogram.getOrElse(minute, MinuteBucket())
       val waiting = if (lags.nonEmpty) lags.values.sum else s.waiting
       Some(s.copy(
+        lastSeenMs = clockMs(),
         processed = s.processed + rows,
         success = s.success + rows,
         waiting = waiting,
@@ -214,6 +231,7 @@ final class PipelineStatsListener(clockMinute: () => Int = PipelineStatsListener
         val s = prev.getOrElse(QueryStats(e.id.toString))
         val bucket = s.histogram.getOrElse(minute, MinuteBucket())
         Some(s.copy(failed = s.failed + 1,
+          lastSeenMs = clockMs(), // the error bucket is fresh activity too
           failures = (s.failures :+ FailureRecord(
             System.currentTimeMillis(), e.id.toString,
             err.linesIterator.nextOption().getOrElse("query terminated"), err))

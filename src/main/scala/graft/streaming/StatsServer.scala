@@ -106,7 +106,6 @@ object StatsServer {
     * strip, not a zero-line (nothing to read). */
   private[streaming] def sparklineSvg(series: Seq[Long], width: Int = 120,
       height: Int = 20): String = {
-    def fp(v: Double) = String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val n = series.size
     if (n == 0 || series.forall(_ == 0L))
       return s"""<svg class="spark" width="$width" height="$height" role="img"><title>no traffic in the last hour</title></svg>"""
@@ -114,7 +113,7 @@ object StatsServer {
     val pts = series.zipWithIndex.map { case (v, i) =>
       val x = if (n == 1) width / 2.0 else i.toDouble * width / (n - 1)
       val y = height - 2 - v.toDouble / max * (height - 4)
-      s"${fp(x)},${fp(y)}"
+      s"${f1(x)},${f1(y)}"
     }.mkString(" ")
     s"""<svg class="spark" width="$width" height="$height" role="img">""" +
       s"""<title>last hour by minute, peak $max</title>""" +
@@ -142,7 +141,7 @@ object StatsServer {
         f"""<tr><td><a href="/detail/$href/">${esc(s.name)}</a></td><td class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</td>""" +
           s"""<td>${s.processed}</td><td>${s.waiting}</td><td>${s.failed}</td>""" +
           s"""<td>${f1(s.avgTimeTakenMs)}</td><td>${f1(s.p95TimeTakenMs)}</td>""" +
-          s"""<td>${sparklineSvg(s.minuteSeries(nowMinute).map(_.processedCount))}</td></tr>"""
+          s"""<td>${sparklineSvg(s.minuteSeries(nowMinute, System.currentTimeMillis()).map(_.processedCount))}</td></tr>"""
       }.mkString("\n")
       s"""<section><h2>${esc(group)} <span class="st-$groupState">$groupState</span></h2>
          |<p>processed $processed &middot; waiting $waiting</p>
@@ -237,7 +236,7 @@ object StatsServer {
         s""","message_id":"${esc(f.messageId)}","error":"${esc(f.error)}"""" +
         s""","traceback":"${esc(f.traceback)}"}"""
     }.mkString("[", ",", "]")
-    val minutes = s.minuteSeries(nowMinute)
+    val minutes = s.minuteSeries(nowMinute, System.currentTimeMillis())
     s"""{"name":"${esc(s.name)}","status":"${s.state(nowMinute)}"""" +
       s""","processed":${s.processed},"success":${s.success},"failed":${s.failed}""" +
       s""","waiting":${s.waiting},"peak_waiting":${s.peakWaiting},"behind_latest":$lag,""" +
@@ -309,7 +308,7 @@ object StatsServer {
        |</style></head><body>
        |<h1>${esc(s.name)} <span id="st" class="st-${s.state(nowMinute)}">${s.state(nowMinute)}</span></h1>
        |<h2>Last hour <span class="muted">(processed per minute)</span></h2>
-       |<div id="spark">${sparklineSvg(s.minuteSeries(nowMinute).map(_.processedCount), width = 360, height = 48)}</div>
+       |<div id="spark">${sparklineSvg(s.minuteSeries(nowMinute, System.currentTimeMillis()).map(_.processedCount), width = 360, height = 48)}</div>
        |<h2>Currently processing</h2>
        |<table id="live">
        |<tr><th>processed</th><td data-k="processed">${s.processed}</td></tr>

@@ -24,6 +24,11 @@ class UrlCanonSpec extends SparkSpecBase {
       // non-tracking params survive (the canonicalizer only strips utm_*)
       "x.com/p?id=7" -> "x.com/p?id=7",
       "x.com/p?id=7&utm_medium=rss" -> "x.com/p?id=7",
+      // a LEADING utm param must not eat the '?' of a surviving param
+      // (the single-pass [?&]utm regex produced malformed 'x.com/p&id=7')
+      "x.com/p?utm_source=feed&id=7" -> "x.com/p?id=7",
+      "x.com/p?utm_a=1&utm_b=2&id=7" -> "x.com/p?id=7",
+      "x.com/p?utm_a=1&utm_b=2" -> "x.com/p",
       // path case is significant (URL paths are case-sensitive)
       "http://x.com/Articles/P" -> "x.com/Articles/P")
     canon(cases.map(_._1)).zip(cases).foreach { case (got, (in, want)) =>

@@ -55,6 +55,26 @@ class PipelineStatsSpec extends SparkSpecBase {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("minuteSeries zeroes buckets aliased by an idle gap (no fabricated last hour)") {
+    import PipelineStats._
+    // every wrap-around slot holds hour-old data; the query last saw
+    // progress at the 10-minute mark and it is now the 20-minute mark
+    val hist = (0 until 60).map(m => m -> MinuteBucket(processedCount = 10)).toMap
+    val s = QueryStats("x", histogram = hist, lastSeenMs = 600000L)
+    val m = s.minuteSeries(nowMinute = 20, nowMs = 1200000L)
+    assert(m.size == 60)
+    assert(m.takeRight(10).forall(_.processedCount == 0),
+      "slots that recurred inside the idle gap must render zero")
+    assert(m(49).processedCount == 10, "the lastSeen minute keeps its data")
+    assert(m.take(49).forall(_.processedCount == 10),
+      "pre-idle slots are genuine last-hour data")
+    // an hour-idle query renders an empty strip, not last hour's ghost
+    assert(s.minuteSeries(20, 600000L + 3600000L).forall(_.processedCount == 0))
+    // a never-seen query renders empty regardless of histogram content
+    assert(QueryStats("y", histogram = hist).minuteSeries(20, 1200000L)
+      .forall(_.processedCount == 0))
+  }
+
   test("per-source lag gauge under a throttled QueueRamp (MillisecondsBehind parity)") {
     import graft.sources.{QueueRamp, QueueRampProvider}
     val qn = "stats-lag"

@@ -215,7 +215,7 @@ class PlanShapeSpec extends SparkSpecBase {
                 "q125_bm25_queries", "q129_hybrid_rrf", "q134_cell_exemplars",
                 "q135_hard_negatives", "q140_cell_outliers", "q147_knn_eval",
                 "q149_inspection_sample", "q150_label_noise",
-                "q153_index_recall_sweep"))
+                "q153_index_recall_sweep", "q173_knn_margin"))
     test(s"$q head is a partial top-k aggregate, not a per-query window sort") {
       val plan = executed(q)
       assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
@@ -358,6 +358,104 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Expand"), s"q168 plans an Expand doubling:\n$plan")
     assert(!plan.contains("Generate"), s"q168 plans a Generate:\n$plan")
     assert(!plan.contains("CartesianProduct"), "q168 plans CartesianProduct")
+  }
+
+  // q170's rule signals are all per-row higher-order functions: the
+  // whole query is scan→project→(display sort) — any hash exchange,
+  // join, or Generate means a signal left the row (fatal when every
+  // downstream filter join wants this as a cheap map stage).
+  test("q170_gopher_rules is map-only: no hash exchange, no join, no Generate") {
+    val plan = executed("q170_gopher_rules")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q170 plans a hash exchange for a per-row signal:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q170 plans a join:\n$plan")
+    assert(!plan.contains("Generate"), s"q170 plans a Generate:\n$plan")
+  }
+
+  // q171's row_number window and domain census must SHARE one domain
+  // hash exchange (the q137 discipline): the groupBy(domain) clustering
+  // is satisfied by the window's partitioning, so a second hash
+  // exchange means the corpus shuffles twice for one key.
+  test("q171_domain_cap window and census share one hash exchange") {
+    val plan = executed("q171_domain_cap")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"q171 plans $hashExchanges hash exchanges (want 1):\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"q171 reads text it never uses:\n$reads")
+  }
+
+  // q172's pct window must run over the CENSUS aggregate (|sources|×3
+  // rows), never the corpus: the only corpus-grain exchange is the
+  // (source, split) partial-agg shuffle, and the window's child subtree
+  // contains the aggregate. The scan must also prune text.
+  test("q172_hash_split window rides the census aggregate, not the corpus") {
+    val plan = executed("q172_hash_split")
+    val lines = plan.linesIterator.toVector
+    val wIdx = lines.indexWhere(_.contains("- Window ["))
+    assert(wIdx >= 0, s"q172 window missing:\n$plan")
+    assert(lines.drop(wIdx).exists(_.contains("HashAggregate")),
+      s"q172 window input is not the census aggregate:\n$plan")
+    assert(lines.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"q172 plans extra corpus shuffles:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty && reads.forall(!_.contains("text")),
+      s"q172 reads text it never uses:\n$reads")
+  }
+
+  // q174's adopt join must be an EQUI-join on the leader id (loop or
+  // cartesian shapes are the all-pairs smell), and the fingerprint
+  // census must partial map-side so only (fp, partial) rows shuffle —
+  // text never rides an exchange.
+  test("q174_split_leakage adopt join is equi; fingerprint census partials map-side") {
+    val plan = executed("q174_split_leakage")
+    assert(!plan.contains("BroadcastNestedLoop"), "q174 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q174 plans CartesianProduct")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(equi, s"q174 adopt join is not an equi-join:\n$plan")
+    assert(plan.contains("partial_collect_set"),
+      s"q174 fingerprint census is not map-side partial:\n$plan")
+    // the fp exchange carries the md5 projection, never raw text
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"q174 shuffles raw text: $l")
+    }
+  }
+
+  // q175 is detect/repair on the map side plus ONE source-keyed census
+  // shuffle: no join, no Generate, exactly one hash exchange.
+  test("q175_mojibake_census is map-side repair + one census exchange") {
+    val plan = executed("q175_mojibake_census")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q175 plans a join:\n$plan")
+    assert(!plan.contains("Generate"), s"q175 plans a Generate:\n$plan")
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges == 1,
+      s"q175 plans $hashExchanges hash exchanges (want 1):\n$plan")
+  }
+
+  // q176 computes all four contexts' measures as conditional sums in ONE
+  // corpus pass: a single text-pruned scan, a map-side partial aggregate
+  // (only the 17-measure row crosses the wire), and the per-context rows
+  // explode from that one row — no per-context scan, no join, no hash
+  // exchange.
+  test("q176_packing_curve is one pruned scan into a partial-agg census row") {
+    val plan = executed("q176_packing_curve")
+    val scans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"q176 plans $scans corpus scans, want 1:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q176 plans a join:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q176 plans a hash exchange:\n$plan")
+    assert(plan.contains("partial_sum"),
+      s"q176 census is not map-side partial:\n$plan")
+    val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads == Seq("text:string"), s"q176 reads more than text:\n$reads")
   }
 
   // q169's frontier census never touches document text: the scan must

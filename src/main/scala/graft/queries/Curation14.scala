@@ -1,0 +1,153 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Fourteenth curation batch: corpus-composition audits — the
+  * per-source domain-shift census (χ² divergence of each source's
+  * unigram distribution from the corpus-wide distribution; the
+  * transcendental-free stand-in for per-source KL that mixture tuning
+  * and drift monitoring run on), and the inter-source n-gram novelty
+  * census (what fraction of a source's 3-grams appear nowhere else —
+  * low novelty flags template/syndicated sources before they bias a
+  * mixture).
+  *
+  * Reference scope note: the reference pipeline framework
+  * (/root/reference/motorway) has no relational curation surface —
+  * these extend the engine along SURVEY §2's "LLM-data-pipeline" axis,
+  * with every query oracle-gated against DuckDB.
+  */
+object Curation14 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q178: per-source domain-shift χ² census ---------------------------
+  // χ²_s = Σ_w (c_sw − e_sw)²/e_sw with e_sw = gc_w·n_s/N, including the
+  // missing-mass tail Σ_{w∉s} e_sw = n_s·(N − G_s)/N (G_s = Σ_{w∈s} gc_w)
+  // — the full Pearson statistic against the corpus-wide unigram
+  // distribution. χ² ranks sources by distributional drift exactly like
+  // KL for small divergences but stays RATIONAL: every term is built
+  // from integer counts by single correctly-rounded double ops, so both
+  // engines compute bit-identical terms; each term is then scaled to an
+  // integer (round(term·10⁶) — representable halves at scale 0 agree
+  // across engines) and SUMMED IN INTEGER SPACE, making the census
+  // independent of accumulation order. (At >2⁵³ token counts the double
+  // products lose exactness; the statistic stays valid, only the
+  // bit-for-bit oracle equality would relax.)
+  //
+  // Scale: one token-grain partial-agg shuffle into (source, word)
+  // counts; everything after runs at vocabulary grain — the global
+  // counts derive from the (source, word) relation (never a second
+  // corpus pass), per-source totals broadcast (|sources| rows), and the
+  // corpus total is a 1-row broadcast.
+  val q178 = q("q178_domain_shift",
+    """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+      |sw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+      |wc AS (SELECT w, CAST(SUM(c) AS BIGINT) AS gc FROM sw GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_s,
+      |         CAST(COUNT(*) AS BIGINT) AS vocab_seen FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM sw),
+      |j AS (SELECT sw.source, sw.c, wc.gc, ns.n_s, tot.n
+      |      FROM sw JOIN wc USING (w) JOIN ns USING (source) CROSS JOIN tot),
+      |t AS (SELECT source, gc,
+      |        CAST(round((CAST(c AS DOUBLE) - CAST(gc AS DOUBLE) * n_s / n)
+      |             * (CAST(c AS DOUBLE) - CAST(gc AS DOUBLE) * n_s / n)
+      |             / (CAST(gc AS DOUBLE) * n_s / n) * 1000000) AS BIGINT) AS term_l
+      |      FROM j),
+      |g AS (SELECT source, CAST(SUM(term_l) AS BIGINT) AS obs_l,
+      |        CAST(SUM(gc) AS BIGINT) AS g_s FROM t GROUP BY 1)
+      |SELECT g.source, ns.n_s AS n_tokens, ns.vocab_seen,
+      |  CAST(g.obs_l + CAST(round(CAST(ns.n_s AS DOUBLE) * (tot.n - g.g_s)
+      |       / tot.n * 1000000) AS BIGINT) AS BIGINT) / 1000000.0 AS chi2
+      |FROM g JOIN ns USING (source) CROSS JOIN tot
+      |ORDER BY source""".stripMargin) { (s, dir) =>
+    // The isNotNull(source) filter is applied at the BASE so every
+    // branch over sw (wc/ns/tot) carries the identical scan subtree:
+    // without it, the ns inner join pushes the null filter into sw's
+    // branch only, canonical equality breaks, and ReuseExchange
+    // re-scans the corpus once per branch (observed: 2 scans, not 1).
+    val sw = Tables(s, dir).documents
+      .where(col("source").isNotNull)
+      .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("c"))
+    val wc = sw.groupBy("w").agg(sum(col("c")).as("gc"))
+    val ns = sw.groupBy("source")
+      .agg(sum(col("c")).as("n_s"), count(lit(1)).as("vocab_seen"))
+    val tot = sw.agg(sum(col("c")).as("n"))
+    // e is bound once so Spark and the oracle share the op order:
+    // (gc→double · n_s) / n, each a single correctly-rounded double op.
+    val e = col("gc").cast(DoubleType) * col("n_s") / col("n")
+    val diff = col("c").cast(DoubleType) - e
+    // n_s and n ride THROUGH the term relation (first() per source /
+    // constant), and vocab_seen is the per-source row count of sw — so
+    // the final projection needs no second ns/tot join and the
+    // token-grain subtree is referenced only by sw/wc/ns/tot themselves
+    // (one real exchange + ReusedExchange at runtime).
+    val t = sw.join(wc, Seq("w")).join(broadcast(ns), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("gc"), col("n_s"), col("n"),
+        round(diff * diff / e * 1000000).cast(LongType).as("term_l"))
+    val g = t.groupBy("source")
+      .agg(sum(col("term_l")).as("obs_l"), sum(col("gc")).as("g_s"),
+        first(col("n_s")).as("n_s"), first(col("n")).as("n"),
+        count(lit(1)).as("vocab_seen"))
+    g.select(col("source"), col("n_s").as("n_tokens"), col("vocab_seen"),
+        ((col("obs_l") +
+          round(col("n_s").cast(DoubleType) * (col("n") - col("g_s"))
+            / col("n") * 1000000).cast(LongType)).cast(LongType) / 1000000.0)
+          .as("chi2"))
+      .orderBy("source")
+  }
+
+  // -- q179: inter-source n-gram novelty census --------------------------
+  // For each source: how many of its distinct 3-grams appear in NO
+  // other source? Syndicated/template content shows up as low novelty
+  // long before doc-level dedup fires (the grams repeat across sources
+  // even when no two documents pair up). Grams ride the 60-bit
+  // cross-engine hash (the q29 discipline) so the vocabulary-grain
+  // shuffles ship fixed-width longs, never gram strings.
+  //
+  // Scale: per-doc distinct shingles explode once; the census is two
+  // vocabulary-grain aggregates (distinct (source, gram-hash), then
+  // gram→source-count) and a broadcast-sized final join per source. No
+  // pair space, no corpus re-scan.
+  val q179 = q("q179_source_novelty",
+    """WITH d AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT source,
+      |        CASE WHEN len(t) >= 3
+      |             THEN list_distinct(list_transform(range(1, len(t) - 1),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |g AS (SELECT DISTINCT source,
+      |        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+      |      FROM (SELECT source, unnest(sh) AS gram FROM s)),
+      |c AS (SELECT gh, CAST(COUNT(*) AS BIGINT) AS n_src FROM g GROUP BY gh)
+      |SELECT g.source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN c.n_src = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+      |  CAST(round(CAST(SUM(CASE WHEN c.n_src = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+      |       * 10000 / COUNT(*)) AS BIGINT) / 10000.0 AS novelty
+      |FROM g JOIN c USING (gh) GROUP BY g.source ORDER BY g.source""".stripMargin) {
+    (s, dir) =>
+    import graft.QueryDsl.crossHash60
+    val g = Tables(s, dir).documents
+      .select(col("source"), split(col("text"), " ").as("toks"))
+      .select(col("source"), explode(Dedup.shinglesK(col("toks"), 3)).as("gram"))
+      .select(col("source"), crossHash60(col("gram")).as("gh"))
+      .distinct()
+    val c = g.groupBy("gh").agg(count(lit(1)).as("n_src"))
+    g.join(c, Seq("gh"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("n_src") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("source"), col("n_grams"), col("n_unique"),
+        (round(col("n_unique").cast(DoubleType) * 10000 / col("n_grams"))
+          .cast(LongType) / 10000.0).as("novelty"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q178, q179)
+}

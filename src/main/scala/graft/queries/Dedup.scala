@@ -285,10 +285,12 @@ object Dedup {
   // (signatures, band collisions, verification) is mirrored in the
   // DuckDB oracle: an oracle-checked LSH, not a rows-only one.
   // MinHashSpec additionally proves recall on synthetic near-dups.
-  val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
+  /** Shared q29/q177 construction: per-doc sorted shingle hashes plus
+    * K=32 minhash signatures, and the 8-band LSH candidate pair set.
+    * Returns (docs = (doc_id, shc, sig), pairs = deduped (a_id, b_id)). */
+  private def minhashLshCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import graft.QueryDsl.crossHash60
     val K = 32; val Bands = 8; val R = K / Bands
-    val P = 2147483647L // 2^31 - 1, prime
     // tokenize pre-exchange, shingle post-exchange (see docShingled)
     val d = Tables(s, dir).documents
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -314,6 +316,11 @@ object Dedup {
       .where(col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"))
       .distinct()
+    (withSig, pairs)
+  }
+
+  val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
+    val (d, pairs) = minhashLshCandidates(s, dir)
     pairs
       .join(d.select(col("doc_id").as("a_id"), col("shc").as("a_sh")), Seq("a_id"))
       .join(d.select(col("doc_id").as("b_id"), col("shc").as("b_sh")), Seq("b_id"))
@@ -412,5 +419,86 @@ object Dedup {
       |SELECT a_id, b_id, jaccard FROM p WHERE jaccard >= 0.5
       |ORDER BY a_id, b_id""".stripMargin))
 
-  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q100)
+  // -- q177: MinHash estimator calibration over the LSH candidates -----
+  // The audit a pipeline owner runs before trusting banding parameters:
+  // for every LSH candidate pair (pre-threshold — false positives are
+  // the point), compare the MinHash-estimated Jaccard (matching
+  // signature components / K) against the exact shingle Jaccard, and
+  // report the calibration curve per estimate decile: pair count, mean
+  // estimate, mean exact, mean |error|. A well-calibrated index shows
+  // mean_est ≈ mean_exact per bucket; drift flags bad permutations or
+  // band parameters.
+  //
+  // Cross-engine float discipline: m/K with K=32 is dyadic-exact; the
+  // scaled forms est_l = round(m·10⁴/32) land on representable halves
+  // (m·312.5), where Spark's HALF_UP and DuckDB's half-away-from-zero
+  // agree; exact_l scales the int/int Jaccard quotient (identical
+  // operands both engines). Errors are |est_l − exact_l| in INTEGER
+  // space; bucket means ship raw integer-operand quotients unrounded
+  // (the q173 mean_cos discipline).
+  //
+  // Scale: identical dataflow to q29 (the candidate generator is
+  // shared) plus one decile-keyed census — no new corpus-grain shuffle.
+  val q177 = GraftQuery("q177_minhash_calibration", (s, dir) => {
+    val (d, pairs) = minhashLshCandidates(s, dir)
+    val scored = pairs
+      .join(d.select(col("doc_id").as("a_id"), col("shc").as("a_sh"),
+        col("sig").as("a_sig")), Seq("a_id"))
+      .join(d.select(col("doc_id").as("b_id"), col("shc").as("b_sh"),
+        col("sig").as("b_sig")), Seq("b_id"))
+      .select(
+        aggregate(zip_with(col("a_sig"), col("b_sig"),
+          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
+          .as("m"),
+        jaccard(col("a_sh"), col("b_sh")).as("exact"))
+      .select(
+        least(floor(col("m") * 10.0 / 32), lit(9.0)).cast("long").as("decile"),
+        round(col("m") * 10000.0 / 32).cast("long").as("est_l"),
+        round(col("exact") * 10000).cast("long").as("exact_l"))
+    scored.groupBy("decile")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("est_l")).as("sum_est_l"),
+        sum(col("exact_l")).as("sum_exact_l"),
+        sum(abs(col("est_l") - col("exact_l"))).as("sum_err_l"))
+      .select(col("decile"), col("n_pairs"),
+        (col("sum_est_l").cast("double") / col("n_pairs") / 10000).as("mean_est"),
+        (col("sum_exact_l").cast("double") / col("n_pairs") / 10000).as("mean_exact"),
+        (col("sum_err_l").cast("double") / col("n_pairs") / 10000).as("mean_abs_err"))
+      .orderBy("decile")
+  }, Some(
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT doc_id,
+      |        CASE WHEN len(t) >= 2
+      |             THEN list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |hc AS (SELECT doc_id,
+      |         list_sort(list_transform(sh, x ->
+      |           CAST(concat('0x', substr(md5(x), 1, 15)) AS BIGINT))) AS shc
+      |       FROM s),
+      |sg AS (SELECT doc_id, shc,
+      |         list_transform(range(0, 32), i ->
+      |           list_min(list_transform(shc, h ->
+      |             ((i*40503 + 11) * (h % 2147483647) + (i*2654435761) % 2147483647) % 2147483647))) AS sig
+      |       FROM hc),
+      |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.shc AS ashc, b.shc AS bshc,
+      |             a.sig AS asig, b.sig AS bsig
+      |      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      |      WHERE len(list_filter(range(0, 8), bb ->
+      |              a.sig[bb*4+1:bb*4+4] = b.sig[bb*4+1:bb*4+4])) >= 1),
+      |m AS (SELECT CAST(len(list_filter(range(0, 32), i -> asig[i+1] = bsig[i+1])) AS BIGINT) AS m,
+      |        CAST(len(list_intersect(ashc, bshc)) AS DOUBLE) /
+      |        CAST(len(list_distinct(list_concat(ashc, bshc))) AS DOUBLE) AS exact
+      |      FROM p),
+      |sc AS (SELECT CAST(least(floor(m * 10.0 / 32), 9.0) AS BIGINT) AS decile,
+      |         CAST(round(m * 10000.0 / 32) AS BIGINT) AS est_l,
+      |         CAST(round(exact * 10000) AS BIGINT) AS exact_l
+      |       FROM m)
+      |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |  CAST(SUM(est_l) AS DOUBLE) / COUNT(*) / 10000 AS mean_est,
+      |  CAST(SUM(exact_l) AS DOUBLE) / COUNT(*) / 10000 AS mean_exact,
+      |  CAST(SUM(abs(est_l - exact_l)) AS DOUBLE) / COUNT(*) / 10000 AS mean_abs_err
+      |FROM sc GROUP BY decile ORDER BY decile""".stripMargin))
+
+  val all: Seq[GraftQuery] = Seq(q27, q28, q29, q30, q100, q177)
 }

@@ -16,7 +16,7 @@ class PlanShapeSpec extends SparkSpecBase {
   for (q <- Seq("q100_allpairs_jaccard", "q84_dup_clusters",
                 "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
                 "q103_decontamination", "q108_source_dup_matrix",
-                "q138_cluster_split"))
+                "q138_cluster_split", "q177_minhash_calibration"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
       val plan = executed(q)
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")
@@ -404,6 +404,42 @@ class PlanShapeSpec extends SparkSpecBase {
     val reads = "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan).map(_.group(1)).toSeq
     assert(reads.nonEmpty && reads.forall(!_.contains("text")),
       s"q172 reads text it never uses:\n$reads")
+  }
+
+  // q178 references the token-grain (source, word) aggregate from four
+  // branches (sw/wc/ns/tot): its single-scan execution depends on
+  // ReuseExchange canonicalization firing — the q80 discipline. The
+  // base-level isNotNull(source) filter exists precisely to keep the
+  // four subtrees canonically identical; this gate catches the
+  // silently-correct regression where a refactor breaks equality and
+  // the corpus tokenizes once per branch.
+  test("q178_domain_shift executes with one corpus scan (three reused exchanges)") {
+    val df = SparkEntry.queries("q178_domain_shift")(spark, sfDir)
+    df.collect() // finalize the adaptive plan (see the q80 gate's note)
+    val finalPlan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val scans = finalPlan.linesIterator.count(l =>
+      l.contains("Scan parquet") || l.contains("FileScan"))
+    assert(scans == 1, s"q178 final plan has $scans corpus scans, want 1:\n$finalPlan")
+    assert(finalPlan.linesIterator.count(_.contains("ReusedExchange")) >= 3,
+      s"q178 lost its exchange reuse:\n$finalPlan")
+  }
+
+  // q179's gram census joins the distinct (source, gram-hash) relation
+  // to the gram→source-count aggregate: both vocabulary-grain, both
+  // equi on the 60-bit hash — a loop/cartesian join or a raw-gram
+  // string shuffle would be the scale smell.
+  test("q179_source_novelty census join is an equi-join on the gram hash") {
+    val plan = executed("q179_source_novelty")
+    assert(!plan.contains("BroadcastNestedLoop"), "q179 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q179 plans CartesianProduct")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(equi, s"q179 census join is not an equi-join:\n$plan")
+    // the gram itself never rides an exchange — only its 60-bit hash
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("gram#"), s"q179 shuffles raw gram strings: $l")
+    }
   }
 
   // q174's adopt join must be an EQUI-join on the leader id (loop or

@@ -20,6 +20,13 @@ import org.apache.spark.sql.SparkSession
   *   9. normalization-dedup census (q165): bytes-vs-text duplicate gap
   *  10. snapshot churn (q166): crawl-to-crawl added/removed/changed
   *  11. span-purge records (q167): per-doc tokens cut + clean fingerprint
+  *  12. quality-rule gate (q170): Gopher rule verdicts (first rows)
+  *  13. split-leakage audit (q174): dup clusters straddling the split
+  *  14. encoding-anomaly census (q175): mojibake detect/repair per source
+  *  15. packing-efficiency curve (q176): the context-length decision table
+  *  16. MinHash calibration (q177): estimator-vs-exact per decile
+  *  17. domain-shift census (q178): per-source χ² vs corpus distribution
+  *  18. source novelty (q179): template/syndication flags
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -50,7 +57,14 @@ object GovernanceMain {
       "inspection sample (first rows)" -> "q149_inspection_sample",
       "normalization-dedup census" -> "q165_normalized_dedup",
       "snapshot churn (crawl-to-crawl)" -> "q166_snapshot_diff",
-      "span purge (first rows)" -> "q167_span_purge")
+      "span purge (first rows)" -> "q167_span_purge",
+      "quality-rule gate (first rows)" -> "q170_gopher_rules",
+      "split-leakage audit" -> "q174_split_leakage",
+      "encoding-anomaly census" -> "q175_mojibake_census",
+      "packing-efficiency curve" -> "q176_packing_curve",
+      "minhash calibration" -> "q177_minhash_calibration",
+      "domain-shift census" -> "q178_domain_shift",
+      "source novelty" -> "q179_source_novelty")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

@@ -113,7 +113,12 @@ object StressMain {
     // round 10: source-cap curation (bounded-heap heads), embedding
     // outlier audit (cell-keyed integer cross-multiply)
     "q163_source_cap", "q164_embedding_outliers",
-    "q165_normalized_dedup", "q166_snapshot_diff", "q167_span_purge")
+    "q165_normalized_dedup", "q166_snapshot_diff", "q167_span_purge",
+    // round 12 continuation: window-sharing domain cap, derived-cluster
+    // fingerprint audit, LSH calibration (q29's machinery + census),
+    // four-branch single-scan chi-square, vocab-grain novelty join
+    "q171_domain_cap", "q174_split_leakage", "q177_minhash_calibration",
+    "q178_domain_shift", "q179_source_novelty")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -27,6 +27,7 @@ import org.apache.spark.sql.SparkSession
   *  16. MinHash calibration (q177): estimator-vs-exact per decile
   *  17. domain-shift census (q178): per-source χ² vs corpus distribution
   *  18. source novelty (q179): template/syndication flags
+  *  19. length drift (q180): crawl-to-crawl KS per source
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -64,7 +65,8 @@ object GovernanceMain {
       "packing-efficiency curve" -> "q176_packing_curve",
       "minhash calibration" -> "q177_minhash_calibration",
       "domain-shift census" -> "q178_domain_shift",
-      "source novelty" -> "q179_source_novelty")
+      "source novelty" -> "q179_source_novelty",
+      "length drift (crawl-to-crawl KS)" -> "q180_length_drift")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

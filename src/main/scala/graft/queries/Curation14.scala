@@ -149,5 +149,97 @@ object Curation14 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q178, q179)
+  // -- q180: crawl-to-crawl length-distribution drift (KS census) --------
+  // The companion to q178: q178 asks "did the vocabulary shift?", this
+  // asks "did the SHAPE of documents shift?" — the two-sample
+  // Kolmogorov–Smirnov statistic per source between two crawl
+  // snapshots' token-length distributions (a re-render that pads
+  // boilerplate, a parser change that truncates, a crawler that starts
+  // hitting pagination all move KS before any content audit fires).
+  // Snapshots are derived as in q166 but with HASH-based membership
+  // (md5(doc_id:tag) nibble ≠ '0' → ~1/16 of docs missing per side,
+  // uncorrelated with source — a mod-based drop would correlate with
+  // the synthetic source assignment and empty whole sources), and
+  // snapshot B re-renders doc_id % 4 = 1 with an appended token.
+  //
+  // Cross-engine float discipline: the CDF difference at each length is
+  // |cuma/na − cumb/nb| — two single divisions on identical integer
+  // operands, one subtraction, one abs: bit-identical per row in both
+  // engines; MAX is order-free. (Integer cross-multiplication would be
+  // exact too but overflows 2⁶³ at 10¹⁰-doc sources; the per-row double
+  // form is deterministic without the overflow cliff.) ks_at is the
+  // smallest length achieving the max — an exact-double equality join,
+  // valid because both sides compute the identical double.
+  //
+  // Scale: two pruned scans (membership filters differ per snapshot),
+  // per-(source, length) partial-agg histograms, a histogram-grain
+  // full-outer equi-join, and per-source running-sum windows over
+  // histogram rows (bounded by distinct lengths, not documents).
+  val q180 = q("q180_length_drift",
+    """WITH a AS (SELECT source, len(string_split(text, ' ')) AS l FROM documents
+      |       WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':a'), 1, 1) <> '0'),
+      |b AS (SELECT source,
+      |        len(string_split(CASE WHEN doc_id % 4 = 1 THEN text || ' v2'
+      |                              ELSE text END, ' ')) AS l
+      |      FROM documents
+      |      WHERE substr(md5(CAST(doc_id AS VARCHAR) || ':b'), 1, 1) <> '0'),
+      |ha AS (SELECT source, l, CAST(COUNT(*) AS BIGINT) AS ca FROM a GROUP BY 1, 2),
+      |hb AS (SELECT source, l, CAST(COUNT(*) AS BIGINT) AS cb FROM b GROUP BY 1, 2),
+      |h AS (SELECT COALESCE(ha.source, hb.source) AS source, COALESCE(ha.l, hb.l) AS l,
+      |        COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+      |      FROM ha FULL OUTER JOIN hb ON ha.source = hb.source AND ha.l = hb.l),
+      |c AS (SELECT source, l,
+      |        SUM(ca) OVER (PARTITION BY source ORDER BY l
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cuma,
+      |        SUM(cb) OVER (PARTITION BY source ORDER BY l
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumb,
+      |        SUM(ca) OVER (PARTITION BY source) AS na,
+      |        SUM(cb) OVER (PARTITION BY source) AS nb
+      |      FROM h),
+      |d AS (SELECT source, l, na, nb,
+      |        abs(CAST(cuma AS DOUBLE) / na - CAST(cumb AS DOUBLE) / nb) AS dv
+      |      FROM c WHERE na > 0 AND nb > 0),
+      |g AS (SELECT source, CAST(MAX(na) AS BIGINT) AS n_a,
+      |        CAST(MAX(nb) AS BIGINT) AS n_b, MAX(dv) AS ks FROM d GROUP BY source)
+      |SELECT g.source, g.n_a, g.n_b, g.ks, CAST(MIN(d.l) AS BIGINT) AS ks_at
+      |FROM g JOIN d ON g.source = d.source AND d.dv = g.ks
+      |GROUP BY g.source, g.n_a, g.n_b, g.ks ORDER BY g.source""".stripMargin) {
+    (s, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val d0 = Tables(s, dir).documents
+    def member(tag: String): Column =
+      substring(md5(concat(col("doc_id").cast("string"), lit(s":$tag"))), 1, 1) =!= "0"
+    val a = d0.where(member("a"))
+      .select(col("source"), size(split(col("text"), " ")).as("l"))
+    val bTxt = when(col("doc_id") % 4 === 1, concat(col("text"), lit(" v2")))
+      .otherwise(col("text"))
+    val b = d0.where(member("b"))
+      .select(col("source"), size(split(bTxt, " ")).as("l"))
+    val ha = a.groupBy("source", "l").agg(count(lit(1)).as("ca"))
+    val hb = b.groupBy("source", "l").agg(count(lit(1)).as("cb"))
+    val h = ha.join(hb, Seq("source", "l"), "full_outer")
+      .select(col("source"), col("l"),
+        coalesce(col("ca"), lit(0L)).as("ca"), coalesce(col("cb"), lit(0L)).as("cb"))
+    val wCum = Window.partitionBy("source").orderBy("l")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy("source")
+    val c = h.select(col("source"), col("l"),
+      sum(col("ca")).over(wCum).as("cuma"), sum(col("cb")).over(wCum).as("cumb"),
+      sum(col("ca")).over(wAll).as("na"), sum(col("cb")).over(wAll).as("nb"))
+    val dRel = c.where(col("na") > 0 && col("nb") > 0)
+      .select(col("source"), col("l"), col("na"), col("nb"),
+        abs(col("cuma").cast(DoubleType) / col("na") -
+          col("cumb").cast(DoubleType) / col("nb")).as("dv"))
+    val g = dRel.groupBy("source")
+      .agg(max(col("na")).cast(LongType).as("n_a"),
+        max(col("nb")).cast(LongType).as("n_b"), max(col("dv")).as("ks"))
+    g.join(dRel.select(col("source"), col("l"), col("dv")), Seq("source"))
+      .where(col("dv") === col("ks"))
+      .groupBy("source")
+      .agg(first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"),
+        first(col("ks")).as("ks"), min(col("l")).cast(LongType).as("ks_at"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q178, q179, q180)
 }

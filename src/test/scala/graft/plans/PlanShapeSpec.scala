@@ -442,6 +442,19 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  // q180's snapshot merge must be a histogram-grain full-outer
+  // EQUI-join on (source, length) — never a loop join, and the running
+  // CDF windows ride source partitions (histogram rows, not documents).
+  test("q180_length_drift merges histograms via a full-outer equi-join") {
+    val plan = executed("q180_length_drift")
+    assert(!plan.contains("BroadcastNestedLoop"), "q180 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q180 plans CartesianProduct")
+    assert(plan.contains("FullOuter"), s"q180 did not plan a full-outer join:\n$plan")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(equi, s"q180 snapshot merge is not an equi-join:\n$plan")
+  }
+
   // q174's adopt join must be an EQUI-join on the leader id (loop or
   // cartesian shapes are the all-pairs smell), and the fingerprint
   // census must partial map-side so only (fp, partial) rows shuffle —

@@ -117,6 +117,43 @@ class Curation14Spec extends SparkSpecBase {
     }
   }
 
+  // -- q180 -------------------------------------------------------------
+
+  test("q180 length drift: census equals a driver-side two-sample KS replay") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val a = docs.filter { case (id, _, _) => md5hex(s"$id:a").head != '0' }
+      .map { case (_, src, t) => (src, t.split(" ", -1).length) }
+    val b = docs.filter { case (id, _, _) => md5hex(s"$id:b").head != '0' }
+      .map { case (id, src, t) =>
+        (src, (if (id % 4 == 1) t + " v2" else t).split(" ", -1).length) }
+    val sources = (a.map(_._1) ++ b.map(_._1)).distinct
+      .filter(s0 => a.exists(_._1 == s0) && b.exists(_._1 == s0))
+    val got = Curation14.q180.run(spark, sfDir).collect()
+    assert(got.length == sources.length)
+    got.foreach { r =>
+      val src = r.getString(0)
+      val la = a.filter(_._1 == src).map(_._2)
+      val lb = b.filter(_._1 == src).map(_._2)
+      assert(r.getLong(1) == la.length.toLong, s"$src n_a")
+      assert(r.getLong(2) == lb.length.toLong, s"$src n_b")
+      val lens = (la ++ lb).distinct.sorted
+      val ds = lens.map { t =>
+        t -> math.abs(la.count(_ <= t).toDouble / la.length -
+          lb.count(_ <= t).toDouble / lb.length)
+      }
+      val ks = ds.map(_._2).max
+      assert(r.getDouble(3) == ks, s"$src ks")
+      assert(r.getLong(4) == ds.filter(_._2 == ks).map(_._1).min.toLong, s"$src ks_at")
+      assert(ks >= 0.0 && ks <= 1.0)
+    }
+    // the v2 re-render must move at least one source's distribution
+    assert(got.exists(_.getDouble(3) > 0.0))
+  }
+
   // -- q179 -------------------------------------------------------------
 
   test("q179 source novelty: census equals a driver-side gram replay") {

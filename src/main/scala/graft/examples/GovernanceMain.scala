@@ -28,6 +28,7 @@ import org.apache.spark.sql.SparkSession
   *  17. domain-shift census (q178): per-source χ² vs corpus distribution
   *  18. source novelty (q179): template/syndication flags
   *  19. length drift (q180): crawl-to-crawl KS per source
+  *  20. split repair bill (q181): the quarantine-to-train reassignment
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -66,7 +67,8 @@ object GovernanceMain {
       "minhash calibration" -> "q177_minhash_calibration",
       "domain-shift census" -> "q178_domain_shift",
       "source novelty" -> "q179_source_novelty",
-      "length drift (crawl-to-crawl KS)" -> "q180_length_drift")
+      "length drift (crawl-to-crawl KS)" -> "q180_length_drift",
+      "split repair bill (quarantine-to-train)" -> "q181_split_repair")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

@@ -31,7 +31,7 @@ object Curation13 {
     val h = substring(md5(concat(docId.cast("string"), lit(":"), source)), 1, 2)
     when(h < "0d", "val").when(h < "1a", "test").otherwise("train")
   }
-  private val splitSqlExpr =
+  private[queries] val splitSqlExpr =
     "CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < '0d'" +
       " THEN 'val'" +
       " WHEN substr(md5(CAST(doc_id AS VARCHAR) || ':' || source), 1, 2) < '1a'" +

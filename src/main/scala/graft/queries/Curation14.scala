@@ -241,5 +241,64 @@ object Curation14 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q178, q179, q180)
+  // -- q181: cluster-coherent split repair (quarantine-to-train) ---------
+  // q174 AUDITS leakage; this is the REPAIR a release actually ships:
+  // any content-fingerprint cluster that straddles the hash split is
+  // quarantined whole into train (eval sets must be duplicate-free;
+  // train tolerates dups), every other document keeps its hash split.
+  // Output is the split transition census — the exact reassignment
+  // bill (how many val/test docs moved) a release note reports. Same
+  // derived dup clusters as q174.
+  //
+  // Scale: straddle detection rides the two-level distinct chain
+  // (distinct (fp, split) map-grain, then a plain count — no
+  // count-distinct Expand); the verdict joins back to the doc relation
+  // as a hash equi-join on the fingerprint. Two fp-keyed exchanges,
+  // zero pair space, text never past the fingerprint projection.
+  val q181 = q("q181_split_repair",
+    s"""WITH lead AS (SELECT doc_id AS lid, text AS ltext FROM documents
+      |              WHERE doc_id % 25 = 0),
+      |adopt AS (SELECT d.doc_id, d.source, coalesce(l.ltext, d.text) AS content
+      |          FROM documents d
+      |          LEFT JOIN lead l ON d.doc_id - (d.doc_id % 25) = l.lid
+      |          WHERE d.doc_id % 25 IN (0, 7, 13)),
+      |keep AS (SELECT doc_id, source, text AS content FROM documents
+      |         WHERE doc_id % 25 NOT IN (0, 7, 13)),
+      |u AS (SELECT * FROM adopt UNION ALL SELECT * FROM keep),
+      |f AS (SELECT doc_id, md5(content) AS fp, ${Curation13.splitSqlExpr} AS split
+      |      FROM u),
+      |ds AS (SELECT DISTINCT fp, split FROM f),
+      |gm AS (SELECT fp, CAST(COUNT(*) AS BIGINT) AS ns FROM ds GROUP BY fp),
+      |r AS (SELECT f.split AS split_from,
+      |        CASE WHEN gm.ns > 1 THEN 'train' ELSE f.split END AS split_to
+      |      FROM f JOIN gm USING (fp))
+      |SELECT split_from, split_to, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  (split_from <> split_to) AS moved
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    val docs = Tables(s, dir).documents
+    val leaders = docs.where(col("doc_id") % 25 === 0)
+      .select(col("doc_id").as("lid"), col("text").as("ltext"))
+    val adoptSet = (col("doc_id") % 25).isin(0, 7, 13)
+    val adopt = docs.where(adoptSet)
+      .join(leaders, docs("doc_id") - (docs("doc_id") % 25) === leaders("lid"), "left")
+      .select(col("doc_id"), col("source"),
+        coalesce(col("ltext"), col("text")).as("content"))
+    val keep = docs.where(!adoptSet)
+      .select(col("doc_id"), col("source"), col("text").as("content"))
+    val f = adopt.unionAll(keep)
+      .select(md5(col("content")).as("fp"),
+        Curation13.splitCol(col("doc_id"), col("source")).as("split"))
+    val gm = f.select("fp", "split").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("ns"))
+    f.join(gm, Seq("fp"))
+      .select(col("split").as("split_from"),
+        when(col("ns") > 1, "train").otherwise(col("split")).as("split_to"))
+      .groupBy("split_from", "split_to")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(col("split_from"), col("split_to"), col("n_docs"),
+        (col("split_from") =!= col("split_to")).as("moved"))
+      .orderBy("split_from", "split_to")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q178, q179, q180, q181)
 }

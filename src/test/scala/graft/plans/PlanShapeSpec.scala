@@ -442,6 +442,19 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  // q181's straddle detection must ride the two-level distinct chain
+  // (no count-distinct Expand), its joins must all be equi, and raw
+  // text never rides a hash exchange (fingerprints only).
+  test("q181_split_repair uses the two-level distinct, equi joins, no text shuffle") {
+    val plan = executed("q181_split_repair")
+    assert(!plan.contains("Expand"), s"q181 plans a count-distinct Expand:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoop"), "q181 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q181 plans CartesianProduct")
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("text#"), s"q181 shuffles raw text: $l")
+    }
+  }
+
   // q180's snapshot merge must be a histogram-grain full-outer
   // EQUI-join on (source, length) — never a loop join, and the running
   // CDF windows ride source partitions (histogram rows, not documents).

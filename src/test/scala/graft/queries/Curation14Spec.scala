@@ -154,6 +154,52 @@ class Curation14Spec extends SparkSpecBase {
     assert(got.exists(_.getDouble(3) > 0.0))
   }
 
+  // -- q181 -------------------------------------------------------------
+
+  test("q181 split repair: transition census replay + post-repair leak-freeness") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long, src: String): String = {
+      val h = md5hex(s"$id:$src").substring(0, 2)
+      if (h < "0d") "val" else if (h < "1a") "test" else "train"
+    }
+    val docs = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val textById = docs.map(d => d._1 -> d._3).toMap
+    val f = docs.map { case (id, src, text) =>
+      val content =
+        if (Seq(0L, 7L, 13L).contains(id % 25))
+          textById.getOrElse(id - id % 25, text)
+        else text
+      (id, content, splitOf(id, src))
+    }
+    val straddles = f.groupBy(_._2)
+      .map { case (c, g) => c -> (g.map(_._3).distinct.length > 1) }
+    val trans = f.map { case (_, c, s0) =>
+      (s0, if (straddles(c)) "train" else s0)
+    }
+    val expect = trans.groupBy(identity).map { case (k, g) => k -> g.length.toLong }
+    val got = Curation14.q181.run(spark, sfDir).collect()
+    assert(got.length == expect.size)
+    got.foreach { r =>
+      val k = (r.getString(0), r.getString(1))
+      assert(r.getLong(2) == expect(k), s"$k n_docs")
+      assert(r.getBoolean(3) == (k._1 != k._2), s"$k moved")
+    }
+    // conservation + the repair only ever moves INTO train
+    assert(got.map(_.getLong(2)).sum == docs.length.toLong)
+    assert(got.filter(_.getBoolean(3)).forall(_.getString(1) == "train"))
+    assert(got.exists(_.getBoolean(3)), "derived clusters produced no moves")
+    // post-repair leak-freeness: no cluster straddles the repaired split
+    val repaired = f.map { case (id, c, s0) =>
+      (c, if (straddles(c)) "train" else s0)
+    }
+    repaired.groupBy(_._1).foreach { case (c, g) =>
+      assert(g.map(_._2).distinct.length == 1, s"cluster still straddles")
+    }
+  }
+
   // -- q179 -------------------------------------------------------------
 
   test("q179 source novelty: census equals a driver-side gram replay") {

@@ -27,7 +27,7 @@ object Curation13 {
   /** The q172 split rule, shared verbatim by every query that audits
     * the split: first 2 hex chars of md5(doc_id:source), 13/13/230 of
     * 256 buckets → val/test/train. */
-  private[queries] def splitCol(docId: Column, source: Column): Column = {
+  private[graft] def splitCol(docId: Column, source: Column): Column = {
     val h = substring(md5(concat(docId.cast("string"), lit(":"), source)), 1, 2)
     when(h < "0d", "val").when(h < "1a", "test").otherwise("train")
   }

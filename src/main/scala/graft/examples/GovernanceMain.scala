@@ -29,6 +29,7 @@ import org.apache.spark.sql.SparkSession
   *  18. source novelty (q179): template/syndication flags
   *  19. length drift (q180): crawl-to-crawl KS per source
   *  20. split repair bill (q181): the quarantine-to-train reassignment
+  *  21. cross-split n-gram overlap (q182): residual substring leakage
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -68,7 +69,8 @@ object GovernanceMain {
       "domain-shift census" -> "q178_domain_shift",
       "source novelty" -> "q179_source_novelty",
       "length drift (crawl-to-crawl KS)" -> "q180_length_drift",
-      "split repair bill (quarantine-to-train)" -> "q181_split_repair")
+      "split repair bill (quarantine-to-train)" -> "q181_split_repair",
+      "cross-split n-gram overlap" -> "q182_split_ngram_overlap")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

@@ -300,5 +300,60 @@ object Curation14 {
       .orderBy("split_from", "split_to")
   }
 
-  val all: Seq[GraftQuery] = Seq(q178, q179, q180, q181)
+  // -- q182: cross-split n-gram contamination rate -----------------------
+  // The eval-integrity number GPT-2/3-class releases report: what
+  // fraction of the held-out splits' distinct 8-grams also occur in
+  // train? q174/q181 police DOCUMENT-level leakage; this measures the
+  // residual SUBSTRING-level contamination that survives doc-grain
+  // hygiene (shared boilerplate, quotes, common phrases) — the number
+  // an eval-decontamination pass (q103's n-gram discipline) is then
+  // tuned against. Splits are the q172 hash rule; grams ride the
+  // 60-bit cross-engine hash.
+  //
+  // Scale: per-doc distinct 8-grams explode once; everything after is
+  // vocabulary-grain — distinct (split, gram-hash), then a LEFT join
+  // of the held-out gram sets against the train gram set, equi on the
+  // hash (stats pick broadcast vs shuffle). Two output rows.
+  val q182 = q("q182_split_ngram_overlap",
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |s AS (SELECT ${Curation13.splitSqlExpr} AS split,
+      |        CASE WHEN len(t) >= 8
+      |             THEN list_distinct(list_transform(range(1, len(t) - 6),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |                         || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+      |                         || ' ' || t[i+7]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |g AS (SELECT DISTINCT split,
+      |        CAST(concat('0x', substr(md5(gram), 1, 15)) AS BIGINT) AS gh
+      |      FROM (SELECT split, unnest(sh) AS gram FROM s)),
+      |tr AS (SELECT gh FROM g WHERE split = 'train'),
+      |ev AS (SELECT g.split, (tr.gh IS NOT NULL) AS in_train
+      |       FROM g LEFT JOIN tr ON g.gh = tr.gh WHERE g.split <> 'train')
+      |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS BIGINT) AS n_in_train,
+      |  CAST(round(CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS DOUBLE)
+      |       * 10000 / COUNT(*)) AS BIGINT) / 10000.0 AS overlap_rate
+      |FROM ev GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+    import graft.QueryDsl.crossHash60
+    val g = Tables(s, dir).documents
+      .select(Curation13.splitCol(col("doc_id"), col("source")).as("split"),
+        split(col("text"), " ").as("toks"))
+      .select(col("split"), explode(Dedup.shinglesK(col("toks"), 8)).as("gram"))
+      .select(col("split"), crossHash60(col("gram")).as("gh"))
+      .distinct()
+    val tr = g.where(col("split") === "train")
+      .select(col("gh"), lit(true).as("in_train"))
+    g.where(col("split") =!= "train")
+      .join(tr, Seq("gh"), "left")
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("in_train"), 1L).otherwise(0L)).as("n_in_train"))
+      .select(col("split"), col("n_grams"), col("n_in_train"),
+        (round(col("n_in_train").cast(DoubleType) * 10000 / col("n_grams"))
+          .cast(LongType) / 10000.0).as("overlap_rate"))
+      .orderBy("split")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q178, q179, q180, q181, q182)
 }

@@ -442,6 +442,21 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  // q182's contamination check joins held-out gram sets to the train
+  // gram set equi on the 60-bit hash at vocabulary grain — no loop or
+  // cartesian shapes, and raw gram strings never ride an exchange.
+  test("q182_split_ngram_overlap joins gram sets equi on the hash") {
+    val plan = executed("q182_split_ngram_overlap")
+    assert(!plan.contains("BroadcastNestedLoop"), "q182 plans BroadcastNestedLoopJoin")
+    assert(!plan.contains("CartesianProduct"), "q182 plans CartesianProduct")
+    val equi = Seq("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin")
+      .exists(plan.contains)
+    assert(equi, s"q182 gram join is not an equi-join:\n$plan")
+    plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { l =>
+      assert(!l.contains("gram#"), s"q182 shuffles raw gram strings: $l")
+    }
+  }
+
   // q181's straddle detection must ride the two-level distinct chain
   // (no count-distinct Expand), its joins must all be equi, and raw
   // text never rides a hash exchange (fingerprints only).

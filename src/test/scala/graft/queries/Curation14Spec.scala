@@ -200,6 +200,42 @@ class Curation14Spec extends SparkSpecBase {
     }
   }
 
+  // -- q182 -------------------------------------------------------------
+
+  test("q182 cross-split overlap: census equals a driver-side gram replay") {
+    def md5hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def splitOf(id: Long, src: String): String = {
+      val h = md5hex(s"$id:$src").substring(0, 2)
+      if (h < "0d") "val" else if (h < "1a") "test" else "train"
+    }
+    val docs = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def grams(t: String): Seq[String] = {
+      val toks = t.split(" ", -1)
+      if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSeq.distinct
+      else toks.toSeq.distinct
+    }
+    val bySplit = docs.groupBy { case (id, src, _) => splitOf(id, src) }
+      .map { case (s0, g) => s0 -> g.flatMap(d => grams(d._3)).toSet }
+    val train = bySplit.getOrElse("train", Set.empty)
+    val got = Curation14.q182.run(spark, sfDir).collect()
+    assert(got.map(_.getString(0)).toSet == Set("val", "test"))
+    got.foreach { r =>
+      val s0 = r.getString(0)
+      val gs = bySplit(s0)
+      val inTrain = gs.count(train)
+      assert(r.getLong(1) == gs.size.toLong, s"$s0 n_grams")
+      assert(r.getLong(2) == inTrain.toLong, s"$s0 n_in_train")
+      val rateL = halfUp(inTrain.toDouble * 10000 / gs.size)
+      assert(r.getDouble(3) == rateL / 10000.0, s"$s0 overlap_rate")
+      // residual substring contamination exists even though q181 made
+      // the splits document-leak-free — that gap is the point of q182
+      assert(r.getLong(2) > 0, s"$s0 found no residual overlap?")
+    }
+  }
+
   // -- q179 -------------------------------------------------------------
 
   test("q179 source novelty: census equals a driver-side gram replay") {

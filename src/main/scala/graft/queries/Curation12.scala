@@ -253,15 +253,18 @@ object Curation12 {
       |        MAX(CASE WHEN rk = 1 THEN cos_l END) AS best_l,
       |        CAST(SUM(cos_l) AS BIGINT) AS sum_l,
       |        CAST(COUNT(*) AS BIGINT) AS k
-      |      FROM r WHERE rk <= 8 GROUP BY qid)
+      |      FROM r WHERE rk <= 8 GROUP BY qid),
+      |m AS (SELECT qid, best_cid, best_l, sum_l, k,
+      |        CASE WHEN sum_l > 0 THEN
+      |          CAST(round(CAST(best_l AS DOUBLE) * k * 10000 / sum_l) AS BIGINT)
+      |        END AS margin_l
+      |      FROM g)
       |SELECT qid, best_cid,
       |  CAST(best_l AS DOUBLE) / 10000 AS best_cos,
       |  CAST(sum_l AS DOUBLE) / k / 10000 AS mean_cos,
-      |  CAST(round(CAST(best_l AS DOUBLE) * k * 10000 / sum_l) AS BIGINT)
-      |    / 10000.0 AS margin,
-      |  (CAST(round(CAST(best_l AS DOUBLE) * k * 10000 / sum_l) AS BIGINT)
-      |    >= 10500) AS confident
-      |FROM g ORDER BY qid""".stripMargin) { (s, dir) =>
+      |  CAST(margin_l AS DOUBLE) / 10000.0 AS margin,
+      |  (sum_l > 0 AND margin_l >= 10500) AS confident
+      |FROM m ORDER BY qid""".stripMargin) { (s, dir) =>
     import graft.functions.VectorFunctions.cosineSim
     // Quantize to the SQ grid at the scan (map-side, once per vector);
     // the native cosine kernel then runs on exact integer-valued
@@ -296,13 +299,18 @@ object Curation12 {
         // (sum_l ≡ k/2 mod k) where the two engines' rounding reads
         // diverge; mean_cos therefore ships the raw identical-op
         // quotient unrounded.
-        round(col("best_l").cast(DoubleType) * col("k") * 10000 / col("sum_l"))
-          .cast(LongType).as("margin_l"))
+        // sum_l > 0 guard: cosines can be NEGATIVE, so a neighborhood
+        // whose top-8 sums to ≤ 0 would otherwise divide into
+        // ±Infinity and round(Inf).cast(Long) diverges between
+        // engines — such queries get null margin / confident = false.
+        when(col("sum_l") > 0,
+          round(col("best_l").cast(DoubleType) * col("k") * 10000 / col("sum_l"))
+            .cast(LongType)).as("margin_l"))
       .select(col("qid"), col("best_cid"),
         (col("best_l").cast(DoubleType) / 10000).as("best_cos"),
         (col("sum_l").cast(DoubleType) / col("k") / 10000).as("mean_cos"),
         (col("margin_l").cast(DoubleType) / 10000.0).as("margin"),
-        (col("margin_l") >= 10500).as("confident"))
+        ((col("sum_l") > 0) && (col("margin_l") >= 10500)).as("confident"))
       .orderBy("qid")
   }
 

@@ -32,9 +32,17 @@ object PipelineStats {
     counts.keys.max
   }
 
+  /** `writtenAtMs` is the wall-clock of the bucket's last write: the
+    * wrap-around histogram re-uses the same 60 slots every hour, so a
+    * slot's counts are only "this hour's" if the write is at most
+    * (slot-age + 1) minutes old — [[QueryStats.minuteSeries]] uses it
+    * to drop prior-hour ghosts even when the query resumed after an
+    * interior mid-hour idle gap (0 = unknown, falls back to the
+    * lastSeen-gap heuristic for hand-built fixtures). */
   final case class MinuteBucket(
       successCount: Long = 0, errorCount: Long = 0,
-      timeoutCount: Long = 0, processedCount: Long = 0)
+      timeoutCount: Long = 0, processedCount: Long = 0,
+      writtenAtMs: Long = 0L)
 
   /** One captured failure for the per-query drill-down — the
     * reference's failed-message record (timestamp + error + traceback,
@@ -85,17 +93,25 @@ object PipelineStats {
       *
       * The wrap-around histogram is only cleaned by progress events
       * (each zeroes the upcoming bucket), so an IDLE query's stale
-      * buckets would alias hour-old counts into the "last hour": any
-      * minute slot that fell inside the idle gap since `lastSeenMs`
-      * renders as zero instead — an hour-idle query renders an empty
-      * strip, never a fabricated one. */
+      * buckets would alias hour-old counts into the "last hour". Two
+      * staleness guards apply per slot: (1) a bucket carrying its own
+      * `writtenAtMs` is fresh only if the write is at most
+      * (slot-age + 1) minutes old — a prior-hour write is ~60 minutes
+      * older and drops, so a query that idled MID-hour and resumed
+      * never renders the interior gap's ghost counts; (2) buckets
+      * without a write stamp (hand-built fixtures) fall back to the
+      * trailing-gap heuristic on `lastSeenMs`. An hour-idle query
+      * renders an empty strip, never a fabricated one. */
     def minuteSeries(nowMinute: Int, nowMs: Long): Seq[MinuteBucket] = {
       val gapMin =
         if (lastSeenMs <= 0L) 60L
         else math.min(60L, math.max(0L, (nowMs - lastSeenMs) / 60000L))
       (59 to 0 by -1).map { d =>
-        if (d < gapMin) MinuteBucket() // slot recurred inside the idle gap
-        else histogram.getOrElse(((nowMinute - d) % 60 + 60) % 60, MinuteBucket())
+        val b = histogram.getOrElse(((nowMinute - d) % 60 + 60) % 60, MinuteBucket())
+        val stale =
+          if (b.writtenAtMs > 0L) nowMs - b.writtenAtMs > (d + 1L) * 60000L + 1000L
+          else d < gapMin // slot recurred inside the trailing idle gap
+        if (stale) MinuteBucket() else b
       }
     }
 
@@ -192,7 +208,8 @@ final class PipelineStatsListener(
         // from the previous hour into the 3-minute lookback
         histogram = s.histogram.updated(minute, bucket.copy(
           successCount = bucket.successCount + rows,
-          processedCount = bucket.processedCount + rows))
+          processedCount = bucket.processedCount + rows,
+          writtenAtMs = clockMs()))
           .updated((minute + 1) % 60, MinuteBucket())))
     }
   }
@@ -237,7 +254,8 @@ final class PipelineStatsListener(
             err.linesIterator.nextOption().getOrElse("query terminated"), err))
             .takeRight(MaxFailures),
           histogram = s.histogram.updated(minute,
-            bucket.copy(errorCount = bucket.errorCount + 1))))
+            bucket.copy(errorCount = bucket.errorCount + 1,
+              writtenAtMs = clockMs()))))
       }
     }
   }

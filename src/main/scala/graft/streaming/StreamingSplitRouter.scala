@@ -53,9 +53,13 @@ object StreamingSplitRouter {
   final case class SplitVerdict(docId: Long, source: String, split: String,
       corrected: Boolean, redelivered: Boolean, seq: Long)
 
-  // public: GroupState encoders need constructor access
+  // public: GroupState encoders need constructor access.
+  // pendingCount mirrors pendingIds.length so the maxPending bound
+  // check stays O(1) per arrival (List.size is O(n) — a large
+  // never-straddling cluster would otherwise pay O(n²) per batch).
   final case class RouteState(firstSplit: String, quarantined: Boolean,
-      highSeq: Long, pendingIds: List[Long], pendingSources: List[String])
+      highSeq: Long, pendingIds: List[Long], pendingSources: List[String],
+      pendingCount: Int)
 
   // public: Dataset encoders generate accessor code for this class
   final case class KeyedArrival(docId: Long, source: String, seq: Long,
@@ -77,12 +81,13 @@ object StreamingSplitRouter {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
         (_: String, it: Iterator[KeyedArrival], st: GroupState[RouteState]) =>
           val st0 = st.getOption.getOrElse(
-            RouteState("", quarantined = false, Long.MinValue, Nil, Nil))
+            RouteState("", quarantined = false, Long.MinValue, Nil, Nil, 0))
           var first = st0.firstSplit
           var quarantined = st0.quarantined
           var high = st0.highSeq
           var pendingIds = st0.pendingIds
           var pendingSources = st0.pendingSources
+          var pendingCount = st0.pendingCount
           val out = scala.collection.mutable.ArrayBuffer.empty[SplitVerdict]
           // seq order = delivery order: deterministic under Spark's
           // unordered group iterator
@@ -101,23 +106,25 @@ object StreamingSplitRouter {
                   out += SplitVerdict(id, src, "train",
                     corrected = true, redelivered = false, r.seq)
                 }
-                pendingIds = Nil; pendingSources = Nil
+                pendingIds = Nil; pendingSources = Nil; pendingCount = 0
               }
               val assigned = if (quarantined) "train" else r.split
               if (!quarantined && assigned != "train") {
-                if (pendingIds.size >= maxPending)
+                if (pendingCount >= maxPending)
                   throw new IllegalStateException(
                     s"StreamingSplitRouter pending bound exceeded: fingerprint " +
                     s"cluster holds > $maxPending uncorrected val/test members — " +
                     "a cluster this large is a dedup problem (route it through " +
                     "q27/q84 first) or raise maxPending if memory allows.")
                 pendingIds ::= r.docId; pendingSources ::= r.source
+                pendingCount += 1
               }
               out += SplitVerdict(r.docId, r.source, assigned,
                 corrected = false, redelivered = false, r.seq)
             }
           }
-          st.update(RouteState(first, quarantined, high, pendingIds, pendingSources))
+          st.update(RouteState(first, quarantined, high, pendingIds, pendingSources,
+            pendingCount))
           out.iterator
       }
   }

@@ -133,11 +133,38 @@ class Curation12Spec extends SparkSpecBase {
       assert(r.getLong(1) == top.head._1, s"q$qid best_cid")
       assert(r.getDouble(2) == bestL.toDouble / 10000, s"q$qid best_cos")
       assert(r.getDouble(3) == sumL.toDouble / k / 10000, s"q$qid mean_cos")
-      val marginL = halfUp(bestL.toDouble * k * 10000 / sumL)
-      assert(r.getDouble(4) == marginL.toDouble / 10000.0, s"q$qid margin")
-      assert(r.getBoolean(5) == (marginL >= 10500), s"q$qid confident")
-      // best is a member of the top-8 pool ⇒ best·k ≥ sum ⇒ margin ≥ 1
-      assert(r.getDouble(4) >= 1.0 && r.getDouble(2) >= r.getDouble(3))
+      if (sumL > 0) {
+        val marginL = halfUp(bestL.toDouble * k * 10000 / sumL)
+        assert(r.getDouble(4) == marginL.toDouble / 10000.0, s"q$qid margin")
+        assert(r.getBoolean(5) == (marginL >= 10500), s"q$qid confident")
+        // best is a member of the top-8 pool ⇒ best·k ≥ sum ⇒ margin ≥ 1
+        assert(r.getDouble(4) >= 1.0 && r.getDouble(2) >= r.getDouble(3))
+      } else {
+        // cosines can be negative: a non-positive top-8 sum must yield
+        // null margin / not-confident, never an Infinity division
+        assert(r.isNullAt(4), s"q$qid margin must be null when sum_l <= 0")
+        assert(!r.getBoolean(5), s"q$qid must not be confident when sum_l <= 0")
+      }
     }
+  }
+
+  test("q173 margin kernel guards non-positive top-k sums (no Infinity division)") {
+    // the exact margin projection from q173, exercised on the branch the
+    // synthetic embeddings never hit: an all-negative neighborhood
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    import spark.implicits._
+    val df = Seq((1L, 9000L, -500L, 8L), (2L, 9000L, 40000L, 8L))
+      .toDF("qid", "best_l", "sum_l", "k")
+      .select(col("qid"), col("sum_l"),
+        when(col("sum_l") > 0,
+          round(col("best_l").cast("double") * col("k") * 10000 / col("sum_l"))
+            .cast(LongType)).as("margin_l"))
+      .select(col("qid"),
+        (col("margin_l").cast("double") / 10000.0).as("margin"),
+        ((col("sum_l") > 0) && (col("margin_l") >= 10500)).as("confident"))
+      .orderBy("qid").collect()
+    assert(df(0).isNullAt(1) && !df(0).getBoolean(2), "sum_l<0 → null margin, not confident")
+    assert(df(1).getDouble(1) == 1.8 && df(1).getBoolean(2), "positive sum keeps the kernel")
   }
 }

@@ -75,6 +75,32 @@ class PipelineStatsSpec extends SparkSpecBase {
       .forall(_.processedCount == 0))
   }
 
+  test("minuteSeries drops INTERIOR mid-hour gap ghosts via per-bucket write stamps") {
+    import PipelineStats._
+    // timeline: buckets 0..4 written THIS hour (minutes 0-4 of hour H),
+    // buckets 5..14 still hold LAST hour's writes (hour H-1), query
+    // resumed and wrote buckets 15..20 this hour; now = minute 20 of H.
+    // lastSeenMs is recent, so the old trailing-gap heuristic alone
+    // would render the 5..14 ghosts as live "last hour" traffic.
+    val hourH = 3600000L * 5
+    def at(min: Int, hoursAgo: Int = 0) = hourH + min * 60000L - hoursAgo * 3600000L
+    val nowMs = at(20) + 30000L
+    val hist =
+      (0 to 4).map(m => m -> MinuteBucket(processedCount = 7, writtenAtMs = at(m))).toMap ++
+      (5 to 14).map(m => m -> MinuteBucket(processedCount = 99, writtenAtMs = at(m, hoursAgo = 1))).toMap ++
+      (15 to 20).map(m => m -> MinuteBucket(processedCount = 7, writtenAtMs = at(m))).toMap
+    val s = QueryStats("x", histogram = hist, lastSeenMs = at(20))
+    val series = s.minuteSeries(nowMinute = 20, nowMs = nowMs)
+    // series is oldest→newest: index 59 = minute 20, index 59-d = d minutes ago
+    def slot(minute: Int) = series(59 - ((20 - minute) % 60 + 60) % 60)
+    (5 to 14).foreach(m => assert(slot(m).processedCount == 0,
+      s"interior-gap minute $m must render zero, got ${slot(m).processedCount}"))
+    ((0 to 4) ++ (15 to 20)).foreach(m => assert(slot(m).processedCount == 7,
+      s"this-hour minute $m must keep its data"))
+    // minutes 21..59 have no bucket at all → zero
+    assert(series.take(39).forall(_.processedCount == 0))
+  }
+
   test("per-source lag gauge under a throttled QueueRamp (MillisecondsBehind parity)") {
     import graft.sources.{QueueRamp, QueueRampProvider}
     val qn = "stats-lag"

@@ -65,4 +65,63 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(Bench.swingVerdict(9.97, -1.0, 3.74) == "regression") // rerun errored: t1 rules
     assert(Bench.swingVerdict(7.40, 8.10, 3.74) == "noise")      // t1 itself within 2x
   }
+
+  test("sentinel baseline parses from bench_full.json and gates on sf") {
+    val body = """{"metric":"total","value":1.0,"sf":"/root/testdata/sf0.1",""" +
+      """"box_factor":1.000,"sentinel_observed":{"q01_pricing_summary":0.520},""" +
+      """"sentinel_baseline":{"q01_pricing_summary":0.414,"q03_top_revenue":0.702}}"""
+    val m = Bench.parseSentinelBaseline(body, "/root/testdata/sf0.1")
+    assert(m == Map("q01_pricing_summary" -> 0.414, "q03_top_revenue" -> 0.702))
+    assert(Bench.parseSentinelBaseline(body, "/root/testdata/sf0.01").isEmpty,
+      "a baseline from another scale factor must not calibrate this run")
+    assert(Bench.parseSentinelBaseline("", "/root/testdata/sf0.1").isEmpty)
+    // a prior file WITHOUT the field (pre-r13 shape) yields no baseline
+    assert(Bench.parseSentinelBaseline(fullBody, "/root/testdata/sf0.1").isEmpty)
+  }
+
+  test("boxFactor: geometric mean of sentinel ratios, clamped to [1, 8]") {
+    val base = Map("a" -> 1.0, "b" -> 2.0)
+    assert(Bench.boxFactor(Map("a" -> 2.0, "b" -> 4.0), base) == 2.0) // uniform 2x window
+    assert(Bench.boxFactor(Map("a" -> 1.0, "b" -> 8.0), base) == 2.0) // gmean(1,4)=2
+    assert(Bench.boxFactor(Map("a" -> 0.5, "b" -> 1.0), base) == 1.0) // fast box never shrinks priors
+    assert(Bench.boxFactor(Map("a" -> 100.0), base) == 8.0)           // cap: don't normalize garbage
+    assert(Bench.boxFactor(Map("a" -> 2.0), Map.empty) == 1.0)        // first run: no baseline
+    assert(Bench.boxFactor(Map.empty, base) == 1.0)
+    assert(Bench.boxFactor(Map("a" -> 2.0), Map("a" -> 0.0)) == 1.0)  // zero baseline ignored
+  }
+
+  test("a uniformly slowed window yields ZERO false regressions once the factor applies") {
+    // the r12 episode in miniature: quiet-box priors, every query
+    // (including untouched ones) measuring ~2.5x slow, sentinels too
+    val priors = Map("q139" -> 3.74, "q15" -> 0.82, "q159" -> 3.85)
+    val slowdown = 2.5
+    val factor = Bench.boxFactor(
+      Map("q01" -> 0.414 * slowdown, "q03" -> 0.702 * slowdown),
+      Map("q01" -> 0.414, "q03" -> 0.702))
+    assert(math.abs(factor - slowdown) < 1e-9)
+    priors.foreach { case (q, p) =>
+      val t1 = p * slowdown; val t2 = p * slowdown * 0.95
+      assert(Bench.swingVerdict(t1, t2, p, factor) == "noise",
+        s"$q: untouched code on a slow box must not read as regression")
+    }
+    // while a REAL 5x plan regression still fires through a 2.5x window:
+    // 5x-of-prior measured on a 2.5x box = 12.5x raw > 2 * 2.5 normalized
+    assert(Bench.swingVerdict(3.74 * 12.5, 3.74 * 12.5, 3.74, factor) == "regression")
+  }
+
+  test("probeCommand keeps add-opens/heap/-D args and drops everything else") {
+    val jvmArgs = Seq(
+      "--add-opens", "java.base/java.lang=ALL-UNNAMED",
+      "--add-opens=java.base/java.nio=ALL-UNNAMED",
+      "-Xmx16g", "-Dspark.ui.enabled=false",
+      "-javaagent:/opt/sbt/agent.jar", "-XX:+UseG1GC", "-classpath", "/ignored")
+    val cmd = Bench.probeCommand("/opt/jdk", jvmArgs, "/cp/a.jar:/cp/b.jar")
+    assert(cmd.head == "/opt/jdk/bin/java")
+    assert(cmd.containsSlice(Seq("--add-opens", "java.base/java.lang=ALL-UNNAMED")))
+    assert(cmd.contains("--add-opens=java.base/java.nio=ALL-UNNAMED"))
+    assert(cmd.contains("-Xmx16g") && cmd.contains("-Dspark.ui.enabled=false"))
+    assert(!cmd.exists(_.startsWith("-javaagent")), "agent flags must not leak into the probe")
+    assert(!cmd.contains("-XX:+UseG1GC") && !cmd.contains("/ignored"))
+    assert(cmd.takeRight(3) == Seq("-cp", "/cp/a.jar:/cp/b.jar", "graft.Bench"))
+  }
 }

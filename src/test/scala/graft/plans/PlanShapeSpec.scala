@@ -23,6 +23,23 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("CartesianProduct"), s"$q plans CartesianProduct")
     }
 
+  // q139's census reads the near-dup pair relation from ONE persisted
+  // build: on the distributed path every leaf of the optimized plan
+  // must be an InMemoryRelation (InMemoryRelation is a logical LEAF, so
+  // collect() does not descend into the cached plan — a live
+  // LogicalRelation here would mean a branch re-running the
+  // prefix-filtered pair join instead of reading the cache).
+  test("q139 distributed census reads the single persisted pair build, no re-scan") {
+    sys.props("graft.tri.driverFallbackEdges") = "0" // force the distributed path
+    try {
+      val lp = SparkEntry.queries("q139_dup_graph_triangles")(spark, sfDir)
+        .queryExecution.optimizedPlan
+      val leaves = lp.collectLeaves().map(_.getClass.getSimpleName)
+      assert(leaves.nonEmpty && leaves.forall(_ == "InMemoryRelation"),
+        s"census leaves must all be the edge/oriented caches, got: $leaves")
+    } finally sys.props.remove("graft.tri.driverFallbackEdges")
+  }
+
   // q163's keep set must ride the bounded-heap TopK aggregate, not a
   // row_number window: a Window would shuffle and sort every document
   // into |sources| tasks for a K-row-per-source answer (the q149

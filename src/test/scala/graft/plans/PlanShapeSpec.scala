@@ -16,7 +16,8 @@ class PlanShapeSpec extends SparkSpecBase {
   for (q <- Seq("q100_allpairs_jaccard", "q84_dup_clusters",
                 "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
                 "q103_decontamination", "q108_source_dup_matrix",
-                "q138_cluster_split", "q177_minhash_calibration"))
+                "q138_cluster_split", "q177_minhash_calibration",
+                "q183_exact_substring"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
       val plan = executed(q)
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")

@@ -36,3 +36,27 @@ javaOptions ++= jdk17AddOpens ++ Seq(
 // Streaming suites share one SparkSession and memory-sink namespace;
 // run test classes sequentially for determinism.
 Test / parallelExecution := false
+
+// Explicit root so the optional subproject below is NOT auto-aggregated:
+// `sbt compile` / `sbt test` build exactly what they always built. All
+// bare settings in this file attach to this root project.
+lazy val root = (project in file("."))
+
+// Optional aws-sdk-v2 adapter (graft.aws.*): production bindings for the
+// KinesisApi/SqsApi/LeaseTable seams in graft.sources. The zero-egress
+// default build never compiles it (no aggregation; the offline resolver
+// has no SDK jars). With SDK jars on disk:
+//   GRAFT_AWS_SDK_JARS=/path/to/aws-sdk-v2/jars sbt awsAdapter/compile
+//   GRAFT_AWS_E2E=1 ... sbt awsAdapter/test   # live conformance suites
+lazy val awsAdapter = (project in file("aws-adapter"))
+  .dependsOn(root % "compile->compile;test->test")
+  .settings(
+    name := "graft-aws-adapter",
+    Compile / unmanagedJars ++=
+      ((file("/opt/spark/jars") * "*.jar") +++
+       (file(sys.env.getOrElse("GRAFT_AWS_SDK_JARS", "aws-adapter/lib")) * "*.jar")).classpath,
+    libraryDependencies += "org.scalatest" %% "scalatest" % "3.2.19" % Test,
+    Test / parallelExecution := false,
+    javaOptions ++= jdk17AddOpens,
+    Test / fork := true,
+  )

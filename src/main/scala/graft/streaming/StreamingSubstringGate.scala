@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Live exact-substring dedup gate — the streaming twin of q183
+  * ([[graft.queries.Curation15]], Lee et al. 2022 §4.1): documents
+  * arrive as a stream, and any L-token window whose gram was ALREADY
+  * seen anywhere in the accumulated stream is flagged at arrival. The
+  * first occurrence was released before anyone knew it would
+  * duplicate, so — the q181/StreamingSplitRouter correction
+  * discipline — the moment a gram's second occurrence arrives, a
+  * CORRECTION row (`corrected = true`) re-flags the first occurrence's
+  * window; every occurrence from then on flags directly. The union of
+  * flagged windows per document therefore converges to exactly the
+  * batch q183 covered-token set (StreamingSubstringGateSpec pins
+  * per-doc convergence against the batch census's brute force).
+  *
+  * At-least-once: `seq` is the stream's monotone delivery sequence.
+  * The per-gram high-water fence re-emits a redelivered occurrence's
+  * CURRENT verdict (hit if its gram is known-duplicated, nothing
+  * otherwise) without mutating state — replay can neither re-emit the
+  * first-occurrence correction nor store a duplicate first occurrence.
+  *
+  * Scale: the gram explode is map-side (one 60-bit-hashable gram per
+  * token position, string transient in the lambda — q183's shape); the
+  * one shuffle keys on the gram hash, the same key the batch census
+  * groups on. State is ONE fixed-width entry per DISTINCT gram ever
+  * seen — vocabulary grain, which grows with the corpus: `maxGrams`
+  * fails loudly past the bound (the LiveClusterIndex discipline — at
+  * production scale shard the gate by gram-hash range, or front it
+  * with the [[StreamingBloomIngest]] sketch for a static base so only
+  * novel grams reach keyed state). Output is append-mode; corrections
+  * are new rows, never retractions.
+  */
+object StreamingSubstringGate {
+
+  /** One arriving document; `seq` is the stream's monotone delivery
+    * sequence (repeated only on redelivery). */
+  final case class DocArrival(docId: Long, source: String, text: String, seq: Long)
+
+  /** One flagged L-token window [pos, pos + L - 1] of a document.
+    * `corrected = false`: flagged at its own arrival (gram already
+    * known). `corrected = true`: the retro-flag of a FIRST occurrence,
+    * emitted when its gram's second occurrence arrived. */
+  final case class SubstringHit(docId: Long, source: String, pos: Int,
+      corrected: Boolean, redelivered: Boolean, seq: Long)
+
+  // public: GroupState/Dataset encoders need constructor access.
+  // The replay fence is the LEXICOGRAPHIC high-water (seq, doc, pos) of
+  // the last processed occurrence — a plain seq fence would misread a
+  // SECOND occurrence inside the same document (same seq, later pos,
+  // e.g. an intra-doc repeat) as a redelivery. Occurrences process in
+  // (seq, doc, pos) order, so anything ≤ the mark is a replay of an
+  // already-processed occurrence and anything above is genuinely new —
+  // fixed-width state either way.
+  final case class GramState(firstDoc: Long, firstSource: String, firstPos: Int,
+      dupKnown: Boolean, highSeq: Long, highDoc: Long, highPos: Int)
+  final case class GramOcc(gh: Long, docId: Long, source: String, pos: Int, seq: Long)
+
+  /** Per-JVM resident-gram gauge backing the loud `maxGrams` bound: a
+    * JVM-static so every task in an executor shares it and it persists
+    * across micro-batches (a closure-captured counter would reset per
+    * task). Shared by ALL gates in the JVM — it is a safety bound on
+    * executor memory, not per-query accounting. */
+  private val residentGrams = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** @param maxGrams loud bound on distinct grams held in state (see
+    *   class doc; state entries are ~40 B — the default holds ~2 GB). */
+  def hits(docs: Dataset[DocArrival], L: Int,
+      maxGrams: Long = 50000000L): Dataset[SubstringHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grams = docs.toDF()
+      .withColumn("t", split(col("text"), " "))
+      .select(col("docId"), col("source"), col("seq"),
+        posexplode(when(size(col("t")) >= L,
+          transform(sequence(lit(0), size(col("t")) - L),
+            i => graft.QueryDsl.crossHash60(concat_ws(" ", slice(col("t"), i + 1, lit(L))))))
+          .otherwise(array())))
+      .select(col("col").as("gh"), col("docId"), col("source"),
+        col("pos"), col("seq"))
+      .as[GramOcc]
+    grams.groupByKey(_.gh)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
+        (_: Long, it: Iterator[GramOcc], st: GroupState[GramState]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SubstringHit]
+          var s = st.getOption.orNull
+          // seq order = delivery order (deterministic under Spark's
+          // unordered group iterator)
+          it.toArray.sortBy(o => (o.seq, o.docId, o.pos)).foreach { o =>
+            val mark = if (s == null) null else (s.highSeq, s.highDoc, s.highPos)
+            val key = (o.seq, o.docId, o.pos)
+            if (mark != null && Ordering[(Long, Long, Int)].lteq(key, mark)) {
+              // replayed occurrence: current verdict only, no mutation
+              if (s.dupKnown)
+                out += SubstringHit(o.docId, o.source, o.pos,
+                  corrected = false, redelivered = true, o.seq)
+            } else if (s == null) {
+              if (residentGrams.incrementAndGet() > maxGrams)
+                throw new IllegalStateException(
+                  s"StreamingSubstringGate gram-state bound exceeded (> $maxGrams " +
+                  "distinct grams on one executor) — shard the gate by gram-hash " +
+                  "range or front a static base with StreamingBloomIngest.")
+              s = GramState(o.docId, o.source, o.pos, dupKnown = false,
+                o.seq, o.docId, o.pos)
+            } else {
+              if (!s.dupKnown)
+                out += SubstringHit(s.firstDoc, s.firstSource, s.firstPos,
+                  corrected = true, redelivered = false, o.seq)
+              out += SubstringHit(o.docId, o.source, o.pos,
+                corrected = false, redelivered = false, o.seq)
+              s = s.copy(dupKnown = true, highSeq = o.seq,
+                highDoc = o.docId, highPos = o.pos)
+            }
+          }
+          if (s != null) st.update(s)
+          out.iterator
+      }
+  }
+}

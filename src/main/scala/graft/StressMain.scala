@@ -118,7 +118,10 @@ object StressMain {
     // fingerprint audit, LSH calibration (q29's machinery + census),
     // four-branch single-scan chi-square, vocab-grain novelty join
     "q171_domain_cap", "q174_split_leakage", "q177_minhash_calibration",
-    "q178_domain_shift", "q179_source_novelty")
+    "q178_domain_shift", "q179_source_novelty",
+    // round 13: exact-substring dedup (token-grain gram census + window
+    // merge — the heaviest per-token explode in the registry)
+    "q183_exact_substring")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

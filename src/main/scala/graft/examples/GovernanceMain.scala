@@ -30,6 +30,8 @@ import org.apache.spark.sql.SparkSession
   *  19. length drift (q180): crawl-to-crawl KS per source
   *  20. split repair bill (q181): the quarantine-to-train reassignment
   *  21. cross-split n-gram overlap (q182): residual substring leakage
+  *  22. exact-substring dedup bill (q183): the ≥50-token purge census
+  *  23. PII scrub census (q184): email/phone/IP redaction bill
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -70,7 +72,9 @@ object GovernanceMain {
       "source novelty" -> "q179_source_novelty",
       "length drift (crawl-to-crawl KS)" -> "q180_length_drift",
       "split repair bill (quarantine-to-train)" -> "q181_split_repair",
-      "cross-split n-gram overlap" -> "q182_split_ngram_overlap")
+      "cross-split n-gram overlap" -> "q182_split_ngram_overlap",
+      "exact-substring dedup bill (Lee et al. ExactSubstr)" -> "q183_exact_substring",
+      "PII scrub census (emails/phones/IPs)" -> "q184_pii_scrub")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

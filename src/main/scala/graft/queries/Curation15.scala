@@ -133,5 +133,93 @@ object Curation15 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q183)
+  // -- q184: PII scrub census (emails / phones / IPs) --------------------
+  // The release-stage redaction pass every public-corpus pipeline runs
+  // (Dolma's PII tagger, RedPajama's scrubbers): detect and mask
+  // email / phone / IPv4 literals, and report per source how many
+  // documents carry PII, how many literals of each class, and how many
+  // characters redaction removes. The synthetic corpus carries no PII,
+  // so — the q181 derived-corpus discipline — deterministic literals
+  // are injected keyed on doc_id (7→email, 11→phone, 13→IP, overlaps
+  // compose) identically in both engines; the DETECTORS then run on
+  // the derived text with no knowledge of the injection rule.
+  //
+  // Counts are measured on the original text; redaction applies the
+  // three masks in a fixed order (email, phone, IP) so chars_redacted
+  // is well-defined even if a future pattern overlaps another's match.
+  // Regexes stay inside the Java-regex ∩ RE2 common subset (character
+  // classes, bounded repeats — no lookaround/backrefs), and DuckDB's
+  // regexp_replace carries the 'g' flag to match Spark's replace-all.
+  //
+  // Scale: pure map-side per-row work on ONE corpus scan (Spark's
+  // native codegen'd RegExpCount/RegExpReplace), then a source-keyed
+  // partial aggregate. No shuffle beyond the final group-by.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhoneRe = "\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private val IpRe    = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+
+  val q184 = q("q184_pii_scrub",
+    s"""WITH d AS (SELECT doc_id, source,
+      |        text
+      |          || CASE WHEN doc_id % 7 = 0
+      |               THEN ' contact user' || doc_id || '@example.com' ELSE '' END
+      |          || CASE WHEN doc_id % 11 = 0
+      |               THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |          || CASE WHEN doc_id % 13 = 0
+      |               THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+      |                    || CAST((doc_id // 256) % 256 AS VARCHAR) || '.'
+      |                    || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS content
+      |      FROM documents),
+      |m AS (SELECT doc_id, source,
+      |        CAST(len(regexp_extract_all(content, '$EmailRe')) AS BIGINT) AS n_email,
+      |        CAST(len(regexp_extract_all(content, '$PhoneRe')) AS BIGINT) AS n_phone,
+      |        CAST(len(regexp_extract_all(content, '$IpRe')) AS BIGINT) AS n_ip,
+      |        CAST(len(content) AS BIGINT)
+      |          - CAST(len(regexp_replace(regexp_replace(regexp_replace(content,
+      |              '$EmailRe', '<EMAIL>', 'g'),
+      |              '$PhoneRe', '<PHONE>', 'g'),
+      |              '$IpRe', '<IP>', 'g')) AS BIGINT) AS chars_cut
+      |      FROM d)
+      |SELECT source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN n_email + n_phone + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_pii,
+      |  CAST(SUM(n_email) AS BIGINT) AS n_emails,
+      |  CAST(SUM(n_phone) AS BIGINT) AS n_phones,
+      |  CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+      |  CAST(SUM(chars_cut) AS BIGINT) AS chars_redacted
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id"), lit("@example.com")))
+          .otherwise(""),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(""),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" from 10."), (col("doc_id") % 256).cast("string"), lit("."),
+            (expr("doc_id div 256") % 256).cast("string"), lit("."),
+            (col("doc_id") % 100).cast("string")))
+          .otherwise("")).as("content"))
+    val m = d.select(col("source"),
+      regexp_count(col("content"), lit(EmailRe)).cast(LongType).as("n_email"),
+      regexp_count(col("content"), lit(PhoneRe)).cast(LongType).as("n_phone"),
+      regexp_count(col("content"), lit(IpRe)).cast(LongType).as("n_ip"),
+      (length(col("content")) -
+        length(regexp_replace(regexp_replace(regexp_replace(col("content"),
+          EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), IpRe, "<IP>")))
+        .cast(LongType).as("chars_cut"))
+    m.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_email") + col("n_phone") + col("n_ip") > 0, 1L)
+          .otherwise(0L)).as("n_docs_pii"),
+        sum(col("n_email")).as("n_emails"),
+        sum(col("n_phone")).as("n_phones"),
+        sum(col("n_ip")).as("n_ips"),
+        sum(col("chars_cut")).as("chars_redacted"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q183, q184)
 }

@@ -138,6 +138,37 @@ class Curation15Spec extends SparkSpecBase {
     }
   }
 
+  test("q184 PII detectors: full recall on injected literals, census reconciles, redaction is terminal") {
+    import org.apache.spark.sql.functions._
+    val rows = Curation15.q184.run(spark, sfDir).collect()
+    val docs = graft.Tables(spark, sfDir).documents
+      .select("doc_id", "source").collect().map(r => (r.getLong(0), r.getString(1)))
+    // driver replay of the injection rule → expected per-source counts
+    val expect = docs.groupBy(_._2).view.mapValues { g =>
+      val e = g.count(_._1 % 7 == 0); val p = g.count(_._1 % 11 == 0)
+      val i = g.count(_._1 % 13 == 0)
+      val pii = g.count(d => d._1 % 7 == 0 || d._1 % 11 == 0 || d._1 % 13 == 0)
+      (g.size.toLong, pii.toLong, e.toLong, p.toLong, i.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val want = expect(r.getString(0))
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) == want,
+        s"${r.getString(0)}: detectors must recall every injected literal, exactly")
+      // redaction masks are shorter than any matched literal here
+      assert(r.getLong(6) > 0 == (r.getLong(2) + r.getLong(3) + r.getLong(4) > 0))
+    }
+    // redaction is terminal: a rescan of the redacted text finds nothing
+    // (the q175 post-repair-audit discipline) — replay the exact kernel
+    val kernel = spark.sql(
+      s"""SELECT regexp_replace(regexp_replace(regexp_replace(
+         |  'a user7@example.com b +1-555-0042 c 10.1.2.3 d user7@example.com',
+         |  '${"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}"}', '<EMAIL>'),
+         |  '${"\\\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"}', '<PHONE>'),
+         |  '${"([0-9]{1,3}\\\\.){3}[0-9]{1,3}"}', '<IP>') AS red""".stripMargin)
+      .collect().head.getString(0)
+    assert(kernel == "a <EMAIL> b <PHONE> c <IP> d <EMAIL>", s"got: $kernel")
+  }
+
   test("q183 at the registry threshold runs against the real corpus and is self-consistent") {
     val rows = Curation15.q183.run(spark, sfDir).collect()
     assert(rows.nonEmpty)

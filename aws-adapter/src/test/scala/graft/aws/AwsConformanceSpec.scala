@@ -66,7 +66,7 @@ class AwsKinesisConformance extends KinesisApiConformance("aws-sdk-v2") {
       kinesis.createStream(
         CreateStreamRequest.builder().streamName(stream).shardCount(1).build())
       kinesis.waiter().waitUntilStreamExists(b => b.streamName(stream))
-      val api = new AwsKinesisApi(kinesis, new DynamoSequenceBridge(ddb, bridgeTable))
+      val api = AwsKinesisApi(kinesis, ddb, bridgeTable)
 
       override def split(parent: String): (String, String) = {
         // midpoint of the parent's hash-key range — the canonical

@@ -83,32 +83,52 @@ class CloudEndToEndSpec extends SparkSpecBase {
   }
 
   test("mid-stream shard split: children claimable only after the parent drains through the engine; no record lost or duplicated") {
-    val api = new InMemoryKinesis
+    val inner = new InMemoryKinesis
+    midStreamSplitScenario(inner, inner, "resh-e2e", "resh")
+  }
+
+  test("mid-stream shard split through the ORDINAL BRIDGE: the full engine over opaque sequences") {
+    // the aws adapter's production path (OrdinalBridgedKinesis over an
+    // opaque-sequence service): lease election, engine checkpoints,
+    // reshard drain gate, exactly-once — all through Long ordinals the
+    // bridge translates. The parent's ending sequence is MaxValue until
+    // a consumer OBSERVES the drain (unlike the in-memory double, which
+    // knows it immediately) — the gate must compose with both.
+    val inner = new InMemoryKinesis
+    val api = new OrdinalBridgedKinesis(
+      new OpaqueInMemoryKinesis(inner), new InMemorySequenceBridge)
+    midStreamSplitScenario(api, inner, "resh-br-e2e", "reshbr")
+  }
+
+  /** The reshard e2e scenario over any [[KinesisApi]]: `api` is what
+    * the engine consumes through; `inner` is the storage the producer
+    * appends/splits on (the same object when un-bridged). */
+  private def midStreamSplitScenario(api: KinesisApi, inner: InMemoryKinesis,
+      stream: String, tag: String): Unit = {
     val leases = new InMemoryLeaseTable
-    val stream = "resh-e2e"
-    api.createShard(stream, "shard-1")
-    (1 to 6).foreach(i => api.append(stream, "shard-1", s"k$i", s"rec$i"))
+    inner.createShard(stream, "shard-1")
+    (1 to 6).foreach(i => inner.append(stream, "shard-1", s"k$i", s"rec$i"))
     // bootstrap: the parentless shard registers through the same path
     // children will use later
     assert(KinesisResharding.registerStartable(stream, "w1", api, leases) == Seq("shard-1"))
     val parent = new KinesisShardConsumer(stream, "shard-1", "w1", api, leases)
     QueueRamp.drop(parent.queue)
     assert(parent.poll() == 6)
-    val qP = streamOf(parent.queue, "resh_parent")
+    val qP = streamOf(parent.queue, s"${tag}_parent")
     val children = Seq("shard-1a", "shard-1b")
     val childConsumers = children.map(id => new KinesisShardConsumer(stream, id, "w1", api, leases))
     var childQs = Seq.empty[org.apache.spark.sql.streaming.StreamingQuery]
     try {
       qP.processAllAvailable()
-      assert(spark.table("resh_parent").count() == 6)
+      assert(spark.table(s"${tag}_parent").count() == 6)
       // MID-STREAM: two more records land, then the reshard fires while
       // the query keeps running; post-split traffic goes to the children
-      api.append(stream, "shard-1", "k7", "rec7")
-      api.append(stream, "shard-1", "k8", "rec8")
-      api.splitShard(stream, "shard-1", "shard-1a", "shard-1b")
-      api.append(stream, "shard-1a", "k9", "rec9")
-      api.append(stream, "shard-1b", "k10", "rec10")
-      api.append(stream, "shard-1b", "k11", "rec11")
+      inner.append(stream, "shard-1", "k7", "rec7")
+      inner.append(stream, "shard-1", "k8", "rec8")
+      inner.splitShard(stream, "shard-1", "shard-1a", "shard-1b")
+      inner.append(stream, "shard-1a", "k9", "rec9")
+      inner.append(stream, "shard-1b", "k10", "rec10")
+      inner.append(stream, "shard-1b", "k11", "rec11")
       // the reshard boundary: children must NOT be claimable while the
       // parent still has an unconsumed tail (records 7,8)
       assert(KinesisResharding.registerStartable(stream, "w1", api, leases).isEmpty,
@@ -117,7 +137,7 @@ class CloudEndToEndSpec extends SparkSpecBase {
       // the owner drains the tail through the REAL engine
       assert(parent.poll() == 2)
       qP.processAllAvailable()
-      assert(spark.table("resh_parent").count() == 8)
+      assert(spark.table(s"${tag}_parent").count() == 8)
       // the next poll sees the closed shard fully enqueued and flags the
       // queue as draining; the running query's idle triggers then
       // finalize the tail's source ack — without the drain flag this
@@ -133,12 +153,12 @@ class CloudEndToEndSpec extends SparkSpecBase {
       childConsumers.foreach(c => QueueRamp.drop(c.queue))
       assert(childConsumers.map(_.poll()).sum == 3)
       childQs = childConsumers.zipWithIndex.map { case (c, i) =>
-        streamOf(c.queue, s"resh_child_$i") }
+        streamOf(c.queue, s"${tag}_child_$i") }
       childQs.foreach(_.processAllAvailable())
       // exactly-once across the reshard: every produced record appears
       // exactly once across the parent + child sinks
       import spark.implicits._
-      val got = Seq("resh_parent", "resh_child_0", "resh_child_1")
+      val got = Seq(s"${tag}_parent", s"${tag}_child_0", s"${tag}_child_1")
         .flatMap(t => spark.table(t).select("id", "content")
           .as[(String, String)].collect())
       val want = (1 to 8).map(i => s"shard-1-$i" -> s"rec$i") ++

@@ -225,7 +225,8 @@ object StressMain {
         "q110_sequence_pack",    // two-level prefix sum
         "q158_incremental_cc",   // delta-contracted clustering (vs q84's full)
         "q146_pagerank",         // fixed-point power iteration on the dup graph
-        "q167_span_purge")       // span agg + equi-join + doc reassembly
+        "q167_span_purge",       // span agg + equi-join + doc reassembly
+        "q183_exact_substring")  // token-grain gram census + window merge
       SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
       def timeBestOf2(q: String, dir: String): Double =
         (1 to 2).map { _ =>

@@ -109,6 +109,21 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(Bench.swingVerdict(3.74 * 12.5, 3.74 * 12.5, 3.74, factor) == "regression")
   }
 
+  test("mid-run degradation: judging by the WORSE of start/end factors clears late-run inflation") {
+    // the r13 live episode: quiet start (factor 1.0), a co-tenant ramps
+    // mid-run, end sentinels measure 2.4x — late-run queries inflated
+    // ~2.4x must judge against the end factor, not the start's 1.0
+    val base = Map("q01" -> 0.4, "q03" -> 2.0)
+    val startF = Bench.boxFactor(Map("q01" -> 0.41, "q03" -> 1.98), base)
+    val endF = Bench.boxFactor(Map("q01" -> 0.96, "q03" -> 4.8), base)
+    val judge = math.max(startF, endF)
+    assert(startF < 1.05 && endF > 2.3)
+    assert(Bench.swingVerdict(t1 = 2.0, t2 = 1.9, prior = 0.8, factor = judge) == "noise",
+      "a 2.4x-inflated late-run query must not read as regression")
+    assert(Bench.swingVerdict(t1 = 2.0, t2 = 1.9, prior = 0.8, factor = startF) == "regression",
+      "(the start-only factor would have false-flagged it)")
+  }
+
   test("probeCommand keeps add-opens/heap/-D args and drops everything else") {
     val jvmArgs = Seq(
       "--add-opens", "java.base/java.lang=ALL-UNNAMED",

@@ -119,11 +119,16 @@ object Curation15 {
       .groupBy("doc_id")
       .agg(sum(col("added")).cast(LongType).as("dup_tokens"),
         sum(col("ns")).cast(LongType).as("n_spans"))
-    d.join(per, Seq("doc_id"), "left")
+    // token counts project map-side BEFORE the join — the corpus's
+    // token arrays must never ride the doc-keyed exchange (per is
+    // duplicated-doc grain, orders smaller; stats pick broadcast)
+    val docStats = d.select(col("doc_id"), col("source"),
+      size(col("t")).cast(LongType).as("n_toks"))
+    docStats.join(per, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L)).as("n_affected"),
-        sum(size(col("t")).cast(LongType)).as("total_tokens"),
+        sum(col("n_toks")).as("total_tokens"),
         coalesce(sum(col("dup_tokens")), lit(0L)).as("dup_tokens"),
         coalesce(sum(col("n_spans")), lit(0L)).as("n_spans"))
       .select(col("source"), col("n_docs"), col("n_affected"),

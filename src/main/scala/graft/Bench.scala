@@ -169,9 +169,12 @@ object Bench {
           p.destroyForcibly(); None
         } else {
           outReader.join(5000)
-          raw"""PROBE \S+ ([0-9.]+)""".r
+          // -1 is the child's "timed run failed" sentinel — a failed
+          // fork counts as no measurement, so it can never out-vote the
+          // in-JVM regression verdict with a bogus fast time.
+          raw"""PROBE \S+ (-?[0-9.]+)""".r
             .findFirstMatchIn(sb.synchronized(sb.toString))
-            .map(_.group(1).toDouble)
+            .map(_.group(1).toDouble).filter(_ >= 0)
         }
       } catch { case _: Throwable => None }
     }
@@ -220,8 +223,14 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
+      // A crashing timed run must NOT read as a fast run: the probe's
+      // whole job is to confirm or clear an in-JVM 'regression' verdict,
+      // and a swallowed exception here would let a broken fork reclassify
+      // a real regression as noise. Failure prints the -1 sentinel; the
+      // parent counts it as a failed fork, never as a time.
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => false }
+      val dt = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       println(f"PROBE $probeName $dt%.3f")
       System.out.flush()
       spark.stop()
@@ -445,7 +454,23 @@ object Bench {
       catch { case _: Throwable => () }
     val qs = results.map { case (k, (dt, _, _)) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt) }
       .mkString("{", ",", "}")
+    // Compact headline (~350 B): totals + box factors + worst-5 only.
+    // The driver's artifact records the LAST ~2000 chars of stdout, and
+    // for 13 rounds the single big line overflowed that window, cutting
+    // the header (totals) off — `"parsed": null` every round. Printing
+    // this line BEFORE and AFTER the big line guarantees a complete
+    // parseable JSON object survives whether the capture keeps the head
+    // or the tail. The big line (and bench_full.json) remain the full
+    // per-query record.
+    val worst5 = results.sortBy(-_._2._1).take(5).map { case (k, (dt, _, _)) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt)
+    }.mkString("{", ",", "}")
+    val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
+      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)}""" +
+      s""","box_factor":${f3(factor)},"box_factor_end":${f3(factorEnd)},"worst5":$worst5}"""
+    println(compact)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},$sentinelJson,$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$qs}""")
+    println(compact)
     System.out.flush()
     Thread.sleep(200) // let stdout drain before shutdown log noise
     spark.stop()

@@ -1,0 +1,386 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.crossHash60
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Sixteenth curation batch: the intra-document REPETITION half of the
+  * Gopher quality suite (Rae et al. 2021 §A1.1) that q170/q72 did not
+  * cover — duplicate-line and duplicate-paragraph fractions (by count
+  * and by character share) and top-2/3/4-gram character shares — plus
+  * corpus-wide LINE-grain exact deduplication (the RefinedWeb/Falcon
+  * line-dedup pass; Penedo et al. 2023 §3.3), which reuses q183's
+  * no-pair-space census shape one level up from token grain.
+  *
+  * Reference scope note: the reference pipeline framework
+  * (/root/reference/motorway) has no relational curation surface —
+  * these extend the engine along SURVEY §2's "LLM-data-pipeline" axis,
+  * with every query oracle-gated against DuckDB.
+  *
+  * Scale shapes:
+  *  - q185/q186 are per-row map-side kernels (split + higher-order
+  *    functions, no shuffle before the display sort) — the same class
+  *    as q170, and shared with [[graft.streaming.StreamingQualityGate]]
+  *    so the live gate scores the identical signals.
+  *  - q187 is ONE line-grain explode shipping a 60-bit hash + a length
+  *    per line (never the line string past the map stage), a
+  *    vocabulary-grain census, a hash equi-join back, and a per-doc
+  *    window over COVERED lines only — no pair space, no corpus×corpus
+  *    join, exactly q183's discipline at line grain.
+  */
+object Curation16 {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  /** Tokens per derived line / paragraph. The corpus has no newlines
+    * (clean synthetic prose), so the line/paragraph structure is
+    * DERIVED deterministically in both engines — fixed-width token
+    * chunks — per the q120/q165/q169/q170 augmentation discipline. */
+  val LineTokens = 4
+  val ParaTokens = 12
+
+  /** Fixed-width token chunking as a Column: tokens [i·k+1, i·k+k] per
+    * chunk, last chunk clamped — identical to the DuckDB slice
+    * `w[i*k+1 : i*k+k]`. `w` must be non-empty (split of any string is). */
+  private def chunk(w: Column, k: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(w) - 1) / lit(k.toDouble)).cast(IntegerType)),
+      i => concat_ws(" ", slice(w, i * k + 1, lit(k))))
+
+  private val emptyStr = array().cast("array<string>")
+
+  /** The derived LINE list for a doc: 4-token chunks plus the
+    * deterministic duplicate injections (hash-mod classes of docs gain
+    * repeated lines) that make the duplicate-line rules a real detector
+    * test on clean synthetic prose. Shared verbatim by q185, q187's
+    * spec brute force, and the streaming gate. */
+  private[graft] def derivedLines(w: Column, docId: Column): Column = {
+    val base = chunk(w, LineTokens)
+    val inj = concat(
+      when(docId % 3 === 0, array(element_at(base, 2))).otherwise(emptyStr),
+      when(docId % 5 === 0, array(element_at(base, 1), element_at(base, 3)))
+        .otherwise(emptyStr),
+      when(docId % 7 === 0, array(element_at(base, 1), element_at(base, 1)))
+        .otherwise(emptyStr))
+    when(size(base) >= 3, concat(base, inj)).otherwise(base)
+  }
+
+  /** The derived PARAGRAPH list: 12-token chunks plus duplicate
+    * injections on independent hash-mod classes. */
+  private[graft] def derivedParas(w: Column, docId: Column): Column = {
+    val base = chunk(w, ParaTokens)
+    val inj = concat(
+      when(docId % 4 === 0, array(element_at(base, 1))).otherwise(emptyStr),
+      when(docId % 11 === 0, array(element_at(base, 2), element_at(base, 2)))
+        .otherwise(emptyStr))
+    when(size(base) >= 2, concat(base, inj)).otherwise(base)
+  }
+
+  private def sumLen(arr: Column): Column =
+    aggregate(arr, lit(0L), (a, x) => a + length(x).cast(LongType))
+
+  /** Scaled-integer ratio — round(num·10⁴/den) at scale 0 — the
+    * cross-engine float discipline documented at q170: decimal halves
+    * at scale 0 are exactly representable doubles, so Spark and DuckDB
+    * round identically; rule thresholds compare the integer forms. */
+  private def scaled(num: Column, den: Column): Column =
+    round(num.cast(DoubleType) * 10000 / den).cast(LongType)
+
+  /** Appends the duplicate-line/paragraph signal columns (`n_lines`,
+    * `dlf_l`, `dlcf_l`, `n_paras`, `dpf_l`, `dpcf_l` — scaled-integer
+    * fractions ×10⁴) plus the `rep_keep_lp` verdict to any relation
+    * carrying a text column. Duplicate counting is the standard
+    * first-occurrence-keeps semantics (count k>1 contributes k−1
+    * elements and their characters), so both counts fall out of
+    * `array_distinct`: dup = n − n_distinct, dupChars = Σlen − Σlen
+    * (distinct). All per-row higher-order functions: map-side, no
+    * shuffle. Gopher §A1.1 thresholds: dup-line ≤0.30, dup-para ≤0.30,
+    * dup-line-chars ≤0.20, dup-para-chars ≤0.20. */
+  private[graft] def withDupLineParaSignals(df: DataFrame, text: Column,
+      docId: Column): DataFrame = {
+    val w = col("_rep_w")
+    val lines = col("_rep_lines")
+    val paras = col("_rep_paras")
+    df.withColumn("_rep_w", split(text, " "))
+      .withColumn("_rep_lines", derivedLines(w, docId))
+      .withColumn("_rep_paras", derivedParas(w, docId))
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("dlf_l",
+        scaled(size(lines) - size(array_distinct(lines)), size(lines)))
+      .withColumn("dlcf_l",
+        scaled(sumLen(lines) - sumLen(array_distinct(lines)), sumLen(lines)))
+      .withColumn("n_paras", size(paras).cast(LongType))
+      .withColumn("dpf_l",
+        scaled(size(paras) - size(array_distinct(paras)), size(paras)))
+      .withColumn("dpcf_l",
+        scaled(sumLen(paras) - sumLen(array_distinct(paras)), sumLen(paras)))
+      .withColumn("rep_keep_lp",
+        col("dlf_l") <= 3000 && col("dpf_l") <= 3000 &&
+          col("dlcf_l") <= 2000 && col("dpcf_l") <= 2000)
+      .drop("_rep_w", "_rep_lines", "_rep_paras")
+  }
+
+  /** Characters claimed by the single most-frequent word n-gram:
+    * count(top) × len(top), where top maximizes (count, char length)
+    * lexicographically — the deterministic tie-break both engines
+    * share (the paper's Counter.most_common leaves ties ambiguous).
+    * Computed IN-ROW: sort the gram array, one linear fold tracking
+    * the current run and the best (count, len) — O(P log P) per doc,
+    * map-side, no shuffle. Docs shorter than n score 0. */
+  private[graft] def topGramCharLen(w: Column, n: Int): Column = {
+    val grams = when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - n),
+        i => concat_ws(" ", slice(w, i + 1, lit(n))))).otherwise(emptyStr)
+    aggregate(
+      array_sort(grams),
+      struct(lit("").as("cur"), lit(0L).as("run"),
+        lit(0L).as("bc"), lit(0L).as("bl")),
+      (acc, g) => {
+        val run2 = when(acc("cur") === g, acc("run") + 1L).otherwise(lit(1L))
+        val glen = length(g).cast(LongType)
+        val better = run2 > acc("bc") ||
+          (run2 === acc("bc") && glen > acc("bl"))
+        struct(g.as("cur"), run2.as("run"),
+          when(better, run2).otherwise(acc("bc")).as("bc"),
+          when(better, glen).otherwise(acc("bl")).as("bl"))
+      },
+      acc => acc("bc") * acc("bl"))
+  }
+
+  /** Appends `top2_l`/`top3_l`/`top4_l` (scaled-integer top-n-gram
+    * character shares ×10⁴ of the doc's character count) plus the
+    * `rep_keep_ng` verdict. Gopher §A1.1 thresholds: top-2-gram ≤0.20,
+    * top-3-gram ≤0.18, top-4-gram ≤0.16. Map-side. */
+  private[graft] def withTopGramSignals(df: DataFrame, text: Column): DataFrame = {
+    val w = col("_tg_w")
+    df.withColumn("_tg_w", split(text, " "))
+      .withColumn("top2_l", scaled(topGramCharLen(w, 2), length(text)))
+      .withColumn("top3_l", scaled(topGramCharLen(w, 3), length(text)))
+      .withColumn("top4_l", scaled(topGramCharLen(w, 4), length(text)))
+      .withColumn("rep_keep_ng",
+        col("top2_l") <= 2000 && col("top3_l") <= 1800 && col("top4_l") <= 1600)
+      .drop("_tg_w")
+  }
+
+  /** The full repetition verdict (q185 ∧ q186) as one map-side kernel —
+    * shared with [[graft.streaming.StreamingQualityGate]] so the live
+    * gate and the batch censuses agree by construction. */
+  private[graft] def withRepetitionSignals(df: DataFrame, text: Column,
+      docId: Column): DataFrame =
+    withTopGramSignals(withDupLineParaSignals(df, text, docId), text)
+      .withColumn("rep_keep", col("rep_keep_lp") && col("rep_keep_ng"))
+
+  // Shared DuckDB fragments for the derived segmentation — the exact
+  // mirror of derivedLines/derivedParas (1-based inclusive list slices;
+  // the injections guard on the chunk count like the Column kernel).
+  // NOTE: these fragments are interpolated into oracles that ALSO call
+  // stripMargin, so no continuation line may start with `|` (the outer
+  // strip would eat it) — the list-concat `||` sits at line ends.
+  private val linesSql =
+    s"""CASE WHEN len(l0) >= 3 THEN l0 ||
+      |  (CASE WHEN doc_id % 3 = 0 THEN [l0[2]] ELSE [] END) ||
+      |  (CASE WHEN doc_id % 5 = 0 THEN [l0[1], l0[3]] ELSE [] END) ||
+      |  (CASE WHEN doc_id % 7 = 0 THEN [l0[1], l0[1]] ELSE [] END)
+      |ELSE l0 END""".stripMargin
+  private val parasSql =
+    s"""CASE WHEN len(p0) >= 2 THEN p0 ||
+      |  (CASE WHEN doc_id % 4 = 0 THEN [p0[1]] ELSE [] END) ||
+      |  (CASE WHEN doc_id % 11 = 0 THEN [p0[2], p0[2]] ELSE [] END)
+      |ELSE p0 END""".stripMargin
+  private def chunkSql(k: Int): String =
+    s"""list_transform(range(CAST(floor((len(w) - 1) / $k.0) AS BIGINT) + 1),
+      |    i -> array_to_string(w[i*$k+1 : i*$k+$k], ' '))""".stripMargin
+  private val sumLenSql = (l: String) =>
+    s"CAST(coalesce(list_sum(list_transform($l, x -> len(x))), 0) AS BIGINT)"
+
+  // -- q185: Gopher duplicate-line / duplicate-paragraph fractions ------
+  // Rae et al. 2021 §A1.1's most-used repetition filters: the fraction
+  // of lines (paragraphs) that are repeats of an earlier line
+  // (paragraph) in the same document, by count and by character share.
+  // Line/paragraph structure is derived (see LineTokens); duplicate
+  // injections on hash-mod doc classes make the rules fire both ways.
+  //
+  // Scale: per-row map-side signals over one scan — no shuffle, no
+  // Generate; duplicate counting is array_distinct inside the row.
+  val q185 = q("q185_gopher_dup_lines",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c0 AS (SELECT doc_id, ${chunkSql(LineTokens)} AS l0,
+      |               ${chunkSql(ParaTokens)} AS p0 FROM d),
+      |seg AS (SELECT doc_id, $linesSql AS lines, $parasSql AS paras FROM c0),
+      |sig AS (SELECT doc_id,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+      |          * 10000 / len(lines)) AS BIGINT) AS dlf_l,
+      |    CAST(round(CAST(${sumLenSql("lines")} - ${sumLenSql("list_distinct(lines)")} AS DOUBLE)
+      |          * 10000 / ${sumLenSql("lines")}) AS BIGINT) AS dlcf_l,
+      |    CAST(len(paras) AS BIGINT) AS n_paras,
+      |    CAST(round(CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
+      |          * 10000 / len(paras)) AS BIGINT) AS dpf_l,
+      |    CAST(round(CAST(${sumLenSql("paras")} - ${sumLenSql("list_distinct(paras)")} AS DOUBLE)
+      |          * 10000 / ${sumLenSql("paras")}) AS BIGINT) AS dpcf_l
+      |  FROM seg)
+      |SELECT doc_id, n_lines,
+      |  dlf_l / 10000.0 AS dup_line_frac,
+      |  dlcf_l / 10000.0 AS dup_line_char_frac,
+      |  n_paras,
+      |  dpf_l / 10000.0 AS dup_para_frac,
+      |  dpcf_l / 10000.0 AS dup_para_char_frac,
+      |  (dlf_l <= 3000 AND dpf_l <= 3000 AND dlcf_l <= 2000
+      |   AND dpcf_l <= 2000) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sig = withDupLineParaSignals(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      col("text"), col("doc_id"))
+    sig.select(col("doc_id"), col("n_lines"),
+        (col("dlf_l") / 10000.0).as("dup_line_frac"),
+        (col("dlcf_l") / 10000.0).as("dup_line_char_frac"),
+        col("n_paras"),
+        (col("dpf_l") / 10000.0).as("dup_para_frac"),
+        (col("dpcf_l") / 10000.0).as("dup_para_char_frac"),
+        col("rep_keep_lp").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // -- q186: Gopher top-2/3/4-gram character shares ----------------------
+  // The character share of the single most-frequent word n-gram, for
+  // n = 2, 3, 4 — the Gopher "top n-gram" repetition rules. The small
+  // synthetic vocabulary repeats n-grams naturally, so no derived dirt
+  // is needed. The DuckDB argmax packs (count, len) into count·10⁵+len
+  // (gram char length < 10⁵ at every test SF — the engine-side fold
+  // has no such bound) and unpacks the product.
+  //
+  // Scale: the Spark side is an IN-ROW sorted fold — map-side, no
+  // shuffle, no Generate; the gram strings never leave the row.
+  private def topSqlCte(n: Int): String =
+    s"""g$n AS (SELECT doc_id, unnest(CASE WHEN len(w) >= $n THEN
+      |    list_transform(range(len(w) - $n + 1),
+      |      i -> array_to_string(w[i+1 : i+$n], ' ')) ELSE [] END) AS g FROM d),
+      |m$n AS (SELECT doc_id, max(cl) AS m FROM
+      |    (SELECT doc_id, count(*) * 100000 + len(g) AS cl
+      |     FROM g$n GROUP BY doc_id, g) GROUP BY doc_id)""".stripMargin
+  val q186 = q("q186_gopher_top_ngram",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w,
+      |             len(text) AS nc FROM documents),
+      |${topSqlCte(2)},
+      |${topSqlCte(3)},
+      |${topSqlCte(4)},
+      |sig AS (SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
+      |    CAST(round(CAST(coalesce((m2.m // 100000) * (m2.m % 100000), 0) AS DOUBLE)
+      |          * 10000 / d.nc) AS BIGINT) AS top2_l,
+      |    CAST(round(CAST(coalesce((m3.m // 100000) * (m3.m % 100000), 0) AS DOUBLE)
+      |          * 10000 / d.nc) AS BIGINT) AS top3_l,
+      |    CAST(round(CAST(coalesce((m4.m // 100000) * (m4.m % 100000), 0) AS DOUBLE)
+      |          * 10000 / d.nc) AS BIGINT) AS top4_l
+      |  FROM d LEFT JOIN m2 ON d.doc_id = m2.doc_id
+      |         LEFT JOIN m3 ON d.doc_id = m3.doc_id
+      |         LEFT JOIN m4 ON d.doc_id = m4.doc_id)
+      |SELECT doc_id, n_words,
+      |  top2_l / 10000.0 AS top2_share,
+      |  top3_l / 10000.0 AS top3_share,
+      |  top4_l / 10000.0 AS top4_share,
+      |  (top2_l <= 2000 AND top3_l <= 1800 AND top4_l <= 1600) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val sig = withTopGramSignals(
+      Tables(s, dir).documents.select(col("doc_id"), col("text")),
+      col("text"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast(LongType))
+    sig.select(col("doc_id"), col("n_words"),
+        (col("top2_l") / 10000.0).as("top2_share"),
+        (col("top3_l") / 10000.0).as("top3_share"),
+        (col("top4_l") / 10000.0).as("top4_share"),
+        col("rep_keep_ng").as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // -- q187: corpus-wide line-grain exact dedup (RefinedWeb §3.3) --------
+  // Remove every LINE whose exact text occurs ≥2 times corpus-wide —
+  // the RefinedWeb/Falcon line-dedup release pass, a distinct grain
+  // from q132 (gram document-frequency boilerplate) and q183 (≥50-token
+  // substrings). Per source: documents affected, lines and characters
+  // the purge removes, and the number of maximal removed RUNS of
+  // consecutive lines (the spans a surgical purge would cut).
+  //
+  // The derived line structure is q185's chunking WITHOUT the
+  // within-doc injections (cross-doc duplicates are what this pass
+  // hunts; the small vocabulary produces them naturally) plus one
+  // deterministic cross-doc injection — docs ≡0 mod 17 append a fixed
+  // sentinel line — so the detector provably fires at every SF.
+  //
+  // Scale: ONE line-grain explode shipping a 60-bit hash + a length
+  // per line (the line string dies at the map stage); census at
+  // vocabulary grain (distinct line hashes); covered positions come
+  // back via a hash equi-join; the run census is a lag window over
+  // COVERED lines only (duplicated-text grain, orders below the
+  // corpus); the bill is a source-keyed aggregate. No pair space — two
+  // docs sharing a line never meet in a join.
+  val SentinelLine = "the fast spark batch"
+  val q187 = q("q187_line_dedup",
+    s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+      |c0 AS (SELECT doc_id, source, ${chunkSql(LineTokens)} AS l0 FROM d),
+      |seg AS (SELECT doc_id, source,
+      |          l0 || (CASE WHEN doc_id % 17 = 0 THEN ['$SentinelLine'] ELSE [] END) AS lines
+      |        FROM c0),
+      |ex AS (SELECT doc_id, source, s.lpos AS lpos, s.llen AS llen, s.gh AS gh
+      |       FROM (SELECT doc_id, source,
+      |               unnest(list_transform(range(len(lines)),
+      |                 i -> {'lpos': i, 'llen': len(lines[i+1]),
+      |                       'gh': CAST(concat('0x', substr(md5(lines[i+1]), 1, 15)) AS BIGINT)})) AS s
+      |             FROM seg)),
+      |c AS (SELECT gh FROM ex GROUP BY gh HAVING COUNT(*) >= 2),
+      |cov AS (SELECT ex.doc_id, ex.source, ex.lpos, ex.llen,
+      |          lag(ex.lpos) OVER (PARTITION BY ex.doc_id ORDER BY ex.lpos) AS prev
+      |        FROM ex JOIN c USING (gh)),
+      |per AS (SELECT doc_id, source,
+      |          CAST(COUNT(*) AS BIGINT) AS rm_lines,
+      |          CAST(SUM(llen) AS BIGINT) AS rm_chars,
+      |          CAST(SUM(CASE WHEN prev IS NULL OR lpos > prev + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      |        FROM cov GROUP BY doc_id, source)
+      |SELECT seg.source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN per.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+      |  CAST(SUM(len(seg.lines)) AS BIGINT) AS total_lines,
+      |  CAST(SUM(coalesce(per.rm_lines, 0)) AS BIGINT) AS removed_lines,
+      |  CAST(SUM(coalesce(per.rm_chars, 0)) AS BIGINT) AS removed_chars,
+      |  CAST(SUM(coalesce(per.n_runs, 0)) AS BIGINT) AS n_runs
+      |FROM seg LEFT JOIN per ON seg.doc_id = per.doc_id
+      |GROUP BY seg.source ORDER BY seg.source""".stripMargin) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val lines0 = chunk(w, LineTokens)
+    val seg = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+      concat(lines0,
+        when(col("doc_id") % 17 === 0, array(lit(SentinelLine)))
+          .otherwise(emptyStr)).as("lines"))
+    val ex = seg
+      .select(col("doc_id"), col("source"),
+        posexplode(col("lines")).as(Seq("lpos", "line")))
+      .select(col("doc_id"), col("source"), col("lpos"),
+        length(col("line")).cast(LongType).as("llen"),
+        crossHash60(col("line")).as("gh"))
+    val census = ex.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val byDoc = Window.partitionBy("doc_id").orderBy("lpos")
+    val cov = ex.join(census, "gh")
+      .withColumn("prev", lag(col("lpos"), 1).over(byDoc))
+    val per = cov.groupBy("doc_id", "source").agg(
+      count(lit(1)).as("rm_lines"),
+      sum(col("llen")).as("rm_chars"),
+      sum(when(col("prev").isNull || col("lpos") > col("prev") + 1, 1L)
+        .otherwise(0L)).as("n_runs"))
+    seg.select(col("doc_id"), col("source"), size(col("lines")).as("nl"))
+      .join(per.drop("source"), Seq("doc_id"), "left")
+      .groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("rm_lines").isNotNull, 1L).otherwise(0L)).as("n_affected"),
+        sum(col("nl").cast(LongType)).as("total_lines"),
+        sum(coalesce(col("rm_lines"), lit(0L))).as("removed_lines"),
+        sum(coalesce(col("rm_chars"), lit(0L))).as("removed_chars"),
+        sum(coalesce(col("n_runs"), lit(0L))).as("n_runs"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187)
+}

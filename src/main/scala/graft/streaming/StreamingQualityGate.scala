@@ -48,14 +48,29 @@ object StreamingQualityGate {
 
   /** @param fenced optional counter for redeliveries caught by the seq
     *   fence — zero under clean delivery (rate gauge only, never
-    *   correctness: accumulators over-count under task retry). */
+    *   correctness: accumulators over-count under task retry).
+    * @param includeRepetition when true, the verdict additionally ANDs
+    *   in the Gopher REPETITION rules (duplicate-line/paragraph
+    *   fractions + top-2/3/4-gram character shares — the q185/q186
+    *   kernels from [[graft.queries.Curation16.withRepetitionSignals]]),
+    *   still scored map-side before the source exchange. Default false
+    *   keeps the historical q170-only verdict (and checkpoint-compatible
+    *   output) for existing deployments. */
   def verdicts(records: Dataset[DocRecord],
-      fenced: Option[org.apache.spark.util.LongAccumulator] = None)
+      fenced: Option[org.apache.spark.util.LongAccumulator] = None,
+      includeRepetition: Boolean = false)
       : Dataset[QualityVerdict] = {
     val spark = records.sparkSession
     import spark.implicits._
-    val scored = graft.queries.Curation12
+    val gopher = graft.queries.Curation12
       .withGopherSignals(records.toDF(), col("text"))
+    val ruled =
+      if (includeRepetition)
+        graft.queries.Curation16
+          .withRepetitionSignals(gopher, col("text"), col("docId"))
+          .withColumn("keep", col("keep") && col("rep_keep"))
+      else gopher
+    val scored = ruled
       .select(col("docId"), col("source"), col("seq"), col("keep"), col("n_words"))
       .withColumnRenamed("n_words", "nWords")
       .as[ScoredRecord]

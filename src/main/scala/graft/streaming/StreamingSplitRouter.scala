@@ -57,6 +57,16 @@ object StreamingSplitRouter {
   // pendingCount mirrors pendingIds.length so the maxPending bound
   // check stays O(1) per arrival (List.size is O(n) — a large
   // never-straddling cluster would otherwise pay O(n²) per batch).
+  //
+  // STATE-ENCODING VERSION NOTE: adding pendingCount changed the
+  // flatMapGroupsWithState state schema. A checkpoint written by the
+  // pre-pendingCount encoding (5-field struct) will FAIL state
+  // deserialization on resume — Spark cannot widen a stored struct to
+  // a new case-class shape. Deployments upgrading across that change
+  // must restart from a fresh checkpoint (replaying the source; the
+  // seq fence makes the replay idempotent on the output side). Any
+  // future field added here carries the same cost — prefer deriving
+  // new values from existing fields over growing the struct.
   final case class RouteState(firstSplit: String, quarantined: Boolean,
       highSeq: Long, pendingIds: List[Long], pendingSources: List[String],
       pendingCount: Int)

@@ -63,7 +63,25 @@ object StreamingSubstringGate {
     * JVM-static so every task in an executor shares it and it persists
     * across micro-batches (a closure-captured counter would reset per
     * task). Shared by ALL gates in the JVM — it is a safety bound on
-    * executor memory, not per-query accounting. */
+    * executor memory, not per-query accounting.
+    *
+    * The gauge is APPROXIMATE, deliberately biased toward firing early
+    * (the safe direction for a memory guard):
+    *  - a retried task re-increments for state the retry re-creates
+    *    (the failed attempt's state-store writes are discarded, its
+    *    increments are not) — over-count;
+    *  - a restarted QUERY in the same JVM recounts grams it re-loads
+    *    from the checkpoint as if new — over-count, and the only way to
+    *    clear the drift is an executor (JVM) restart;
+    *  - a restarted EXECUTOR resets the gauge to 0 while checkpointed
+    *    state persists, so the bound under-counts until enough new
+    *    grams arrive — the one unsafe direction, bounded by the state
+    *    the store already held (which fit before the restart).
+    * Exact per-store accounting lives in the state-store metrics
+    * (`numRowsTotal` in the streaming progress events); this gauge
+    * exists to abort in-flight before a task OOMs the JVM, not to be
+    * the system of record. Production-scale sharding splits the bound
+    * across S gates — see [[ShardedGates.substringHitsSharded]]. */
   private val residentGrams = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** @param maxGrams loud bound on distinct grams held in state (see

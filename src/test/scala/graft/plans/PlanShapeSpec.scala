@@ -17,7 +17,7 @@ class PlanShapeSpec extends SparkSpecBase {
                 "q89_curation_pipeline", "q28_dedup_ngram", "q29_dedup_minhash",
                 "q103_decontamination", "q108_source_dup_matrix",
                 "q138_cluster_split", "q177_minhash_calibration",
-                "q183_exact_substring"))
+                "q183_exact_substring", "q187_line_dedup"))
     test(s"$q plans no nested-loop or cartesian corpus join") {
       val plan = executed(q)
       assert(!plan.contains("BroadcastNestedLoop"), s"$q plans BroadcastNestedLoopJoin")
@@ -389,6 +389,36 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"q170 plans a join:\n$plan")
     assert(!plan.contains("Generate"), s"q170 plans a Generate:\n$plan")
+  }
+
+  // q185/q186 are the repetition half of the Gopher rule family: the
+  // duplicate counting (array_distinct) and the top-n-gram argmax
+  // (sorted in-row fold) both stay inside the row — the same map-only
+  // contract as q170. Any hash exchange, join, or Generate means a
+  // per-doc signal left the row and the filter stopped being a cheap
+  // map stage at corpus scale.
+  for (name <- Seq("q185_gopher_dup_lines", "q186_gopher_top_ngram"))
+    test(s"$name is map-only: no hash exchange, no join, no Generate") {
+      val plan = executed(name)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$name plans a hash exchange for a per-row signal:\n$plan")
+      assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+        s"$name plans a join:\n$plan")
+      assert(!plan.contains("Generate"), s"$name plans a Generate:\n$plan")
+    }
+
+  // q187's joins are the hash equi-join of line positions against the
+  // duplicated-hash census and the per-doc bill join — never a
+  // line×line pair relation (that is the loop gate above). The line
+  // explode instantiates exactly twice (the census-build branch and the
+  // probe branch — one logical explode, the q183 shape); the BILL side
+  // must NOT explode (line counts project map-side as size(lines)), so
+  // a third Generate means the corpus exploded for a per-doc count.
+  test("q187_line_dedup: two explode instances (census+probe), none on the bill side") {
+    val plan = executed("q187_line_dedup")
+    val generates = plan.linesIterator.count(_.contains("Generate posexplode"))
+    assert(generates == 2,
+      s"q187 explodes the corpus $generates times (want census+probe = 2):\n$plan")
   }
 
   // q171's row_number window and domain census must SHARE one domain

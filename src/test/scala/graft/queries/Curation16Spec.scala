@@ -1,0 +1,154 @@
+package graft.queries
+
+import graft.SparkSpecBase
+
+/** Twins for the Gopher repetition batch (q185/q186) and line-grain
+  * corpus dedup (q187): each query replayed driver-side from first
+  * principles over the sf0.001 corpus. q187's replay is the NAIVE
+  * corpus-wide line-occurrence count — it validates that the
+  * hash-census + equi-join shape computes exactly what a direct
+  * grouping of raw line strings would (the no-pair-space reduction),
+  * not just the Spark plumbing. Exact cross-engine hashes are the
+  * driver's DuckDB gate at sf0.01.
+  */
+class Curation16Spec extends SparkSpecBase {
+
+  private def sc(num: Double, den: Double): Long =
+    BigDecimal(num * 10000 / den).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private def chunk(w: Array[String], k: Int): Vector[String] =
+    w.grouped(k).map(_.mkString(" ")).toVector
+
+  // mirrors Curation16.derivedLines (element_at is 1-based there)
+  private def derivedLines(w: Array[String], id: Long): Vector[String] = {
+    val b = chunk(w, Curation16.LineTokens)
+    if (b.length >= 3)
+      b ++ (if (id % 3 == 0) Vector(b(1)) else Vector.empty) ++
+        (if (id % 5 == 0) Vector(b(0), b(2)) else Vector.empty) ++
+        (if (id % 7 == 0) Vector(b(0), b(0)) else Vector.empty)
+    else b
+  }
+
+  private def derivedParas(w: Array[String], id: Long): Vector[String] = {
+    val b = chunk(w, Curation16.ParaTokens)
+    if (b.length >= 2)
+      b ++ (if (id % 4 == 0) Vector(b(0)) else Vector.empty) ++
+        (if (id % 11 == 0) Vector(b(1), b(1)) else Vector.empty)
+    else b
+  }
+
+  private lazy val docs: Seq[(Long, String, String)] =
+    graft.Tables(spark, sfDir).documents
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSeq
+
+  // -- q185 -------------------------------------------------------------
+
+  test("q185 duplicate-line/paragraph replay: per-doc recompute matches") {
+    val got = Curation16.q185.run(spark, sfDir).collect()
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    assert(got.length == byId.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val w = byId(id).split(" ", -1)
+      val lines = derivedLines(w, id)
+      val paras = derivedParas(w, id)
+      def dupCnt(v: Vector[String]) = (v.length - v.distinct.length).toLong
+      def dupChars(v: Vector[String]) =
+        (v.map(_.length.toLong).sum - v.distinct.map(_.length.toLong).sum)
+      val dlf = sc(dupCnt(lines).toDouble, lines.length.toDouble)
+      val dlcf = sc(dupChars(lines).toDouble, lines.map(_.length.toLong).sum.toDouble)
+      val dpf = sc(dupCnt(paras).toDouble, paras.length.toDouble)
+      val dpcf = sc(dupChars(paras).toDouble, paras.map(_.length.toLong).sum.toDouble)
+      assert(r.getLong(1) == lines.length.toLong, s"doc $id n_lines")
+      assert(r.getDouble(2) == dlf / 10000.0, s"doc $id dup_line_frac")
+      assert(r.getDouble(3) == dlcf / 10000.0, s"doc $id dup_line_char_frac")
+      assert(r.getLong(4) == paras.length.toLong, s"doc $id n_paras")
+      assert(r.getDouble(5) == dpf / 10000.0, s"doc $id dup_para_frac")
+      assert(r.getDouble(6) == dpcf / 10000.0, s"doc $id dup_para_char_frac")
+      val keep = dlf <= 3000 && dpf <= 3000 && dlcf <= 2000 && dpcf <= 2000
+      assert(r.getBoolean(7) == keep, s"doc $id keep")
+    }
+    // the derived duplication must exercise the rules both ways
+    assert(got.exists(!_.getBoolean(7)) && got.exists(_.getBoolean(7)))
+  }
+
+  // -- q186 -------------------------------------------------------------
+
+  test("q186 top-n-gram replay: per-doc brute-force counter matches") {
+    // brute force: count every word n-gram, top = lexicographic max of
+    // (count, char length), share = count·len / doc chars
+    def topCharLen(w: Array[String], n: Int): Long = {
+      if (w.length < n) return 0L
+      val counts = (0 to w.length - n).map(i => w.slice(i, i + n).mkString(" "))
+        .groupBy(identity).toSeq
+        .map { case (g, o) => (o.size.toLong, g.length.toLong) }
+      val (c, l) = counts.max
+      c * l
+    }
+    val got = Curation16.q186.run(spark, sfDir).collect()
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    assert(got.length == byId.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val text = byId(id)
+      val w = text.split(" ", -1)
+      val t2 = sc(topCharLen(w, 2).toDouble, text.length.toDouble)
+      val t3 = sc(topCharLen(w, 3).toDouble, text.length.toDouble)
+      val t4 = sc(topCharLen(w, 4).toDouble, text.length.toDouble)
+      assert(r.getLong(1) == w.length.toLong, s"doc $id n_words")
+      assert(r.getDouble(2) == t2 / 10000.0, s"doc $id top2_share")
+      assert(r.getDouble(3) == t3 / 10000.0, s"doc $id top3_share")
+      assert(r.getDouble(4) == t4 / 10000.0, s"doc $id top4_share")
+      val keep = t2 <= 2000 && t3 <= 1800 && t4 <= 1600
+      assert(r.getBoolean(5) == keep, s"doc $id keep")
+    }
+    assert(got.exists(!_.getBoolean(5)) && got.exists(_.getBoolean(5)))
+  }
+
+  // -- q187 -------------------------------------------------------------
+
+  test("q187 line dedup: census+join bill equals naive corpus-wide line grouping") {
+    // ground truth: group RAW LINE STRINGS corpus-wide (what the 60-bit
+    // hash census + equi-join replaces) and bill each source directly
+    val perDocLines: Seq[(Long, String, Vector[String])] = docs.map {
+      case (id, src, text) =>
+        val b = chunk(text.split(" ", -1), Curation16.LineTokens)
+        (id, src,
+          if (id % 17 == 0) b :+ Curation16.SentinelLine else b)
+    }
+    val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    perDocLines.foreach { case (_, _, ls) => ls.foreach(occ(_) += 1) }
+    case class Bill(nDocs: Long, nAffected: Long, totalLines: Long,
+        rmLines: Long, rmChars: Long, nRuns: Long)
+    val want = perDocLines.groupBy(_._2).map { case (src, ds) =>
+      var affected, rmL, rmC, runs, total = 0L
+      ds.foreach { case (_, _, ls) =>
+        total += ls.length
+        val covered = ls.map(occ(_) >= 2)
+        val rm = covered.count(identity)
+        if (rm > 0) affected += 1
+        rmL += rm
+        rmC += ls.zip(covered).collect { case (l, true) => l.length.toLong }.sum
+        runs += covered.zipWithIndex.count { case (c, i) =>
+          c && (i == 0 || !covered(i - 1)) }
+      }
+      src -> Bill(ds.size.toLong, affected, total, rmL, rmC, runs)
+    }
+    val got = Curation16.q187.run(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val b = want(r.getString(0))
+      assert(r.getLong(1) == b.nDocs, s"${r.getString(0)} n_docs")
+      assert(r.getLong(2) == b.nAffected, s"${r.getString(0)} n_affected")
+      assert(r.getLong(3) == b.totalLines, s"${r.getString(0)} total_lines")
+      assert(r.getLong(4) == b.rmLines, s"${r.getString(0)} removed_lines")
+      assert(r.getLong(5) == b.rmChars, s"${r.getString(0)} removed_chars")
+      assert(r.getLong(6) == b.nRuns, s"${r.getString(0)} n_runs")
+    }
+    // the pass must actually remove something, and not everything
+    val rmTot = got.map(_.getLong(4)).sum
+    val linesTot = got.map(_.getLong(3)).sum
+    assert(rmTot > 0 && rmTot < linesTot)
+  }
+}

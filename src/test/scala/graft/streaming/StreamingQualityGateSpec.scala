@@ -89,4 +89,32 @@ class StreamingQualityGateSpec extends SparkSpecBase {
       }
     } finally q.stop()
   }
+
+  test("extended gate (includeRepetition) matches the batch q170∧q185∧q186 kernel") {
+    val recs = dirtyCorpus()
+    val input = MemoryStream[DocRecord](spark, 4)
+    val q = StreamingQualityGate.verdicts(input.toDS(), None, includeRepetition = true)
+      .writeStream.format("memory").queryName("quality_rep_out")
+      .outputMode("append").start()
+    try {
+      input.addData(recs.toSeq); q.processAllAvailable()
+      val got = spark.table("quality_rep_out").as[QualityVerdict].collect()
+      assert(got.length == recs.length)
+      // batch twin: the SAME combined kernel over the same records
+      val base = graft.queries.Curation12
+        .withGopherSignals(spark.createDataset(recs.toSeq).toDF(), col("text"))
+      val combined = graft.queries.Curation16
+        .withRepetitionSignals(base, col("text"), col("docId"))
+        .select(col("docId"), col("keep"), col("rep_keep")).collect()
+      val gopherKeep = combined.map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+      val wantKeep = combined
+        .map(r => r.getLong(0) -> (r.getBoolean(1) && r.getBoolean(2))).toMap
+      got.foreach(v => assert(v.keep == wantKeep(v.docId), s"doc ${v.docId} keep"))
+      // the repetition rules must add real signal: at least one doc the
+      // q170 rules keep is rejected by the duplication rules
+      assert(got.exists(v => !v.keep && gopherKeep(v.docId)),
+        "repetition rules never fired beyond q170")
+      assert(got.exists(_.keep), "extended gate rejects everything")
+    } finally q.stop()
+  }
 }

@@ -1,0 +1,11 @@
+package software.amazon.awssdk.services.kinesis.model;
+
+public final class DescribeStreamSummaryRequest {
+  private DescribeStreamSummaryRequest() {}
+  public static Builder builder() { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+  public static final class Builder {
+    private Builder() {}
+    public Builder streamName(String v) { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+    public DescribeStreamSummaryRequest build() { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+  }
+}

@@ -1,0 +1,11 @@
+package software.amazon.awssdk.services.sqs.model;
+
+public final class CreateQueueRequest {
+  private CreateQueueRequest() {}
+  public static Builder builder() { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+  public static final class Builder {
+    private Builder() {}
+    public Builder queueName(String v) { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+    public CreateQueueRequest build() { throw new UnsupportedOperationException("aws-sdk signature stub: compile-only"); }
+  }
+}

@@ -63,11 +63,16 @@ final class LiveClusterIndex(maxNodes: Long = LiveClusterIndex.DefaultMaxNodes) 
     *         before any of THIS batch's pairs are applied, so an
     *         at-least-once retry after raising the bound (or after
     *         migrating to the contraction path) replays cleanly. */
-  def merge(pairs: DataFrame): Unit = {
-    val batch = pairs.select(pairs.columns.head, pairs.columns(1)).collect()
+  def merge(pairs: DataFrame): Unit =
+    mergeBatch(pairs.select(pairs.columns.head, pairs.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))))
+
+  /** The driver-side fold behind [[merge]], also the entry point for
+    * [[ShardedClusterIndex]]'s per-shard routing and its forest merge. */
+  private[streaming] def mergeBatch(batch: Array[(Long, Long)]): Unit = {
     val newNodes = {
       val seen = new java.util.HashSet[java.lang.Long]()
-      batch.foreach { r => seen.add(r.getLong(0)); seen.add(r.getLong(1)) }
+      batch.foreach { case (a, b) => seen.add(a); seen.add(b) }
       seen.removeIf(x => parent.contains(x))
       seen.size.toLong
     }
@@ -77,9 +82,13 @@ final class LiveClusterIndex(maxNodes: Long = LiveClusterIndex.DefaultMaxNodes) 
         s"maxNodes=$maxNodes. This serving cache is node-bound by design — " +
         "move cluster maintenance to the distributed contraction path " +
         "(q158, graft.queries.Curation8 incremental CC) and serve labels " +
-        "from its output, or raise maxNodes if driver memory allows.")
-    batch.foreach(r => union(r.getLong(0), r.getLong(1)))
+        "from its output, shard it (graft.streaming.ShardedClusterIndex), " +
+        "or raise maxNodes if driver memory allows.")
+    batch.foreach { case (a, b) => union(a, b) }
   }
+
+  /** Current node count — the quantity [[maxNodes]] bounds. */
+  def size: Long = parent.size.toLong
 
   /** Current labels: node → min id of its component (fully compressed). */
   def labels: Map[Long, Long] =
@@ -98,4 +107,67 @@ object LiveClusterIndex {
     * churn ≈ low-hundreds of MB on the driver — the same envelope as
     * CC's packed driver fallback cutover (StressMain ccmem). */
   val DefaultMaxNodes: Long = 4000000L
+}
+
+/** S-way sharded [[LiveClusterIndex]]: each arriving PAIR routes by the
+  * hash range of its smaller endpoint to one of S per-shard union-finds,
+  * and each shard enforces its own `maxNodesPerShard` — so S multiplies
+  * the serving cache's node capacity, and in production each shard's
+  * fold runs on its own host (one streaming query per shard, the
+  * [[StreamingSubstringGate.hits]] shard discipline).
+  *
+  * EXACTNESS (the reason pair-grain routing is sound where node-grain
+  * would not be): connected components of a union of edge sets equals
+  * connected components of the union of any per-subset SPANNING
+  * FORESTS — so folding each shard's (node → root) forest into one
+  * combined union-find reproduces the S=1 labels exactly, regardless
+  * of how pairs were routed (ShardedGateSpec pins S=4 ≡ S=1). A node
+  * touched by pairs in several shards appears in each — per-shard node
+  * counts sum to ≥ the distinct total; capacity planning uses that sum.
+  *
+  * [[labels]] performs the forest merge on demand: that combined view
+  * materializes every node, so it belongs in the label-CONSUMER tier
+  * (or q158's distributed contraction) at production scale — the
+  * per-shard folds, which are the hot path, never materialize it.
+  */
+final class ShardedClusterIndex(shards: Int,
+    maxNodesPerShard: Long = LiveClusterIndex.DefaultMaxNodes) {
+  require(shards >= 1, s"shards must be >= 1, got $shards")
+
+  private val idx = Array.fill(shards)(new LiveClusterIndex(maxNodesPerShard))
+
+  /** Deterministic pair→shard routing: hash range of the smaller
+    * endpoint. Any pure function of the PAIR is sound (see class doc);
+    * min-endpoint keeps a node's self-cluster traffic co-located. */
+  private def shardOf(a: Long, b: Long): Int =
+    java.lang.Long.remainderUnsigned(math.min(a, b), shards.toLong).toInt
+
+  /** Fold one micro-batch of (a_id, b_id) pairs, routed per shard.
+    * Idempotent like the unsharded fold: routing is deterministic, so
+    * an at-least-once replay hits the same shards with the same pairs. */
+  def merge(pairs: DataFrame): Unit = {
+    val batch = pairs.select(pairs.columns.head, pairs.columns(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    batch.groupBy { case (a, b) => shardOf(a, b) }
+      .foreach { case (s, sub) => idx(s).mergeBatch(sub) }
+  }
+
+  /** Global labels: fold every shard's spanning forest into one
+    * union-find (min-root, so labels match q84/q158 and the S=1
+    * index). Serving-tier cost — see class doc. */
+  def labels: Map[Long, Long] = {
+    val combined = new LiveClusterIndex(maxNodes = Long.MaxValue)
+    idx.foreach(i => combined.mergeBatch(i.labels.toArray))
+    combined.labels
+  }
+
+  /** Per-shard node counts (each bounded by `maxNodesPerShard`). */
+  def shardSizes: Seq[Long] = idx.map(_.size).toSeq
+
+  /** Attach to a streaming pair relation: every micro-batch folds in.
+    * A per-shard bound overflow fails this query loudly. */
+  def attach(pairs: DataFrame, queryName: String = "sharded_cluster_index") =
+    pairs.writeStream.queryName(queryName)
+      .foreachBatch((df: DataFrame, _: Long) => merge(df))
+      .start()
 }

@@ -28,11 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * one shuffle keys on the gram hash, the same key the batch census
   * groups on. State is ONE fixed-width entry per DISTINCT gram ever
   * seen — vocabulary grain, which grows with the corpus: `maxGrams`
-  * fails loudly past the bound (the LiveClusterIndex discipline — at
-  * production scale shard the gate by gram-hash range, or front it
-  * with the [[StreamingBloomIngest]] sketch for a static base so only
-  * novel grams reach keyed state). Output is append-mode; corrections
-  * are new rows, never retractions.
+  * fails loudly past the bound (the LiveClusterIndex discipline). At
+  * production scale, shard by gram-hash range — the `shard`/`shards`
+  * params of [[hits]] run S parallel gates whose unioned output is
+  * row-identical to S=1 and whose bound is per shard — or front a
+  * static base with the [[StreamingBloomIngest]] sketch so only novel
+  * grams reach keyed state. Output is append-mode; corrections are
+  * new rows, never retractions.
   */
 object StreamingSubstringGate {
 
@@ -81,16 +83,29 @@ object StreamingSubstringGate {
     * (`numRowsTotal` in the streaming progress events); this gauge
     * exists to abort in-flight before a task OOMs the JVM, not to be
     * the system of record. Production-scale sharding splits the bound
-    * across S gates — see [[ShardedGates.substringHitsSharded]]. */
+    * across S gates — the `shard`/`shards` params of [[hits]]. */
   private val residentGrams = new java.util.concurrent.atomic.AtomicLong(0L)
 
   /** @param maxGrams loud bound on distinct grams held in state (see
-    *   class doc; state entries are ~40 B — the default holds ~2 GB). */
+    *   class doc; state entries are ~40 B — the default holds ~2 GB).
+    * @param shard / @param shards gram-hash RANGE sharding: this gate
+    *   instance processes only grams with `gh mod shards == shard`.
+    *   Because the keyed state IS the gram hash, the partition is
+    *   exact — every gram's full occurrence history lands in exactly
+    *   one shard, so the UNION of the S shard gates' outputs is
+    *   row-identical to a single S=1 gate (ShardedGateSpec pins
+    *   S=4 ≡ S=1, the StressMain bloomshard discipline). Run each
+    *   shard as its own streaming query (own checkpoint, own JVM/
+    *   cluster), and `maxGrams` bounds EACH shard — S multiplies the
+    *   gate's total gram capacity. */
   def hits(docs: Dataset[DocArrival], L: Int,
-      maxGrams: Long = 50000000L): Dataset[SubstringHit] = {
+      maxGrams: Long = 50000000L, shard: Int = 0, shards: Int = 1)
+      : Dataset[SubstringHit] = {
+    require(shards >= 1 && shard >= 0 && shard < shards,
+      s"shard $shard out of range for $shards shards")
     val spark = docs.sparkSession
     import spark.implicits._
-    val grams = docs.toDF()
+    val allGrams = docs.toDF()
       .withColumn("t", split(col("text"), " "))
       .select(col("docId"), col("source"), col("seq"),
         posexplode(when(size(col("t")) >= L,
@@ -99,6 +114,8 @@ object StreamingSubstringGate {
           .otherwise(array())))
       .select(col("col").as("gh"), col("docId"), col("source"),
         col("pos"), col("seq"))
+    val grams = (if (shards == 1) allGrams
+                 else allGrams.where(pmod(col("gh"), lit(shards.toLong)) === shard))
       .as[GramOcc]
     grams.groupByKey(_.gh)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {

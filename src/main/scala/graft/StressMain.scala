@@ -285,6 +285,65 @@ object StressMain {
       sweep()
     }
 
+    if (mode == "substrgate" || mode == "all") {
+      // Live exact-substring gate at 10x sf0.1 (the r13 SCALE ask):
+      // docs/s through hits(L=50) and resident keyed-state rows, S=1
+      // vs S=4 gram-hash shards. Each shard consumes the FULL stream
+      // (production shape: S parallel queries over the same source,
+      // each filtering to its hash range), so per-shard wall time is
+      // what a parallel deployment's rate is set by, and per-shard
+      // state is what maxGrams actually bounds. Shards run
+      // sequentially here to keep the box uncontended; ShardedGateSpec
+      // owns the S-invariance (outputs re-checked cheaply anyway).
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingSubstringGate
+      import graft.streaming.StreamingSubstringGate.DocArrival
+      import spark.implicits._
+      val dir = StressDir
+      if (!new java.io.File(s"$dir/documents.parquet").exists())
+        gen(spark, "/root/testdata/sf0.1")
+      val arrivals = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "source", "text").collect()
+        .map(r => DocArrival(r.getLong(0), r.getString(1), r.getString(2), r.getLong(0)))
+        .sortBy(_.seq)
+      val L = graft.queries.Curation15.MinDupTokens
+      def runGate(shard: Int, shards: Int): (Double, Long, Long) = {
+        val name = s"substr_tp_${shards}_$shard"
+        val input = MemoryStream[DocArrival](spark, 8)
+        val q = StreamingSubstringGate.hits(input.toDS(), L, shard = shard, shards = shards)
+          .writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        val t0 = System.nanoTime()
+        arrivals.grouped(5000).foreach(c => input.addData(c.toSeq))
+        q.processAllAvailable()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val stateRows = Option(q.lastProgress).toSeq
+          .flatMap(_.stateOperators.toSeq).map(_.numRowsTotal).sum
+        val hits = spark.table(name).count()
+        q.stop()
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        sweep()
+        (sec, stateRows, hits)
+      }
+      val (s1Sec, s1State, s1Hits) = runGate(0, 1)
+      println(f"[stress] substrgate S=1    ${s1Sec}%6.2f s  " +
+        f"${arrivals.length / s1Sec}%8.0f docs/s  state=$s1State%d grams  hits=$s1Hits%d")
+      val S = 4
+      val per = (0 until S).map(sh => sh -> runGate(sh, S))
+      per.foreach { case (sh, (sec, st, h)) =>
+        println(f"[stress] substrgate S=$S sh$sh ${sec}%6.2f s  " +
+          f"${arrivals.length / sec}%8.0f docs/s  state=$st%d grams  hits=$h%d")
+      }
+      val worst = per.map(_._2._1).max
+      println(f"[stress] substrgate S=$S parallel-deployment rate " +
+        f"${arrivals.length / worst}%.0f docs/s (slowest shard); " +
+        f"state split ${per.map(_._2._2).mkString("/")} of $s1State")
+      require(per.map(_._2._3).sum == s1Hits,
+        s"sharded hit total ${per.map(_._2._3).sum} != S=1 $s1Hits")
+      require(per.map(_._2._2).sum == s1State,
+        s"sharded state total ${per.map(_._2._2).sum} != S=1 $s1State")
+    }
+
     if (mode == "run" || mode == "all") {
       // untimed warmup (session/codegen init otherwise lands on query 1)
       SparkEntry.queries("q27_dedup_exact")(spark, StressDir).count()

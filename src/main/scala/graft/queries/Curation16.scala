@@ -382,5 +382,128 @@ object Curation16 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q185, q186, q187)
+  // -- q188: Gopher duplicate-n-gram character fractions (n = 5..10) ----
+  // The last of Rae et al. 2021 §A1.1's repetition filters: for each
+  // n in 5..10, the fraction of document CHARACTERS lying inside some
+  // n-gram window whose gram occurs ≥2 times in the SAME document
+  // (character coverage by duplicated n-grams — each character counted
+  // once however many windows cover it). Thresholds: 0.15/0.14/0.13/
+  // 0.12/0.11/0.10. Clean synthetic prose rarely repeats ≥5-grams
+  // within one doc, so — the derived-corpus discipline — hash-mod doc
+  // classes append a repeat of their own opening span (12 or 20
+  // tokens), which duplicates every n ≤ span n-gram inside it.
+  //
+  // Scale shape (why this is NOT an in-row kernel like q185/q186):
+  // in-row duplicate marking costs O(P²) per doc and dies on 100k-word
+  // documents, so the kernel rides ONE token-grain explode and ONE
+  // doc-keyed exchange. Everything downstream reuses that partitioning:
+  // the per-(doc, gramₙ) duplicate census is a window count (doc ⊆ the
+  // partition keys, so no new exchange — only a sort), coverage is a
+  // sliding-window max over (doc, pos) ROWS n-1 PRECEDING (a window
+  // start at i covers positions [i, i+n-1], so position p is covered
+  // iff some duplicated start lies in [p-n+1, p]), and the final
+  // per-doc fraction aggregate rides the same partitioning. One
+  // Generate, one hash exchange, zero joins — plan-gated.
+  private val DupNs = 5 to 10
+  private val DupNgramKeepScaled = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+    8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+
+  /** The q188 derived corpus as a Column: docs ≡0 mod 6 re-append their
+    * first 12 tokens, ≡0 mod 11 their first 20, and ≡0 mod 7 their
+    * first SEVEN — a span that duplicates 5/6/7-grams but no ≥8-gram,
+    * so the per-n signals genuinely diverge (a repeated span of length
+    * s covers exactly its s tokens for EVERY n ≤ s, so without the
+    * short span all six fractions would be identical per doc). */
+  private[graft] def dupNgramDirty(w: Column, docId: Column): Column =
+    concat(w,
+      when(docId % 6 === 0 && size(w) >= 12, slice(w, 1, 12)).otherwise(emptyStr),
+      when(docId % 11 === 0 && size(w) >= 20, slice(w, 1, 20)).otherwise(emptyStr),
+      when(docId % 7 === 0 && size(w) >= 7, slice(w, 1, 7)).otherwise(emptyStr))
+
+  private def dupNgramOracle: String = {
+    val ghFields = DupNs.map(n =>
+      s"""'gh$n': CASE WHEN i + $n <= len(w) THEN CAST(concat('0x',
+        substr(md5(array_to_string(w[i+1 : i+$n], ' ')), 1, 15)) AS BIGINT)
+        ELSE NULL END""").mkString(",\n          ")
+    val ghSel = DupNs.map(n => s"s.gh$n AS gh$n").mkString(", ")
+    val dupCols = DupNs.map(n =>
+      s"(gh$n IS NOT NULL AND count(*) OVER (PARTITION BY doc_id, gh$n) >= 2) AS dup$n")
+      .mkString(",\n        ")
+    val covCols = DupNs.map(n =>
+      s"""max(CASE WHEN dup$n THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id
+        ORDER BY pos ROWS BETWEEN ${n - 1} PRECEDING AND CURRENT ROW) AS cov$n""")
+      .mkString(",\n        ")
+    val fracCols = DupNs.map(n =>
+      s"""CAST(round(SUM(CASE WHEN cov$n = 1 THEN wlen ELSE 0 END) * 10000.0
+        / SUM(wlen)) AS BIGINT) AS d${n}_l""").mkString(",\n        ")
+    val outCols = DupNs.map(n => s"d${n}_l / 10000.0 AS dup${n}_share").mkString(", ")
+    val keepSql = DupNs.map(n => s"d${n}_l <= ${DupNgramKeepScaled(n)}").mkString(" AND ")
+    s"""WITH d0 AS (SELECT doc_id, string_split(text, ' ') AS t0 FROM documents),
+      |d AS (SELECT doc_id, t0 ||
+      |        (CASE WHEN doc_id % 6 = 0 AND len(t0) >= 12 THEN t0[1:12] ELSE [] END) ||
+      |        (CASE WHEN doc_id % 11 = 0 AND len(t0) >= 20 THEN t0[1:20] ELSE [] END) ||
+      |        (CASE WHEN doc_id % 7 = 0 AND len(t0) >= 7 THEN t0[1:7] ELSE [] END) AS w
+      |      FROM d0),
+      |tok AS (SELECT doc_id, s.pos AS pos, s.wlen AS wlen, $ghSel
+      |        FROM (SELECT doc_id, unnest(list_transform(range(len(w)),
+      |            i -> {'pos': i, 'wlen': len(w[i+1]),
+      |          $ghFields})) AS s FROM d)),
+      |f AS (SELECT doc_id, pos, wlen,
+      |        $dupCols
+      |      FROM tok),
+      |c AS (SELECT doc_id, wlen,
+      |        $covCols
+      |      FROM f),
+      |sig AS (SELECT doc_id,
+      |        $fracCols
+      |      FROM c GROUP BY doc_id)
+      |SELECT doc_id, $outCols,
+      |  ($keepSql) AS keep
+      |FROM sig ORDER BY doc_id""".stripMargin
+  }
+
+  val q188 = q("q188_gopher_dup_ngrams", dupNgramOracle) { (s, dir) =>
+    val w0 = split(col("text"), " ")
+    val base = Tables(s, dir).documents.select(col("doc_id"),
+      dupNgramDirty(w0, col("doc_id")).as("w"))
+    val tokStruct = transform(sequence(lit(0), size(col("w")) - 1), i =>
+      struct(
+        (length(element_at(col("w"), i + 1)).cast(LongType).as("wlen") +:
+          DupNs.map(n => when(i + n <= size(col("w")),
+            crossHash60(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
+            .as(s"gh$n")).toSeq): _*))
+    val tok = base
+      .select(col("doc_id"), posexplode(tokStruct))
+      .select((col("doc_id") +: col("pos") +: col("col.wlen").as("wlen") +:
+        DupNs.map(n => col(s"col.gh$n").as(s"gh$n")).toSeq): _*)
+      // the ONE exchange: without this, EnsureRequirements keys the
+      // first census window's exchange on (doc_id, gh5) and every later
+      // window needs a fresh shuffle — 7 token-grain exchanges. Pinned
+      // to doc_id, HashPartitioning(doc_id) satisfies every window's
+      // ClusteredDistribution (doc_id ⊆ its keys) and the plan needs
+      // only per-window sorts (PlanShapeSpec gates exchange count = 1).
+      .repartition(col("doc_id"))
+    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
+    val flagged = DupNs.foldLeft(tok) { (df, n) =>
+      df.withColumn(s"dup$n",
+        col(s"gh$n").isNotNull &&
+          count(lit(1)).over(Window.partitionBy(col("doc_id"), col(s"gh$n"))) >= 2)
+    }
+    val covered = DupNs.foldLeft(flagged) { (df, n) =>
+      df.withColumn(s"cov$n",
+        max(when(col(s"dup$n"), 1).otherwise(0))
+          .over(byDocPos.rowsBetween(-(n - 1), 0)))
+    }
+    val fracs = DupNs.map(n =>
+      round(sum(when(col(s"cov$n") === 1, col("wlen")).otherwise(0L)) * 10000.0 /
+        sum(col("wlen"))).cast(LongType).as(s"d${n}_l"))
+    val sig = covered.groupBy("doc_id").agg(fracs.head, fracs.tail: _*)
+    val keep = DupNs.map(n => col(s"d${n}_l") <= DupNgramKeepScaled(n)).reduce(_ && _)
+    sig.select((col("doc_id") +:
+        DupNs.map(n => (col(s"d${n}_l") / 10000.0).as(s"dup${n}_share")).toSeq) :+
+        keep.as("keep"): _*)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188)
 }

@@ -407,6 +407,23 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("Generate"), s"$name plans a Generate:\n$plan")
     }
 
+  // q188's per-doc duplicate census is deliberately NOT in-row (O(P²)
+  // on long docs): it rides ONE token explode and ONE doc-keyed hash
+  // exchange, and every census window, sliding-coverage window, and the
+  // final per-doc aggregate reuses that partitioning (doc_id is a
+  // subset of each window's keys). A second hash exchange means a
+  // window or aggregate stopped riding the doc partitioning; a join
+  // means the census left the window form.
+  test("q188_gopher_dup_ngrams: one explode, one hash exchange, no joins") {
+    val plan = executed("q188_gopher_dup_ngrams")
+    assert(plan.linesIterator.count(_.contains("Generate posexplode")) == 1,
+      s"q188 explodes more than once:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
+      s"q188 shuffles the token grain more than once:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
+      s"q188 plans a join:\n$plan")
+  }
+
   // q187's joins are the hash equi-join of line positions against the
   // duplicated-hash census and the per-doc bill join — never a
   // line×line pair relation (that is the loop gate above). The line

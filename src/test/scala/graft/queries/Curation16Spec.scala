@@ -151,4 +151,45 @@ class Curation16Spec extends SparkSpecBase {
     val linesTot = got.map(_.getLong(3)).sum
     assert(rmTot > 0 && rmTot < linesTot)
   }
+
+  // -- q188 -------------------------------------------------------------
+
+  test("q188 duplicate-n-gram coverage replay: per-doc brute force matches") {
+    // brute force: count each n-gram within the derived doc; a position
+    // is covered iff some window starting in [p-n+1, p] holds a gram
+    // occurring >= 2 times; fraction = covered word chars / all chars
+    def dirty(w: Array[String], id: Long): Array[String] =
+      w ++ (if (id % 6 == 0 && w.length >= 12) w.take(12) else Array.empty[String]) ++
+        (if (id % 11 == 0 && w.length >= 20) w.take(20) else Array.empty[String]) ++
+        (if (id % 7 == 0 && w.length >= 7) w.take(7) else Array.empty[String])
+    def fracs(w: Array[String]): Map[Int, Long] = (5 to 10).map { n =>
+      val counts = (0 to w.length - n)
+        .map(i => w.slice(i, i + n).mkString(" "))
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      val dupStart = (0 until w.length).map(i =>
+        i <= w.length - n && counts.getOrElse(w.slice(i, i + n).mkString(" "), 0) >= 2)
+      val covered = (0 until w.length).map(p =>
+        (math.max(0, p - n + 1) to p).exists(dupStart))
+      val covChars = w.indices.collect { case p if covered(p) => w(p).length.toLong }.sum
+      n -> sc(covChars.toDouble, w.map(_.length.toLong).sum.toDouble)
+    }.toMap
+    val got = Curation16.q188.run(spark, sfDir).collect()
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    assert(got.length == byId.size)
+    val thresholds = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
+      8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val f = fracs(dirty(byId(id).split(" ", -1), id))
+      (5 to 10).zipWithIndex.foreach { case (n, j) =>
+        assert(r.getDouble(1 + j) == f(n) / 10000.0, s"doc $id dup${n}_share")
+      }
+      val keep = (5 to 10).forall(n => f(n) <= thresholds(n))
+      assert(r.getBoolean(7) == keep, s"doc $id keep")
+    }
+    assert(got.exists(!_.getBoolean(7)) && got.exists(_.getBoolean(7)))
+    // the short-span injection must make the per-n signals diverge
+    assert(got.exists(r => r.getDouble(1) != r.getDouble(6)),
+      "dup5 == dup10 on every doc: injections exercise only one grain")
+  }
 }

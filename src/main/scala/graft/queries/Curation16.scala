@@ -505,5 +505,72 @@ object Curation16 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188)
+  // -- q189: line-grain purge APPLIED (cleaned-corpus emission) ----------
+  // q187 is the purge BILL; this is the ACTION: every line whose exact
+  // text occurs ≥2 times corpus-wide is removed and each document's
+  // cleaned text re-assembled from its surviving lines in order — the
+  // output a release pipeline actually ships. Same derived line
+  // structure and census as q187 (Curation16Spec pins removal-count
+  // agreement between the two), and the oracle compares the CLEANED
+  // TEXT string per document, so any ordering or reassembly slip
+  // hash-fails.
+  //
+  // Scale: the census side is duplicated-vocabulary-sized and rides a
+  // hash anti-join (AQE broadcasts it when small); the line STRINGS
+  // ship through exactly one explode + one doc-keyed reassembly
+  // aggregate — unavoidable, the cleaned corpus IS the output. Docs
+  // losing every line survive as empty strings via the doc-grain left
+  // join (an inner shape would silently drop fully-purged docs).
+  val q189 = q("q189_line_purge_apply",
+    s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c0 AS (SELECT doc_id, ${chunkSql(LineTokens)} AS l0 FROM d),
+      |seg AS (SELECT doc_id,
+      |          l0 || (CASE WHEN doc_id % 17 = 0 THEN ['$SentinelLine'] ELSE [] END) AS lines
+      |        FROM c0),
+      |ex AS (SELECT doc_id, s.lpos AS lpos, s.line AS line,
+      |         CAST(concat('0x', substr(md5(s.line), 1, 15)) AS BIGINT) AS gh
+      |       FROM (SELECT doc_id,
+      |               unnest(list_transform(range(len(lines)),
+      |                 i -> {'lpos': i, 'line': lines[i+1]})) AS s
+      |             FROM seg)),
+      |c AS (SELECT gh FROM ex GROUP BY gh HAVING COUNT(*) >= 2),
+      |kept AS (SELECT ex.doc_id, ex.lpos, ex.line
+      |         FROM ex ANTI JOIN c USING (gh)),
+      |per AS (SELECT doc_id,
+      |          CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |          string_agg(line, ' ' ORDER BY lpos) AS clean_text
+      |        FROM kept GROUP BY doc_id)
+      |SELECT seg.doc_id,
+      |  CAST(coalesce(per.n_kept, 0) AS BIGINT) AS n_kept,
+      |  CAST(len(seg.lines) - coalesce(per.n_kept, 0) AS BIGINT) AS n_removed,
+      |  coalesce(per.clean_text, '') AS clean_text
+      |FROM seg LEFT JOIN per ON seg.doc_id = per.doc_id
+      |ORDER BY seg.doc_id""".stripMargin) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val lines0 = chunk(w, LineTokens)
+    val seg = Tables(s, dir).documents.select(col("doc_id"),
+      concat(lines0,
+        when(col("doc_id") % 17 === 0, array(lit(SentinelLine)))
+          .otherwise(emptyStr)).as("lines"))
+    val ex = seg
+      .select(col("doc_id"), posexplode(col("lines")).as(Seq("lpos", "line")))
+      .withColumn("gh", crossHash60(col("line")))
+    val census = ex.groupBy("gh").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("gh")
+    val per = ex.join(census, Seq("gh"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("lpos"), col("line")))),
+            kv => kv("line"))).as("clean_text"))
+    seg.select(col("doc_id"), size(col("lines")).cast(LongType).as("n_lines"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_lines") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189)
 }

@@ -108,17 +108,23 @@ class Curation16Spec extends SparkSpecBase {
 
   // -- q187 -------------------------------------------------------------
 
-  test("q187 line dedup: census+join bill equals naive corpus-wide line grouping") {
-    // ground truth: group RAW LINE STRINGS corpus-wide (what the 60-bit
-    // hash census + equi-join replaces) and bill each source directly
-    val perDocLines: Seq[(Long, String, Vector[String])] = docs.map {
-      case (id, src, text) =>
-        val b = chunk(text.split(" ", -1), Curation16.LineTokens)
-        (id, src,
-          if (id % 17 == 0) b :+ Curation16.SentinelLine else b)
-    }
+  // ground truth for q187/q189: the derived line structure and the
+  // naive corpus-wide occurrence count of RAW LINE STRINGS (what the
+  // 60-bit hash census + equi-join replaces)
+  private lazy val perDocLines: Seq[(Long, String, Vector[String])] = docs.map {
+    case (id, src, text) =>
+      val b = chunk(text.split(" ", -1), Curation16.LineTokens)
+      (id, src,
+        if (id % 17 == 0) b :+ Curation16.SentinelLine else b)
+  }
+  private lazy val lineOcc: Map[String, Int] = {
     val occ = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     perDocLines.foreach { case (_, _, ls) => ls.foreach(occ(_) += 1) }
+    occ.toMap.withDefaultValue(0)
+  }
+
+  test("q187 line dedup: census+join bill equals naive corpus-wide line grouping") {
+    val occ = lineOcc
     case class Bill(nDocs: Long, nAffected: Long, totalLines: Long,
         rmLines: Long, rmChars: Long, nRuns: Long)
     val want = perDocLines.groupBy(_._2).map { case (src, ds) =>
@@ -150,6 +156,32 @@ class Curation16Spec extends SparkSpecBase {
     val rmTot = got.map(_.getLong(4)).sum
     val linesTot = got.map(_.getLong(3)).sum
     assert(rmTot > 0 && rmTot < linesTot)
+  }
+
+  // -- q189 -------------------------------------------------------------
+
+  test("q189 purge applied: cleaned text equals driver reassembly; bill matches q187") {
+    val got = Curation16.q189.run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got.size == perDocLines.size)
+    perDocLines.foreach { case (id, _, ls) =>
+      val kept = ls.filter(lineOcc(_) < 2)
+      val (nKept, nRemoved, clean) = got(id)
+      assert(nKept == kept.length.toLong, s"doc $id n_kept")
+      assert(nRemoved == (ls.length - kept.length).toLong, s"doc $id n_removed")
+      assert(clean == kept.mkString(" "), s"doc $id clean_text")
+    }
+    // the ACTION agrees with the BILL: per-source removed-line totals
+    val billBySource = Curation16.q187.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    val removedBySource = perDocLines.groupBy(_._2).map { case (src, ds) =>
+      src -> ds.map { case (id, _, _) => got(id)._2 }.sum
+    }
+    removedBySource.foreach { case (src, rm) =>
+      assert(rm == billBySource(src), s"$src: applied $rm != billed ${billBySource(src)}")
+    }
+    // something removed, and at least one doc survives intact
+    assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
   }
 
   // -- q188 -------------------------------------------------------------

@@ -121,7 +121,11 @@ object StressMain {
     "q178_domain_shift", "q179_source_novelty",
     // round 13: exact-substring dedup (token-grain gram census + window
     // merge — the heaviest per-token explode in the registry)
-    "q183_exact_substring")
+    "q183_exact_substring",
+    // round 14: line-grain census bill + applied purge (line explode,
+    // vocabulary census, reassembly aggregate) and the dup-n-gram
+    // coverage windows (token grain × 6 census sorts on one exchange)
+    "q187_line_dedup", "q188_gopher_dup_ngrams", "q189_line_purge_apply")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")
@@ -226,7 +230,8 @@ object StressMain {
         "q158_incremental_cc",   // delta-contracted clustering (vs q84's full)
         "q146_pagerank",         // fixed-point power iteration on the dup graph
         "q167_span_purge",       // span agg + equi-join + doc reassembly
-        "q183_exact_substring")  // token-grain gram census + window merge
+        "q183_exact_substring",  // token-grain gram census + window merge
+        "q188_gopher_dup_ngrams") // 6 census windows on one token exchange
       SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
       def timeBestOf2(q: String, dir: String): Double =
         (1 to 2).map { _ =>

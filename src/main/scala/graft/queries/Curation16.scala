@@ -572,5 +572,87 @@ object Curation16 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189)
+  // -- q190: per-paragraph language-consistency census --------------------
+  // CCNet (Wenzek et al. 2020) runs language-ID at PARAGRAPH grain and
+  // drops or splits documents whose paragraphs disagree — the doc-grain
+  // q24 verdict hides a mixed-language document entirely. Paragraphs
+  // are the q185 12-token derived segmentation; docs ≡0 mod 9 gain one
+  // injected German-function-word paragraph (the derived-corpus
+  // discipline) so mixed documents provably exist at every SF. Each
+  // paragraph is scored by the SAME native langid kernel as q24 (the
+  // oracle mirrors its profile scoring literally, per q24's scaladoc);
+  // the census reports the per-doc dominant language (majority vote,
+  // (count desc, lang) tie-break) and the consistency fraction.
+  //
+  // Scale: langid is map-side on the paragraph explode — only (doc_id,
+  // predicted-lang) pairs reach the shuffle, never paragraph text; the
+  // count relation is doc×lang grain (≤ |profiles|+1 rows per doc), so
+  // the argmax window and totals are census-sized.
+  val GermanPara = "der die das und ist nicht ein zu mit von so da"
+  val q190 = q("q190_paragraph_langid",
+    s"""WITH profiles(plang, words, bgl) AS (VALUES
+      |  ('en', ['the','a','and','of','is','to','in','that','it','for'],
+      |         ['th','he','in','er','an','ng']),
+      |  ('de', ['der','die','das','und','ist','nicht','ein','zu','mit','von'],
+      |         ['ch','ei','en','ie','sc','tz']),
+      |  ('es', ['el','la','los','de','que','y','en','un','una','es'],
+      |         ['ll','os','as','ci','ón','qu']),
+      |  ('fr', ['le','les','des','de','et','est','un','une','dans','que'],
+      |         ['ou','au','eu','oi','ai','qu']),
+      |  ('zh', [], [])),
+      |d0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |c0 AS (SELECT doc_id, ${chunkSql(ParaTokens)} AS p0 FROM d0),
+      |seg AS (SELECT doc_id,
+      |          p0 || (CASE WHEN doc_id % 9 = 0 THEN ['$GermanPara'] ELSE [] END) AS paras
+      |        FROM c0),
+      |p AS (SELECT doc_id, unnest(paras) AS para FROM seg),
+      |pt AS (SELECT doc_id, para, string_split(para, ' ') AS t,
+      |         CASE WHEN length(para) >= 2
+      |              THEN list_transform(range(1, length(para)), i -> para[i:i+1])
+      |              ELSE [para] END AS bg
+      |       FROM p),
+      |sc AS (SELECT doc_id, para, plang,
+      |         CAST(len(list_filter(t, x -> list_contains(words, x))) AS DOUBLE) / len(t)
+      |         + 0.5 * (CAST(len(list_filter(bg, x -> list_contains(bgl, x))) AS DOUBLE)
+      |                  / greatest(1, len(bg))) AS score
+      |       FROM pt CROSS JOIN profiles),
+      |r AS (SELECT doc_id, para, plang, score,
+      |        row_number() OVER (PARTITION BY doc_id, para ORDER BY score DESC, plang) AS rk
+      |      FROM sc),
+      |pl AS (SELECT doc_id,
+      |         CASE WHEN score = 0.0 THEN 'und' ELSE plang END AS plang
+      |       FROM r WHERE rk = 1),
+      |cnt AS (SELECT doc_id, plang, CAST(COUNT(*) AS BIGINT) AS c
+      |        FROM pl GROUP BY doc_id, plang),
+      |dom AS (SELECT doc_id, plang, c,
+      |          row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rk,
+      |          CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n_paras
+      |        FROM cnt)
+      |SELECT doc_id, n_paras, plang AS dominant_lang, c AS n_dominant,
+      |  CAST(round(CAST(c AS DOUBLE) * 10000 / n_paras) AS BIGINT) / 10000.0 AS consistency,
+      |  (c < n_paras) AS mixed
+      |FROM dom WHERE rk = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    val w = split(col("text"), " ")
+    val paras = concat(chunk(w, ParaTokens),
+      when(col("doc_id") % 9 === 0, array(lit(GermanPara))).otherwise(emptyStr))
+    val perPara = Tables(s, dir).documents
+      .select(col("doc_id"), explode(paras).as("para"))
+      .select(col("doc_id"),
+        graft.functions.expr.TextExpressions.langId(col("para")).as("pred"))
+      .select(col("doc_id"), col("pred.lang").as("plang"))
+    val cnt = perPara.groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
+    val wDoc = Window.partitionBy("doc_id")
+    val dom = cnt
+      .withColumn("rk", row_number().over(wDoc.orderBy(col("c").desc, col("plang"))))
+      .withColumn("n_paras", sum(col("c")).over(wDoc))
+    dom.filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_paras"),
+        col("plang").as("dominant_lang"), col("c").as("n_dominant"),
+        (round(col("c").cast(DoubleType) * 10000 / col("n_paras")).cast(LongType)
+          / 10000.0).as("consistency"),
+        (col("c") < col("n_paras")).as("mixed"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189, q190)
 }

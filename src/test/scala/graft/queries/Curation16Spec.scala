@@ -184,6 +184,53 @@ class Curation16Spec extends SparkSpecBase {
     assert(got.values.exists(_._2 > 0) && got.values.exists(_._2 == 0L))
   }
 
+  // -- q190 -------------------------------------------------------------
+
+  test("q190 paragraph langid: census replays from per-paragraph kernel verdicts") {
+    import org.apache.spark.sql.functions.{col, explode}
+    // per-paragraph predictions via the SAME kernel q24's oracle proved,
+    // census (majority vote, tie-break, fraction) recomputed driver-side
+    val paraPreds = spark.createDataFrame(
+        perParagraphs.flatMap { case (id, ps) => ps.map(p => (id, p)) })
+      .toDF("doc_id", "para")
+      .select(col("doc_id"),
+        graft.functions.expr.TextExpressions.langId(col("para")).as("pred"))
+      .select(col("doc_id"), col("pred.lang").as("plang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val want = paraPreds.groupBy(_._1).map { case (id, ps) =>
+      val counts = ps.groupBy(_._2).map { case (l, o) => (l, o.size.toLong) }
+      val (domLang, domC) = counts.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      val n = ps.length.toLong
+      id -> (n, domLang, domC,
+        BigDecimal(domC * 10000.0 / n).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+          .toLong / 10000.0, domC < n)
+    }
+    val got = Curation16.q190.run(spark, sfDir).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val (n, lang, c, cons, mixed) = want(id)
+      assert(r.getLong(1) == n, s"doc $id n_paras")
+      assert(r.getString(2) == lang, s"doc $id dominant_lang")
+      assert(r.getLong(3) == c, s"doc $id n_dominant")
+      assert(r.getDouble(4) == cons, s"doc $id consistency")
+      assert(r.getBoolean(5) == mixed, s"doc $id mixed")
+    }
+    // the injection makes mixed documents exist, and most docs stay pure
+    assert(got.exists(_.getBoolean(5)) && got.exists(!_.getBoolean(5)))
+    // every %9 doc carries the German paragraph: mixed unless fully 'de'
+    got.filter(_.getLong(0) % 9 == 0).foreach { r =>
+      assert(r.getBoolean(5) || r.getString(2) == "de",
+        s"doc ${r.getLong(0)} lost its injected paragraph")
+    }
+  }
+
+  private lazy val perParagraphs: Seq[(Long, Vector[String])] = docs.map {
+    case (id, _, text) =>
+      val b = chunk(text.split(" ", -1), Curation16.ParaTokens)
+      (id, if (id % 9 == 0) b :+ Curation16.GermanPara else b)
+  }
+
   // -- q188 -------------------------------------------------------------
 
   test("q188 duplicate-n-gram coverage replay: per-doc brute force matches") {

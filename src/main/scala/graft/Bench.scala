@@ -149,6 +149,16 @@ object Bench {
     * steady state, not JVM startup. Returns the median, or -1 when the
     * forks failed (probe is best-effort: a broken fork must not fail
     * the bench). */
+  /** Extract the probe child's measurement from its stdout. -1 is the
+    * child's "timed run failed" sentinel — a failed fork counts as NO
+    * measurement (None), so it can never out-vote the in-JVM
+    * regression verdict with a bogus fast time (the r13 ADVICE fix;
+    * BenchSwingSpec pins both directions). */
+  private[graft] def parseProbeOutput(s: String): Option[Double] =
+    raw"""PROBE \S+ (-?[0-9.]+)""".r
+      .findFirstMatchIn(s)
+      .map(_.group(1).toDouble).filter(_ >= 0)
+
   private def forkProbeMedian(name: String, sfDir: String, cpus: String,
       runs: Int = 3): Double = {
     import scala.jdk.CollectionConverters._
@@ -179,12 +189,7 @@ object Bench {
           p.destroyForcibly(); None
         } else {
           outReader.join(5000)
-          // -1 is the child's "timed run failed" sentinel — a failed
-          // fork counts as no measurement, so it can never out-vote the
-          // in-JVM regression verdict with a bogus fast time.
-          raw"""PROBE \S+ (-?[0-9.]+)""".r
-            .findFirstMatchIn(sb.synchronized(sb.toString))
-            .map(_.group(1).toDouble).filter(_ >= 0)
+          parseProbeOutput(sb.synchronized(sb.toString))
         }
       } catch { case _: Throwable => None }
     }

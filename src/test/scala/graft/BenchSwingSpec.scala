@@ -139,4 +139,16 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(!cmd.contains("-XX:+UseG1GC") && !cmd.contains("/ignored"))
     assert(cmd.takeRight(3) == Seq("-cp", "/cp/a.jar:/cp/b.jar", "graft.Bench"))
   }
+
+  test("probe output parse: -1 failure sentinel is NO measurement, never a fast run") {
+    // healthy child
+    assert(Bench.parseProbeOutput("warmup noise\nPROBE q84_dup_clusters 2.341\n")
+      .contains(2.341))
+    // crashed timed run: the child prints the sentinel; the parent must
+    // treat the fork as failed — a 'fast' -1 would let a broken fork
+    // reclassify a genuine regression as noise (the r13 ADVICE finding)
+    assert(Bench.parseProbeOutput("PROBE q84_dup_clusters -1.000\n").isEmpty)
+    // no PROBE line at all (fork died before printing)
+    assert(Bench.parseProbeOutput("OutOfMemoryError\n").isEmpty)
+  }
 }

@@ -32,6 +32,12 @@ import org.apache.spark.sql.SparkSession
   *  21. cross-split n-gram overlap (q182): residual substring leakage
   *  22. exact-substring dedup bill (q183): the ≥50-token purge census
   *  23. PII scrub census (q184): email/phone/IP redaction bill
+  *  24. duplicate line/paragraph fractions (q185): Gopher repetition
+  *  25. top-n-gram character shares (q186): Gopher repetition
+  *  26. line dedup bill (q187): corpus-wide duplicated-line purge cost
+  *  27. duplicate n-gram coverage (q188): within-doc 5..10-gram repeats
+  *  28. line purge applied (q189): the cleaned-corpus emission
+  *  29. paragraph language consistency (q190): mixed-language docs
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -74,7 +80,13 @@ object GovernanceMain {
       "split repair bill (quarantine-to-train)" -> "q181_split_repair",
       "cross-split n-gram overlap" -> "q182_split_ngram_overlap",
       "exact-substring dedup bill (Lee et al. ExactSubstr)" -> "q183_exact_substring",
-      "PII scrub census (emails/phones/IPs)" -> "q184_pii_scrub")
+      "PII scrub census (emails/phones/IPs)" -> "q184_pii_scrub",
+      "duplicate line/paragraph fractions (first rows)" -> "q185_gopher_dup_lines",
+      "top-n-gram char shares (first rows)" -> "q186_gopher_top_ngram",
+      "line dedup bill (RefinedWeb line pass)" -> "q187_line_dedup",
+      "duplicate n-gram coverage (first rows)" -> "q188_gopher_dup_ngrams",
+      "line purge applied (first rows)" -> "q189_line_purge_apply",
+      "paragraph language consistency (first rows)" -> "q190_paragraph_langid")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

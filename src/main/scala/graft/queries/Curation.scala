@@ -508,21 +508,12 @@ object Curation {
   // partial), context sums via a window over the vocabulary-sized
   // aggregate, a broadcast-sized join back to doc bigrams, one per-doc
   // aggregate.
-  val q101 = q("q101_bigram_fluency",
-    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-      |bg AS (SELECT doc_id,
-      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
-      |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
-      |       FROM d WHERE len(t) >= 2),
-      |bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
-      |uc AS (SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM bc),
-      |term AS (SELECT doc_id, CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
-      |         FROM bg JOIN uc USING (w1, w2))
-      |SELECT doc_id,
-      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      |  CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_p,
-      |  min(p) AS min_p
-      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+  /** q101's scoring core — (doc_id, n_bigrams, avg_p, min_p) under the
+    * corpus bigram LM — exposed so q191's CCNet-style fluency
+    * bucketing reuses the exact relation the q101 oracle proves.
+    * See q101's scaladoc for the transcendental-free determinism
+    * argument and the broadcast-build-side note. */
+  private[graft] def bigramFluency(s: SparkSession, dir: String): DataFrame = {
     val t = col("_t")
     val pairs = transform(sequence(lit(0), size(t) - 2),
       i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
@@ -545,7 +536,24 @@ object Curation {
         count(lit(1)).as("n_bigrams"),
         (sum(round(col("p"), 9).cast("decimal(18,9)")).cast("double") / count(lit(1))).as("avg_p"),
         min(col("p")).as("min_p"))
-      .orderBy("doc_id")
+  }
+
+  val q101 = q("q101_bigram_fluency",
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |       FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM bc),
+      |term AS (SELECT doc_id, CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
+      |         FROM bg JOIN uc USING (w1, w2))
+      |SELECT doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_p,
+      |  min(p) AS min_p
+      |FROM term GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    bigramFluency(s, dir).orderBy("doc_id")
   }
 
   // -- q103: benchmark decontamination (n-gram overlap) -----------------

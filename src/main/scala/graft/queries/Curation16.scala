@@ -654,5 +654,59 @@ object Curation16 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189, q190)
+  // -- q191: CCNet head/middle/tail fluency bucketing ---------------------
+  // CCNet's signature mixing move (Wenzek et al. 2020 §4.3): rank each
+  // source's documents by LM fluency, cut into terciles (head = most
+  // fluent), and bill tokens per bucket — the plan a mixture then
+  // samples from ("keep head+middle" is the standard recipe). Fluency
+  // is q101's transcendental-free corpus-bigram score (avg conditional
+  // probability; its determinism argument lives at q101), so the
+  // tercile ORDER — (avg_p DESC, doc_id) — is bit-identical in both
+  // engines and ntile is exact. Bucket stats stay order-free (counts,
+  // sums of integers, min/max of the score); no mean-of-doubles.
+  //
+  // Scale: the fluency relation is doc-grain (q101's shape: bigram LM
+  // broadcasts, corpus read once); the tercile window is ONE exchange
+  // on source; the census rides that partitioning.
+  val q191 = q("q191_fluency_buckets",
+    """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+      |         unnest(list_transform(range(1, len(t)), i -> t[i+1])) AS w2
+      |       FROM d WHERE len(t) >= 2),
+      |bc AS (SELECT w1, w2, COUNT(*) AS n FROM bg GROUP BY 1, 2),
+      |uc AS (SELECT w1, w2, n, CAST(SUM(n) OVER (PARTITION BY w1) AS BIGINT) AS ctx_n FROM bc),
+      |term AS (SELECT doc_id, CAST(n AS DOUBLE) / CAST(ctx_n AS DOUBLE) AS p
+      |         FROM bg JOIN uc USING (w1, w2)),
+      |fl AS (SELECT doc_id,
+      |         CAST(SUM(CAST(round(p, 9) AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*) AS avg_p
+      |       FROM term GROUP BY doc_id),
+      |ranked AS (SELECT d.source, d.doc_id, CAST(len(d.t) AS BIGINT) AS n_tokens,
+      |             fl.avg_p,
+      |             ntile(3) OVER (PARTITION BY d.source
+      |                            ORDER BY fl.avg_p DESC, d.doc_id) AS bucket
+      |           FROM d JOIN fl ON d.doc_id = fl.doc_id)
+      |SELECT source, CAST(bucket AS BIGINT) AS bucket,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |  min(avg_p) AS min_fluency,
+      |  max(avg_p) AS max_fluency
+      |FROM ranked GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin) { (s, dir) =>
+    val fl = Curation.bigramFluency(s, dir).select(col("doc_id"), col("avg_p"))
+    val meta = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"))
+    val ranked = meta.join(fl, Seq("doc_id"))
+      .withColumn("bucket",
+        ntile(3).over(Window.partitionBy("source")
+          .orderBy(col("avg_p").desc, col("doc_id"))).cast(LongType))
+    ranked.groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        min(col("avg_p")).as("min_fluency"),
+        max(col("avg_p")).as("max_fluency"))
+      .orderBy("source", "bucket")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189, q190, q191)
 }

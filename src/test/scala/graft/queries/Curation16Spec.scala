@@ -225,6 +225,30 @@ class Curation16Spec extends SparkSpecBase {
     }
   }
 
+  // -- q191 -------------------------------------------------------------
+
+  test("q191 fluency buckets: tercile order, balance, and doc conservation") {
+    val got = Curation16.q191.run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val bySource = got.groupBy(_._1)
+    val docsPerSource = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    bySource.foreach { case (src, rows) =>
+      val byBucket = rows.map(r => r._2 -> r).toMap
+      assert(byBucket.keySet == Set(1L, 2L, 3L), s"$src buckets")
+      // conservation: every doc lands in exactly one bucket
+      assert(rows.map(_._3).sum == docsPerSource(src), s"$src doc count")
+      // ntile balance: bucket sizes differ by at most one
+      val sizes = rows.map(_._3)
+      assert(sizes.max - sizes.min <= 1, s"$src tercile sizes $sizes")
+      // fluency DESC ranking: head's floor >= middle's ceiling >= tail's
+      assert(byBucket(1L)._5 >= byBucket(2L)._6, s"$src head/middle overlap")
+      assert(byBucket(2L)._5 >= byBucket(3L)._6, s"$src middle/tail overlap")
+    }
+    // the buckets must actually separate scores somewhere
+    assert(got.exists(r => r._5 != r._6))
+  }
+
   private lazy val perParagraphs: Seq[(Long, Vector[String])] = docs.map {
     case (id, _, text) =>
       val b = chunk(text.split(" ", -1), Curation16.ParaTokens)

@@ -708,5 +708,77 @@ object Curation16 {
       .orderBy("source", "bucket")
   }
 
-  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189, q190, q191)
+  // -- q192: per-source token-budget sampler (mixture execution) ----------
+  // The step that turns mixture WEIGHTS into an actual dataset (the
+  // Dolma/Pile release recipe): each source gets a token budget
+  // (weight × its total tokens; weights derived deterministically from
+  // the source-name hash so both engines agree), its documents are
+  // ordered by a reproducible uniform shuffle (crossHash60 of doc_id —
+  // the q99 discipline: same corpus + same weights ⇒ same sample, any
+  // engine, any cluster), and the sample is the maximal prefix whose
+  // cumulative token count fits the budget. The census bills each
+  // source (kept docs/tokens, utilization) plus a doc_id-sum checksum
+  // that pins the exact MEMBERSHIP of the sample, not just its size.
+  //
+  // Scale: one scan projecting (source, n_tokens, hash) — text never
+  // leaves the row — then ONE source-keyed exchange carries the
+  // cumulative-sum window, the per-source total (unbounded frame on
+  // the same partitioning), and the census aggregate. All arithmetic
+  // is integer or same-operand IEEE (weight×total multiplies identical
+  // doubles in both engines), so the cut — and hence the checksum —
+  // is exact.
+  val q192 = q("q192_token_budget_sample", {
+    val hDoc = graft.QueryDsl.crossHash60Sql("doc_id")
+    val hSrc = graft.QueryDsl.crossHash60Sql("source")
+    s"""WITH d AS (SELECT doc_id, source,
+      |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |        $hDoc AS h FROM documents),
+      |r AS (SELECT doc_id, source, n_tokens,
+      |        CAST(($hSrc % 5 + 3) AS DOUBLE) / 10.0 AS w,
+      |        SUM(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+      |        SUM(n_tokens) OVER (PARTITION BY source) AS total
+      |      FROM d),
+      |k AS (SELECT *, CAST(round(w * CAST(total AS DOUBLE)) AS BIGINT) AS budget,
+      |        (cum <= CAST(round(w * CAST(total AS DOUBLE)) AS BIGINT)) AS kept
+      |      FROM r)
+      |SELECT source,
+      |  CAST(max(budget) AS BIGINT) AS budget,
+      |  CAST(max(total) AS BIGINT) AS total_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept,
+      |  CAST(round(CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS DOUBLE)
+      |       * 10000 / max(budget)) AS BIGINT) / 10000.0 AS utilization,
+      |  CAST(SUM(CASE WHEN kept THEN doc_id ELSE 0 END) AS BIGINT) AS kept_id_sum
+      |FROM k GROUP BY source ORDER BY source""".stripMargin
+  }) { (s, dir) =>
+    val d = Tables(s, dir).documents.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_tokens"),
+      crossHash60(col("doc_id")).as("h"))
+    val bySrc = Window.partitionBy("source")
+    val r = d
+      .withColumn("w",
+        (pmod(crossHash60(col("source")), lit(5L)) + 3L).cast(DoubleType) / 10.0)
+      .withColumn("cum", sum(col("n_tokens"))
+        .over(bySrc.orderBy(col("h"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("n_tokens")).over(bySrc))
+      .withColumn("budget",
+        round(col("w") * col("total").cast(DoubleType)).cast(LongType))
+      .withColumn("kept", col("cum") <= col("budget"))
+    r.groupBy("source")
+      .agg(max(col("budget")).as("budget"),
+        max(col("total")).as("total_tokens"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        (round(sum(when(col("kept"), col("n_tokens")).otherwise(0L))
+            .cast(DoubleType) * 10000 / max(col("budget"))).cast(LongType)
+          / 10000.0).as("utilization"),
+        sum(when(col("kept"), col("doc_id")).otherwise(0L)).as("kept_id_sum"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q185, q186, q187, q188, q189, q190, q191, q192)
 }

@@ -249,6 +249,44 @@ class Curation16Spec extends SparkSpecBase {
     assert(got.exists(r => r._5 != r._6))
   }
 
+  // -- q192 -------------------------------------------------------------
+
+  test("q192 token-budget sample: exact greedy-prefix replay per source") {
+    def h60(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val got = Curation16.q192.run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getLong(7))).toMap
+    val bySource = docs.groupBy(_._2)
+    assert(got.size == bySource.size)
+    bySource.foreach { case (src, ds) =>
+      val toks = ds.map { case (id, _, text) => id -> text.split(" ", -1).length.toLong }
+      val total = toks.map(_._2).sum
+      val w = (h60(src) % 5 + 3).toDouble / 10.0
+      val budget = math.round(w * total.toDouble)
+      val ordered = toks.sortBy { case (id, _) => (h60(id.toString), id) }
+      var cum = 0L
+      val kept = ordered.takeWhile { case (_, n) => cum += n; cum <= budget }
+      // NOTE takeWhile with side-effecting cum matches the window cut:
+      // a doc is kept iff the INCLUSIVE running total fits the budget,
+      // and hash order is a prefix property so takeWhile is exact
+      val (gBudget, gTotal, gDocs, gKept, gTokens, gUtil, gIdSum) = got(src)
+      assert(gBudget == budget, s"$src budget")
+      assert(gTotal == total, s"$src total")
+      assert(gDocs == ds.size.toLong, s"$src n_docs")
+      assert(gKept == kept.length.toLong, s"$src n_kept")
+      assert(gTokens == kept.map(_._2).sum, s"$src tokens_kept")
+      assert(gIdSum == kept.map(_._1).sum, s"$src kept_id_sum (membership)")
+      val util = BigDecimal(kept.map(_._2).sum * 10000.0 / budget)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong / 10000.0
+      assert(gUtil == util, s"$src utilization")
+      // the cut must be real: something kept, something dropped
+      assert(kept.nonEmpty && kept.length < ds.size, s"$src degenerate cut")
+    }
+  }
+
   private lazy val perParagraphs: Seq[(Long, Vector[String])] = docs.map {
     case (id, _, text) =>
       val b = chunk(text.split(" ", -1), Curation16.ParaTokens)

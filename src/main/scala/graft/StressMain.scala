@@ -123,9 +123,12 @@ object StressMain {
     // merge — the heaviest per-token explode in the registry)
     "q183_exact_substring",
     // round 14: line-grain census bill + applied purge (line explode,
-    // vocabulary census, reassembly aggregate) and the dup-n-gram
-    // coverage windows (token grain × 6 census sorts on one exchange)
-    "q187_line_dedup", "q188_gopher_dup_ngrams", "q189_line_purge_apply")
+    // vocabulary census, reassembly aggregate), the dup-n-gram
+    // coverage windows (token grain × 6 census sorts on one exchange),
+    // fluency bucketing (q101's LM relation + tercile window), and the
+    // token-budget sampler (running-sum window at corpus doc grain)
+    "q187_line_dedup", "q188_gopher_dup_ngrams", "q189_line_purge_apply",
+    "q191_fluency_buckets", "q192_token_budget_sample")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -38,6 +38,8 @@ import org.apache.spark.sql.SparkSession
   *  27. duplicate n-gram coverage (q188): within-doc 5..10-gram repeats
   *  28. line purge applied (q189): the cleaned-corpus emission
   *  29. paragraph language consistency (q190): mixed-language docs
+  *  30. fluency buckets (q191): CCNet head/middle/tail token bill
+  *  31. token-budget sample (q192): mixture-execution cut per source
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -86,7 +88,9 @@ object GovernanceMain {
       "line dedup bill (RefinedWeb line pass)" -> "q187_line_dedup",
       "duplicate n-gram coverage (first rows)" -> "q188_gopher_dup_ngrams",
       "line purge applied (first rows)" -> "q189_line_purge_apply",
-      "paragraph language consistency (first rows)" -> "q190_paragraph_langid")
+      "paragraph language consistency (first rows)" -> "q190_paragraph_langid",
+      "fluency buckets (CCNet head/middle/tail)" -> "q191_fluency_buckets",
+      "token-budget sample bill" -> "q192_token_budget_sample")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

@@ -367,9 +367,13 @@ object Bench {
         : (Double, Long, Long) = {
       if (PairFamily.contains(name)) {
         val t0 = System.nanoTime()
-        graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
+        // Same guard as the probe fork's prime: a prime failure must
+        // degrade to "family query runs unprimed" (and records the
+        // attempt's wall cost), never abort the whole bench (ADVICE r14).
+        try graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .count()
+        catch { case _: Throwable => () }
         familyPrimeSec += (System.nanoTime() - t0) / 1e9
         familyPrimes += 1
       }

@@ -316,6 +316,10 @@ object StressMain {
         .sortBy(_.seq)
       val L = graft.queries.Curation15.MinDupTokens
       def runGate(shard: Int, shards: Int): (Double, Long, Long) = {
+        // Independent sequential queries in ONE JVM: clear the
+        // JVM-static resident-gram gauge so run N's leftover count
+        // doesn't spuriously trip maxGrams on run N+1 (ADVICE r14).
+        StreamingSubstringGate.resetResidentGrams()
         val name = s"substr_tp_${shards}_$shard"
         val input = MemoryStream[DocArrival](spark, 8)
         val q = StreamingSubstringGate.hits(input.toDS(), L, shard = shard, shards = shards)

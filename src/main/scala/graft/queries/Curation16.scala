@@ -86,9 +86,16 @@ object Curation16 {
   /** Scaled-integer ratio — round(num·10⁴/den) at scale 0 — the
     * cross-engine float discipline documented at q170: decimal halves
     * at scale 0 are exactly representable doubles, so Spark and DuckDB
-    * round identically; rule thresholds compare the integer forms. */
+    * round identically; rule thresholds compare the integer forms.
+    * The denominator is clamped to ≥1 (the greatest(1, len) discipline
+    * from q190): an empty-text doc has sumLen([""]) = 0 and
+    * length(text) = 0, where an unguarded divide is a cross-engine
+    * CRASH divergence — Spark's non-ANSI cast turns the NaN into 0
+    * while DuckDB errors on CAST(NaN AS BIGINT). With the clamp both
+    * engines yield 0 (the numerator is 0 whenever the true denominator
+    * is), identical to Spark's old value on every row. */
   private def scaled(num: Column, den: Column): Column =
-    round(num.cast(DoubleType) * 10000 / den).cast(LongType)
+    round(num.cast(DoubleType) * 10000 / greatest(lit(1L), den)).cast(LongType)
 
   /** Appends the duplicate-line/paragraph signal columns (`n_lines`,
     * `dlf_l`, `dlcf_l`, `n_paras`, `dpf_l`, `dpcf_l` — scaled-integer
@@ -214,14 +221,14 @@ object Curation16 {
       |sig AS (SELECT doc_id,
       |    CAST(len(lines) AS BIGINT) AS n_lines,
       |    CAST(round(CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
-      |          * 10000 / len(lines)) AS BIGINT) AS dlf_l,
+      |          * 10000 / greatest(1, len(lines))) AS BIGINT) AS dlf_l,
       |    CAST(round(CAST(${sumLenSql("lines")} - ${sumLenSql("list_distinct(lines)")} AS DOUBLE)
-      |          * 10000 / ${sumLenSql("lines")}) AS BIGINT) AS dlcf_l,
+      |          * 10000 / greatest(1, ${sumLenSql("lines")})) AS BIGINT) AS dlcf_l,
       |    CAST(len(paras) AS BIGINT) AS n_paras,
       |    CAST(round(CAST(len(paras) - len(list_distinct(paras)) AS DOUBLE)
-      |          * 10000 / len(paras)) AS BIGINT) AS dpf_l,
+      |          * 10000 / greatest(1, len(paras))) AS BIGINT) AS dpf_l,
       |    CAST(round(CAST(${sumLenSql("paras")} - ${sumLenSql("list_distinct(paras)")} AS DOUBLE)
-      |          * 10000 / ${sumLenSql("paras")}) AS BIGINT) AS dpcf_l
+      |          * 10000 / greatest(1, ${sumLenSql("paras")})) AS BIGINT) AS dpcf_l
       |  FROM seg)
       |SELECT doc_id, n_lines,
       |  dlf_l / 10000.0 AS dup_line_frac,
@@ -270,11 +277,11 @@ object Curation16 {
       |${topSqlCte(4)},
       |sig AS (SELECT d.doc_id, CAST(len(d.w) AS BIGINT) AS n_words,
       |    CAST(round(CAST(coalesce((m2.m // 100000) * (m2.m % 100000), 0) AS DOUBLE)
-      |          * 10000 / d.nc) AS BIGINT) AS top2_l,
+      |          * 10000 / greatest(1, d.nc)) AS BIGINT) AS top2_l,
       |    CAST(round(CAST(coalesce((m3.m // 100000) * (m3.m % 100000), 0) AS DOUBLE)
-      |          * 10000 / d.nc) AS BIGINT) AS top3_l,
+      |          * 10000 / greatest(1, d.nc)) AS BIGINT) AS top3_l,
       |    CAST(round(CAST(coalesce((m4.m // 100000) * (m4.m % 100000), 0) AS DOUBLE)
-      |          * 10000 / d.nc) AS BIGINT) AS top4_l
+      |          * 10000 / greatest(1, d.nc)) AS BIGINT) AS top4_l
       |  FROM d LEFT JOIN m2 ON d.doc_id = m2.doc_id
       |         LEFT JOIN m3 ON d.doc_id = m3.doc_id
       |         LEFT JOIN m4 ON d.doc_id = m4.doc_id)
@@ -668,6 +675,17 @@ object Curation16 {
   // Scale: the fluency relation is doc-grain (q101's shape: bigram LM
   // broadcasts, corpus read once); the tercile window is ONE exchange
   // on source; the census rides that partitioning.
+  //
+  // Domain note (ADVICE r14): a document with FEWER THAN 2 TOKENS has
+  // no bigrams, no fluency score, and is EXCLUDED from the census by
+  // the inner join against the fluency relation — in both engines, so
+  // the oracle agrees. The test corpora contain no such docs, which is
+  // the only reason the spec's doc-conservation assertion holds; on a
+  // corpus with degenerate docs the n_docs sum dropping below the
+  // corpus count is this documented exclusion, not a conservation bug
+  // (CCNet itself cannot score a doc its LM sees zero n-grams for —
+  // route such docs to a worst-bucket policy upstream if they must be
+  // billed).
   val q191 = q("q191_fluency_buckets",
     """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       |bg AS (SELECT doc_id,

@@ -69,13 +69,18 @@ final class LiveClusterIndex(maxNodes: Long = LiveClusterIndex.DefaultMaxNodes) 
 
   /** The driver-side fold behind [[merge]], also the entry point for
     * [[ShardedClusterIndex]]'s per-shard routing and its forest merge. */
+  /** Nodes THIS batch would add — the guard quantity, computed without
+    * mutating the index (so [[ShardedClusterIndex.merge]] can check
+    * every shard's bound before applying any sub-batch). */
+  private[streaming] def newNodeCount(batch: Array[(Long, Long)]): Long = {
+    val seen = new java.util.HashSet[java.lang.Long]()
+    batch.foreach { case (a, b) => seen.add(a); seen.add(b) }
+    seen.removeIf(x => parent.contains(x))
+    seen.size.toLong
+  }
+
   private[streaming] def mergeBatch(batch: Array[(Long, Long)]): Unit = {
-    val newNodes = {
-      val seen = new java.util.HashSet[java.lang.Long]()
-      batch.foreach { case (a, b) => seen.add(a); seen.add(b) }
-      seen.removeIf(x => parent.contains(x))
-      seen.size.toLong
-    }
+    val newNodes = newNodeCount(batch)
     if (parent.size + newNodes > maxNodes)
       throw new IllegalStateException(
         s"LiveClusterIndex bound exceeded: ${parent.size} nodes + $newNodes new > " +
@@ -144,12 +149,27 @@ final class ShardedClusterIndex(shards: Int,
 
   /** Fold one micro-batch of (a_id, b_id) pairs, routed per shard.
     * Idempotent like the unsharded fold: routing is deterministic, so
-    * an at-least-once replay hits the same shards with the same pairs. */
+    * an at-least-once replay hits the same shards with the same pairs.
+    *
+    * Atomicity matches [[LiveClusterIndex.merge]]'s check-before-apply:
+    * EVERY shard's bound is verified against its sub-batch's new-node
+    * count before ANY shard applies, so an overflow leaves the whole
+    * index untouched by this batch and an at-least-once retry (after
+    * raising the bound or resharding) replays cleanly. */
   def merge(pairs: DataFrame): Unit = {
     val batch = pairs.select(pairs.columns.head, pairs.columns(1)).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    batch.groupBy { case (a, b) => shardOf(a, b) }
-      .foreach { case (s, sub) => idx(s).mergeBatch(sub) }
+    val bySh = batch.groupBy { case (a, b) => shardOf(a, b) }
+    bySh.foreach { case (s, sub) =>
+      val nn = idx(s).newNodeCount(sub)
+      if (idx(s).size + nn > maxNodesPerShard)
+        throw new IllegalStateException(
+          s"ShardedClusterIndex shard $s bound exceeded: ${idx(s).size} nodes " +
+          s"+ $nn new > maxNodesPerShard=$maxNodesPerShard — no sub-batch " +
+          "applied. Raise the bound, add shards, or move to the q158 " +
+          "contraction path.")
+    }
+    bySh.foreach { case (s, sub) => idx(s).mergeBatch(sub) }
   }
 
   /** Global labels: fold every shard's spanning forest into one

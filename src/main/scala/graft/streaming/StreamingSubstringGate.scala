@@ -86,6 +86,17 @@ object StreamingSubstringGate {
     * across S gates — the `shard`/`shards` params of [[hits]]. */
   private val residentGrams = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Test/harness hook: clear the JVM-static gauge between INDEPENDENT
+    * gate queries run sequentially in one JVM (StressMain's substrgate
+    * mode runs 5 full-corpus gates back-to-back; without a reset the
+    * monotonic gauge reaches ~S+1 times the corpus's distinct-gram
+    * count and can spuriously trip `maxGrams` on the later runs even
+    * though each query's live state is far below the bound). NOT for
+    * production streams — there the gauge must persist across
+    * micro-batches of the SAME query, which is exactly what the
+    * JVM-static provides. */
+  private[graft] def resetResidentGrams(): Unit = residentGrams.set(0L)
+
   /** @param maxGrams loud bound on distinct grams held in state (see
     *   class doc; state entries are ~40 B — the default holds ~2 GB).
     * @param shard / @param shards gram-hash RANGE sharding: this gate

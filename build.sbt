@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt runMain graft.Bench`
+// as the bench headline JSON. Two things used to get between the
+// headline and end-of-stream: the logger's "[info] " prefix on forked
+// output (breaks a bare json parse of the line) and sbt's
+// "[success] Total time ..." epilogue (displaces the headline from the
+// final line). StdoutOutput passes the forked JVM's stdout through
+// raw, and showSuccess drops the epilogue — the headline println is
+// then literally the process's last stdout line. Exit codes are
+// unaffected; Spark logs ride stderr either way.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

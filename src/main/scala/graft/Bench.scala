@@ -524,9 +524,14 @@ object Bench {
       s""","family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,"worst5":$worst5}"""
     println(compact)
     println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$qs}""")
+    System.out.flush()
+    // Stop Spark BEFORE the final headline print: nothing (not even a
+    // misconfigured stdout log appender) can follow it on stdout. With
+    // build.sbt's StdoutOutput + showSuccess := false this compact
+    // line is the process's literal last stdout line — the driver's
+    // last-line JSON parse (null for 14 rounds) gets a bare object.
+    spark.stop()
     println(compact)
     System.out.flush()
-    Thread.sleep(200) // let stdout drain before shutdown log noise
-    spark.stop()
   }
 }

@@ -15,6 +15,31 @@ class BenchSwingSpec extends AnyFunSuite {
     """"queries":{"q01_pricing_summary":{"t":0.414,"gc_ms":0,"heap_mb":70},""" +
     """"q139_triangle_census":{"t":3.933,"gc_ms":28,"heap_mb":83}}}"""
 
+  test("driver last-line capture: headline survives as the final parseable line of a 2000-char tail") {
+    // The r15 contract (build.sbt StdoutOutput + showSuccess=false +
+    // the post-spark.stop() compact print): process stdout ends with
+    //   <compact>\n<big per-query line>\n<compact>\n
+    // so the LAST non-empty line of the final 2000 chars is a bare
+    // parseable headline object — even if a future sbt version sneaks
+    // an epilogue back in, the parse must only have to skip trailing
+    // non-JSON lines, never reassemble a split object.
+    val compact = """{"metric":"total","value":146.785,"unit":"sec","sf":"/root/testdata/sf0.1","n_queries":192,"value_best":144.471,"gc_sec":2.847,"box_factor":1.667,"box_factor_end":1.026,"family_prime_sec":26.441,"family_primes":10,"worst5":{"q188":5.358,"q132":4.836}}"""
+    val big = "{\"metric\":\"total\"," +
+      (1 to 192).map(i => s""""q$i":0.${100 + i}""").mkString(",") + "}"
+    def lastJson(stdout: String): Option[String] = {
+      val tail = stdout.takeRight(2000)
+      tail.split('\n').reverseIterator.map(_.trim)
+        .find(l => l.startsWith("{") && l.endsWith("}"))
+    }
+    // our emission order: the headline IS the last line
+    val ours = s"$compact\n$big\n$compact\n"
+    assert(lastJson(ours).contains(compact))
+    // robustness: a simulated sbt epilogue after the headline still
+    // leaves the headline as the last complete JSON line in the tail
+    val withEpilogue = ours + "[success] Total time: 261 s (04:21)\n"
+    assert(lastJson(withEpilogue).contains(compact))
+  }
+
   test("parsePriorFull reads full-name times when sf matches") {
     val m = Bench.parsePriorFull(fullBody, "/root/testdata/sf0.1")
     assert(m == Map("q01_pricing_summary" -> 0.414, "q139_triangle_census" -> 3.933))

@@ -22,6 +22,9 @@ run / fork := true
 // unaffected; Spark logs ride stderr either way.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 Global / showSuccess := false
+// showSuccess is read by the command engine, not a task — exempt it
+// from the unused-key lint.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,6 +40,8 @@ import org.apache.spark.sql.SparkSession
   *  29. paragraph language consistency (q190): mixed-language docs
   *  30. fluency buckets (q191): CCNet head/middle/tail token bill
   *  31. token-budget sample (q192): mixture-execution cut per source
+  *  32. media metadata census (q193): per-mime dims/rates + reject bill
+  *  33. media near-dup groups (q194): decoded-pixel fingerprint dedup
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -90,7 +92,9 @@ object GovernanceMain {
       "line purge applied (first rows)" -> "q189_line_purge_apply",
       "paragraph language consistency (first rows)" -> "q190_paragraph_langid",
       "fluency buckets (CCNet head/middle/tail)" -> "q191_fluency_buckets",
-      "token-budget sample bill" -> "q192_token_budget_sample")
+      "token-budget sample bill" -> "q192_token_budget_sample",
+      "media metadata census (mime/dims/rejects)" -> "q193_media_census",
+      "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

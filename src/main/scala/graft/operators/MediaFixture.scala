@@ -1,0 +1,177 @@
+package graft.operators
+
+/** Deterministic synthetic MEDIA payloads derived from `doc_id` — the
+  * derived-corpus discipline (q120/q165/q169's augmentation pattern,
+  * q168's canonical-source carry) extended to binary columns: the test
+  * corpus carries no media, so the fixture generator's closed-form
+  * parameters double as the DuckDB oracle's arithmetic premise, and the
+  * Spark side must recover the SAME numbers by PARSING THE BYTES
+  * ([[Multimodal.imageMeta]] / [[Multimodal.audioMeta]] /
+  * [[Multimodal.decodeImage]]). A fixture/parser disagreement —
+  * misread IHDR offsets, wrong endianness, a broken chunk scan, a
+  * lossy decode — surfaces as an oracle hash mismatch, which is
+  * exactly what makes the media queries a real correctness gate rather
+  * than a spec-only surface.
+  *
+  * All payloads are REAL container bytes (PNG signature + IHDR + IEND,
+  * GIF89a logical screen descriptor, JPEG SOI + SOF0 frame header, a
+  * complete RIFF/WAVE file with silent 16-bit PCM data); the q194
+  * pattern images additionally round-trip the JDK's lossless PNG
+  * encoder so pixel DECODE is exercised, not just header parsing.
+  *
+  * Closed-form parameters (the oracle recomputes these verbatim):
+  *  - class  = doc_id % 4 → 0 PNG, 1 GIF, 2 JPEG, 3 WAV
+  *  - corrupt: doc_id % 13 == 0 → payload truncated to 5 bytes
+  *    (every parser must return null → census mime 'rejected')
+  *  - images: width = 16 + doc_id % 97, height = 16 + doc_id % 61
+  *  - audio : rate = 8000 + (doc_id % 5)·4000, mono 16-bit PCM,
+  *            frames = 1000 + doc_id % 512,
+  *            durationMs = floor(frames · 1000 / rate)
+  *  - q194 pattern: 32×32 grayscale, 4×4 grid of 8×8 blocks,
+  *    v(cx,cy) = (p·31 + cx·4 + cy) mod 256 with p = doc_id % 37 —
+  *    37 distinct patterns, so documents sharing p are exact
+  *    feature-space duplicates (the media near-dup groups).
+  */
+object MediaFixture {
+
+  val ImgWMod = 97
+  val ImgHMod = 61
+  val CorruptMod = 13
+  val PatternMod = 37
+
+  def width(docId: Long): Int = (16 + docId % ImgWMod).toInt
+  def height(docId: Long): Int = (16 + docId % ImgHMod).toInt
+  def sampleRate(docId: Long): Int = (8000 + (docId % 5) * 4000).toInt
+  def frames(docId: Long): Int = (1000 + docId % 512).toInt
+  def corrupt(docId: Long): Boolean = docId % CorruptMod == 0
+
+  /** The q193 census payload for a document: PNG/GIF/JPEG/WAV by
+    * doc_id class, truncated to 5 bytes for the corrupt class. */
+  def payload(docId: Long): Array[Byte] = {
+    val full = (docId % 4) match {
+      case 0 => png(width(docId), height(docId))
+      case 1 => gif(width(docId), height(docId))
+      case 2 => jpeg(width(docId), height(docId))
+      case _ => wav(sampleRate(docId), frames(docId))
+    }
+    if (corrupt(docId)) full.take(5) else full
+  }
+
+  /** Declared modality (generator intent — what an ingest manifest
+    * would carry; the PARSED mime may disagree, e.g. 'rejected'). */
+  def modality(docId: Long): String =
+    if (docId % 4 == 3) "audio" else "image"
+
+  // -- container writers --------------------------------------------------
+
+  private def be32(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+  private def be16(v: Int): Array[Byte] =
+    Array[Byte]((v >>> 8).toByte, v.toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+  private def le16(v: Int): Array[Byte] =
+    Array[Byte](v.toByte, (v >>> 8).toByte)
+
+  /** Header-grain PNG: signature + IHDR(w, h, 8-bit truecolor) + IEND.
+    * No IDAT — [[Multimodal.imageMeta]] reads the IHDR offsets; the
+    * pixel-decodable fixture is [[patternPng]]. CRCs are zeroed (the
+    * header probe does not checksum; ImageIO would reject, which is
+    * fine — this class of payload is for metadata-grain queries). */
+  def png(w: Int, h: Int): Array[Byte] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+    val ihdr = be32(13) ++ "IHDR".getBytes("US-ASCII") ++ be32(w) ++ be32(h) ++
+      Array[Byte](8, 2, 0, 0, 0) ++ be32(0)
+    val iend = be32(0) ++ "IEND".getBytes("US-ASCII") ++ be32(0)
+    sig ++ ihdr ++ iend
+  }
+
+  /** GIF89a logical screen descriptor + trailer. */
+  def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ le16(w) ++ le16(h) ++
+      Array[Byte](0, 0, 0, 0x3B)
+
+  /** JPEG SOI + SOF0 baseline frame header (precision 8, 3 components)
+    * + EOI — the segment [[Multimodal.imageMeta]]'s marker walk stops
+    * at. */
+  def jpeg(w: Int, h: Int): Array[Byte] =
+    Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 0xC0.toByte) ++
+      be16(17) ++ Array[Byte](8) ++ be16(h) ++ be16(w) ++
+      Array[Byte](3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1,
+        0xFF.toByte, 0xD9.toByte)
+
+  /** A COMPLETE valid RIFF/WAVE file: fmt chunk (PCM, mono, 16-bit at
+    * `rate`) + data chunk with `frames` silent samples — readable by
+    * `javax.sound.sampled` end to end, not just header-shaped. */
+  def wav(rate: Int, frames: Int): Array[Byte] = {
+    val blockAlign = 2 // mono 16-bit
+    val dataSize = frames * blockAlign
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(rate) ++ le32(rate * blockAlign) ++
+      le16(blockAlign) ++ le16(16)
+    val data = "data".getBytes("US-ASCII") ++ le32(dataSize) ++
+      new Array[Byte](dataSize)
+    val riffSize = 4 + fmt.length + data.length
+    "RIFF".getBytes("US-ASCII") ++ le32(riffSize) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ data
+  }
+
+  // -- q194: pixel-decodable pattern image ---------------------------------
+
+  val PatternSize = 32 // 4x4 grid of 8x8 blocks
+  val GridCells = 4
+
+  /** Gray value of the 8×8 block at grid cell (cx, cy) for pattern p. */
+  def cellValue(p: Long, cx: Int, cy: Int): Int =
+    ((p * 31 + cx * 4 + cy) % 256).toInt
+
+  /** A real, decodable 32×32 PNG via the JDK's lossless encoder: each
+    * 8×8 block is the solid gray [[cellValue]] of its cell, pattern
+    * p = doc_id % 37. Encoder byte output is never compared — only the
+    * DECODED pixels are (encode→decode is exact for PNG), so encoder
+    * version differences cannot break the oracle. */
+  def patternPng(docId: Long): Array[Byte] = {
+    val p = docId % PatternMod
+    val img = new java.awt.image.BufferedImage(
+      PatternSize, PatternSize, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < PatternSize) {
+      var x = 0
+      while (x < PatternSize) {
+        val v = cellValue(p, x / 8, y / 8)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Integer grid-pooled features of a decoded image: the SUM of the
+    * red channel over each 8×8 block, row-major by (cy, cx) — exact
+    * integers, so the feature fingerprint is bit-identical across
+    * engines (the float-luma path [[Multimodal.imageFeatures]] serves
+    * ANN; THIS is the dedup fingerprint). Returns null when the
+    * payload doesn't decode. */
+  def gridSums(payload: Array[Byte]): Array[Long] = {
+    val img = Multimodal.decodeImage(payload)
+    if (img == null) return null
+    val cells = new Array[Long](GridCells * GridCells)
+    val w = img.getWidth
+    val h = img.getHeight
+    var y = 0
+    while (y < h) {
+      val cy = math.min(GridCells - 1, y * GridCells / h)
+      var x = 0
+      while (x < w) {
+        val cx = math.min(GridCells - 1, x * GridCells / w)
+        cells(cy * GridCells + cx) += (img.getRGB(x, y) >> 16) & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    cells
+  }
+}

@@ -91,6 +91,50 @@ object Multimodal {
     null
   }
 
+  final case class AudioMeta(mime: String, sampleRate: Int, channels: Int,
+      durationMs: Long)
+
+  /** REAL audio container-header probe, the WAV twin of [[imageMeta]]:
+    * RIFF/WAVE chunk scan — "RIFF" + size + "WAVE", then chunks of
+    * (fourcc, LE32 size); the "fmt " chunk carries channels (LE16 @+2),
+    * sample rate (LE32 @+4) and block align (LE16 @+12), and the
+    * "data" chunk's declared size gives the frame count, so
+    * durationMs = floor(frames · 1000 / rate) — integer arithmetic,
+    * bit-identical to any other engine computing the same floor.
+    * Chunks are scanned generically (LIST/fact/cue chunks skip
+    * cleanly), PCM or not. Returns null for unrecognized/truncated
+    * payloads, like [[imageMeta]]. */
+  def audioMeta(payload: Array[Byte]): AudioMeta = {
+    if (payload == null || payload.length < 44) return null
+    def u8(i: Int): Int = java.lang.Byte.toUnsignedInt(payload(i))
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    def four(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    if (four(0) != "RIFF" || four(8) != "WAVE") return null
+    var rate = 0; var channels = 0; var blockAlign = 0; var dataSize = -1L
+    var i = 12
+    var done = false
+    while (!done && i + 8 <= payload.length) {
+      val id = four(i)
+      val sz = le32(i + 4)
+      if (id == "fmt " && i + 8 + 16 <= payload.length) {
+        channels = le16(i + 10)
+        rate = le32(i + 12).toInt
+        blockAlign = le16(i + 20)
+      } else if (id == "data") {
+        dataSize = sz // declared size is authoritative even if the
+        // payload truncates the samples — this is a header probe
+      }
+      // a declared size past the buffer (header-only / truncated file)
+      // can't be skipped over — record what we have and stop
+      if (sz < 0 || sz > payload.length.toLong) done = true
+      else i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    if (rate <= 0 || blockAlign <= 0 || dataSize < 0) return null
+    val frames = dataSize / blockAlign
+    AudioMeta("audio/wav", rate, channels, frames * 1000L / rate)
+  }
+
   /** Column-level metadata probe: fills the MediaSchema `meta` width/
     * height from real payload bytes for image rows (map-only, binary
     * never leaves its row). */

@@ -1,0 +1,147 @@
+package graft.queries
+
+import graft.{GraftQuery, Tables}
+import graft.QueryDsl.{crossHash60, crossHash60Sql}
+import graft.operators.{MediaFixture, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal (binary-column) queries — the media ingest/census/dedup
+  * surface, oracle-gated (r14 VERDICT #1: the one extension axis that
+  * had only spec coverage).
+  *
+  * Gate design — the derived-fixture discipline on binary data: the
+  * corpus carries no media, so payloads are synthesized per doc_id by
+  * [[graft.operators.MediaFixture]] from CLOSED-FORM parameters, and
+  * the census values on the Spark side come exclusively from PARSING
+  * THE BYTES ([[Multimodal.imageMeta]]'s PNG/GIF/JPEG header walks,
+  * [[Multimodal.audioMeta]]'s RIFF chunk scan, and for q194 the JDK's
+  * actual PNG pixel decoder), while the DuckDB oracle recomputes the
+  * same numbers arithmetically from the generator parameters — it
+  * never sees a byte. Any disagreement between what the generator
+  * encoded and what the parser recovered (wrong IHDR offset, LE/BE
+  * swap, lossy decode, broken chunk skip) breaks the hash compare.
+  * Same premise as q168's canonical-source carry: the generator IS the
+  * oracle's ground truth, and the engine is graded on reproducing it
+  * through the real byte path.
+  *
+  * Reference scope note: the reference pipeline framework
+  * (/root/reference/motorway) has no media support at all — this axis
+  * is the builder brief's large-scale-training-pipeline extension.
+  *
+  * Scale shapes (both queries): payload synthesis + parse are per-row
+  * map work (binary never leaves its row, never shuffles — only the
+  * few extracted integers do); the census is ONE hash-aggregate
+  * exchange at (modality, mime) / fingerprint grain. At 100 TB the
+  * payloads would arrive from object storage as a parquet binary
+  * column; everything downstream of the scan is identical, and the
+  * heavy decode runs inside the scan's partitions
+  * ([[Multimodal.extractFeatures]] is the bounded-batch variant).
+  */
+object Media {
+
+  private def q(name: String, oracle: String)(f: (SparkSession, String) => DataFrame) =
+    GraftQuery(name, f, Some(oracle))
+
+  // -- q193: media metadata census -----------------------------------------
+  // Per (declared modality, PARSED mime — 'rejected' when no parser
+  // recognizes the payload): media count and exact integer dimension /
+  // rate / duration aggregates. The corrupt class (doc_id % 13 = 0,
+  // payloads truncated to 5 bytes) pins the rejection path: a parser
+  // that "recovers" metadata from truncated bytes diverges from the
+  // oracle as loudly as one that drops valid media.
+  private val genPayload = udf((docId: Long) => MediaFixture.payload(docId))
+  private val probeImage = udf((p: Array[Byte]) => Option(Multimodal.imageMeta(p)))
+  private val probeAudio = udf((p: Array[Byte]) => Option(Multimodal.audioMeta(p)))
+
+  val q193 = q("q193_media_census",
+    s"""WITH m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS modality,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'rejected'
+      |         WHEN doc_id % 4 = 0 THEN 'image/png'
+      |         WHEN doc_id % 4 = 1 THEN 'image/gif'
+      |         WHEN doc_id % 4 = 2 THEN 'image/jpeg'
+      |         ELSE 'audio/wav' END AS mime,
+      |    CASE WHEN doc_id % 13 = 0 OR doc_id % 4 = 3 THEN 0
+      |         ELSE 16 + doc_id % 97 END AS w,
+      |    CASE WHEN doc_id % 13 = 0 OR doc_id % 4 = 3 THEN 0
+      |         ELSE 16 + doc_id % 61 END AS h,
+      |    CASE WHEN doc_id % 13 = 0 OR doc_id % 4 <> 3 THEN 0
+      |         ELSE 8000 + (doc_id % 5) * 4000 END AS rate,
+      |    CASE WHEN doc_id % 13 = 0 OR doc_id % 4 <> 3 THEN 0
+      |         ELSE ((1000 + doc_id % 512) * 1000)
+      |              // (8000 + (doc_id % 5) * 4000) END AS dur
+      |  FROM documents)
+      |SELECT modality, mime,
+      |  CAST(count(*) AS BIGINT) AS n_media,
+      |  CAST(sum(w) AS BIGINT) AS sum_w, CAST(min(w) AS BIGINT) AS min_w,
+      |  CAST(max(w) AS BIGINT) AS max_w,
+      |  CAST(sum(h) AS BIGINT) AS sum_h,
+      |  CAST(sum(rate) AS BIGINT) AS sum_rate,
+      |  CAST(sum(dur) AS BIGINT) AS sum_dur_ms
+      |FROM m GROUP BY modality, mime ORDER BY modality, mime""".stripMargin) {
+    (s, dir) =>
+      val media = Tables(s, dir).documents.select(col("doc_id"))
+        .withColumn("payload", genPayload(col("doc_id")))
+        .withColumn("im", probeImage(col("payload")))
+        .withColumn("am", probeAudio(col("payload")))
+      media.select(
+          // modality is generator INTENT (an ingest manifest column);
+          // everything else below comes from the parsed bytes only
+          when(col("doc_id") % 4 === 3, "audio").otherwise("image").as("modality"),
+          coalesce(col("im.mime"), col("am.mime"), lit("rejected")).as("mime"),
+          coalesce(col("im.width"), lit(0)).cast(LongType).as("w"),
+          coalesce(col("im.height"), lit(0)).cast(LongType).as("h"),
+          coalesce(col("am.sampleRate"), lit(0)).cast(LongType).as("rate"),
+          coalesce(col("am.durationMs"), lit(0L)).as("dur"))
+        .groupBy("modality", "mime")
+        .agg(count(lit(1)).as("n_media"),
+          sum("w").as("sum_w"), min("w").as("min_w"), max("w").as("max_w"),
+          sum("h").as("sum_h"),
+          sum("rate").as("sum_rate"), sum("dur").as("sum_dur_ms"))
+        .orderBy("modality", "mime")
+  }
+
+  // -- q194: media near-dup groups via real pixel decode --------------------
+  // Every document gets a real, decodable 32x32 pattern PNG (pattern
+  // p = doc_id % 37, so ~n/37 documents share each pattern exactly);
+  // the engine DECODES the pixels (JDK PNG reader), pools them into a
+  // 4x4 grid of integer channel sums, fingerprints the vector, and
+  // reports each duplicate group with an id-sum membership checksum
+  // (the q192 discipline). The oracle computes the pooled sums in
+  // closed form from p — 64 pixels per block, each cellValue(p,cx,cy)
+  // — so ANY loss or misalignment in encode→decode→pool breaks it.
+  private val gridFp = udf { (docId: Long) =>
+    val cells = MediaFixture.gridSums(MediaFixture.patternPng(docId))
+    if (cells == null) null else cells.mkString(",")
+  }
+
+  val q194 = q("q194_media_dedup_groups",
+    s"""WITH f AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(range(16), c ->
+      |      64 * (((doc_id % 37) * 31 + (c % 4) * 4 + (c // 4)) % 256)),
+      |      ',') AS cells
+      |  FROM documents)
+      |SELECT ${crossHash60Sql("cells")} AS group_fp,
+      |  CAST(count(*) AS BIGINT) AS n_imgs,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_dup,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM f GROUP BY cells ORDER BY group_fp""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"))
+      .withColumn("cells", gridFp(col("doc_id")))
+      .groupBy(col("cells"))
+      .agg(count(lit(1)).as("n_imgs"),
+        (count(lit(1)) - 1).as("n_dup"),
+        sum("doc_id").as("sum_doc_id"),
+        min("doc_id").as("canonical_id"))
+      .select(crossHash60(col("cells")).as("group_fp"),
+        col("n_imgs"), col("n_dup"), col("sum_doc_id"), col("canonical_id"))
+      .orderBy("group_fp")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q193, q194)
+}

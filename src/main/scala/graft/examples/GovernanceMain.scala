@@ -42,6 +42,7 @@ import org.apache.spark.sql.SparkSession
   *  31. token-budget sample (q192): mixture-execution cut per source
   *  32. media metadata census (q193): per-mime dims/rates + reject bill
   *  33. media near-dup groups (q194): decoded-pixel fingerprint dedup
+  *  34. domain blocklist gate (q195): RefinedWeb URL-filter bill
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -94,7 +95,8 @@ object GovernanceMain {
       "fluency buckets (CCNet head/middle/tail)" -> "q191_fluency_buckets",
       "token-budget sample bill" -> "q192_token_budget_sample",
       "media metadata census (mime/dims/rejects)" -> "q193_media_census",
-      "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups")
+      "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups",
+      "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

@@ -31,7 +31,8 @@ object Bench {
   private val PairFamily = Set(
     "q84_dup_clusters", "q89_curation_pipeline", "q100_allpairs_jaccard",
     "q136_canonical_docs", "q138_cluster_split", "q139_dup_graph_triangles",
-    "q146_pagerank", "q158_incremental_cc", "q159_threshold_sweep")
+    "q146_pagerank", "q158_incremental_cc", "q159_threshold_sweep",
+    "q196_neardup_purge_apply")
 
   private def gcMillis(): Long = {
     import scala.jdk.CollectionConverters._

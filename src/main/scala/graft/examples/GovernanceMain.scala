@@ -43,6 +43,7 @@ import org.apache.spark.sql.SparkSession
   *  32. media metadata census (q193): per-mime dims/rates + reject bill
   *  33. media near-dup groups (q194): decoded-pixel fingerprint dedup
   *  34. domain blocklist gate (q195): RefinedWeb URL-filter bill
+  *  35. near-dup purge applied (q196): doc-grain keep/drop + remap
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -96,7 +97,8 @@ object GovernanceMain {
       "token-budget sample bill" -> "q192_token_budget_sample",
       "media metadata census (mime/dims/rejects)" -> "q193_media_census",
       "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups",
-      "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist")
+      "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist",
+      "near-dup purge applied (keep/drop + remap, first rows)" -> "q196_neardup_purge_apply")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

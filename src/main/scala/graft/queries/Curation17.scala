@@ -137,5 +137,85 @@ object Curation17 {
       .orderBy("source")
   }
 
-  val all: Seq[GraftQuery] = Seq(q195)
+  // -- q196: document-grain near-dup purge APPLIED -------------------------
+  // The release action q136 only PLANS: every document gets its
+  // keep/drop verdict and canonical remap — q189's "purge applied"
+  // emission one level up, at document grain. Keep ⟺ the doc IS its
+  // cluster's canonical (longest member, ties to smaller id — q136's
+  // rule; singletons are their own canonical). Dropped docs carry the
+  // canonical_id a reference remapper rewrites to; kept docs carry a
+  // 60-bit content fingerprint so the emitted corpus pins WHICH text
+  // survived, not just how many rows.
+  //
+  // Scale shape: the text fingerprint is computed MAP-SIDE in the scan
+  // projection (text never shuffles — only doc_id/n_chars/fp ride the
+  // joins); q84's prefix-filtered pair space feeds connected
+  // components; the canonical argmax is the q136 struct-max (no
+  // window); then two doc/cluster-keyed LEFT equi-joins against the
+  // doc-grain metadata. Output is corpus-grain but column-narrow.
+  // Oracle: q136's recursive-CTE clustering + window argmax, LEFT
+  // joined back to all documents.
+  val q196 = q("q196_neardup_purge_apply",
+    s"""WITH RECURSIVE d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |s AS MATERIALIZED (SELECT doc_id,
+      |        CASE WHEN len(t) >= 4
+      |             THEN list_distinct(list_transform(range(1, len(t) - 2),
+      |                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))
+      |             ELSE list_distinct(t) END AS sh
+      |      FROM d),
+      |p AS MATERIALIZED (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+      |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |            CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5),
+      |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM p UNION ALL SELECT b_id, a_id FROM p),
+      |r AS (SELECT u AS node, u AS reach FROM e
+      |      UNION
+      |      SELECT r.node, e.v FROM r JOIN e ON r.reach = e.u),
+      |c AS (SELECT node AS doc_id, min(reach) AS cluster_id FROM r GROUP BY 1),
+      |m AS (SELECT c.cluster_id, c.doc_id, documents.n_chars
+      |      FROM c JOIN documents USING (doc_id)),
+      |b AS (SELECT cluster_id, doc_id,
+      |        row_number() OVER (PARTITION BY cluster_id
+      |          ORDER BY n_chars DESC, doc_id) AS rk FROM m),
+      |cn AS (SELECT cluster_id, doc_id AS cluster_canonical FROM b WHERE rk = 1),
+      |sz AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members FROM m GROUP BY 1)
+      |SELECT doc.doc_id,
+      |  coalesce(c.cluster_id, doc.doc_id) AS cluster_id,
+      |  coalesce(sz.n_members, 1) AS n_members,
+      |  coalesce(cn.cluster_canonical, doc.doc_id) AS canonical_id,
+      |  (coalesce(cn.cluster_canonical, doc.doc_id) = doc.doc_id) AS keep,
+      |  CASE WHEN coalesce(cn.cluster_canonical, doc.doc_id) = doc.doc_id
+      |       THEN ${crossHash60Sql("doc.text")} ELSE 0 END AS text_fp
+      |FROM documents doc
+      |LEFT JOIN c ON doc.doc_id = c.doc_id
+      |LEFT JOIN cn ON c.cluster_id = cn.cluster_id
+      |LEFT JOIN sz ON c.cluster_id = sz.cluster_id
+      |ORDER BY doc.doc_id""".stripMargin) { (s, dir) =>
+    val edges = Dedup.allPairsJaccard(s, dir, 0.5).select(col("a_id"), col("b_id"))
+    val clusters = graft.operators.ConnectedComponents.minLabelPropagation(edges)
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+    // fingerprint in the scan projection: text never leaves the map side
+    val meta = Tables(s, dir).documents
+      .select(col("doc_id"), col("n_chars"), crossHash60(col("text")).as("fp"))
+    val canon = clusters
+      .join(meta.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members_c"),
+        max(struct(col("n_chars"), (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("cluster_id"), col("n_members_c"),
+        (-col("best.neg_id")).cast("long").as("cluster_canonical"))
+    meta.join(clusters, Seq("doc_id"), "left")
+      .join(canon, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("n_members_c"), lit(1L)).as("n_members"),
+        coalesce(col("cluster_canonical"), col("doc_id")).as("canonical_id"),
+        (coalesce(col("cluster_canonical"), col("doc_id")) === col("doc_id"))
+          .as("keep"),
+        when(coalesce(col("cluster_canonical"), col("doc_id")) === col("doc_id"),
+          col("fp")).otherwise(lit(0L)).as("text_fp"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q195, q196)
 }

@@ -184,6 +184,25 @@ final class ShardedClusterIndex(shards: Int,
   /** Per-shard node counts (each bounded by `maxNodesPerShard`). */
   def shardSizes: Seq[Long] = idx.map(_.size).toSeq
 
+  /** Reshard migration S → S′: rebuild the index at a new shard count
+    * from THIS index's per-shard spanning forests — each old shard's
+    * (node → root) pairs re-route under the new pair routing. Exact by
+    * the forest-merge argument (class doc): CC of a union of edge sets
+    * equals CC of the union of per-subset spanning forests, so the
+    * migrated index serves identical labels and continues identically
+    * under further merges, regardless of old/new S. Serving-tier cost
+    * (materializes the forests, not the original pair log). */
+  def reshard(newShards: Int,
+      maxNodesPerShard: Long = this.maxNodesPerShard): ShardedClusterIndex = {
+    val next = new ShardedClusterIndex(newShards, maxNodesPerShard)
+    idx.foreach { i =>
+      val forest = i.labels.toArray
+      forest.groupBy { case (a, b) => next.shardOf(a, b) }
+        .foreach { case (s, sub) => next.idx(s).mergeBatch(sub) }
+    }
+    next
+  }
+
   /** Attach to a streaming pair relation: every micro-batch folds in.
     * A per-shard bound overflow fails this query loudly. */
   def attach(pairs: DataFrame, queryName: String = "sharded_cluster_index") =

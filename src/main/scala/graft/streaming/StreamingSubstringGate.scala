@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -108,9 +108,20 @@ object StreamingSubstringGate {
     *   S=4 ≡ S=1, the StressMain bloomshard discipline). Run each
     *   shard as its own streaming query (own checkpoint, own JVM/
     *   cluster), and `maxGrams` bounds EACH shard — S multiplies the
-    *   gate's total gram capacity. */
+    *   gate's total gram capacity.
+    * @param initialState RESHARD MIGRATION bootstrap: the slice of a
+    *   prior deployment's keyed state this shard owns under the new
+    *   routing ([[dumpState]] → [[shardSlice]]). Applied by Spark's
+    *   flatMapGroupsWithState initial-state support on the first
+    *   micro-batch, so a migrated shard continues exactly where the
+    *   old deployment stopped — same dup verdicts, same replay fence
+    *   (the high-water mark travels inside GramState). Gauge note:
+    *   bootstrapped entries bypass the residentGrams increment (they
+    *   are never a `s == null` first occurrence); the migration tool
+    *   accounts for them via [[preloadGauge]]. */
   def hits(docs: Dataset[DocArrival], L: Int,
-      maxGrams: Long = 50000000L, shard: Int = 0, shards: Int = 1)
+      maxGrams: Long = 50000000L, shard: Int = 0, shards: Int = 1,
+      initialState: Option[Dataset[(Long, GramState)]] = None)
       : Dataset[SubstringHit] = {
     require(shards >= 1 && shard >= 0 && shard < shards,
       s"shard $shard out of range for $shards shards")
@@ -128,9 +139,7 @@ object StreamingSubstringGate {
     val grams = (if (shards == 1) allGrams
                  else allGrams.where(pmod(col("gh"), lit(shards.toLong)) === shard))
       .as[GramOcc]
-    grams.groupByKey(_.gh)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout()) {
-        (_: Long, it: Iterator[GramOcc], st: GroupState[GramState]) =>
+    val fn = (_: Long, it: Iterator[GramOcc], st: GroupState[GramState]) => {
           val out = scala.collection.mutable.ArrayBuffer.empty[SubstringHit]
           var s = st.getOption.orNull
           // seq order = delivery order (deterministic under Spark's
@@ -163,6 +172,51 @@ object StreamingSubstringGate {
           }
           if (s != null) st.update(s)
           out.iterator
-      }
+    }
+    val keyed = grams.groupByKey(_.gh)
+    initialState match {
+      case None =>
+        keyed.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout())(fn)
+      case Some(init) =>
+        keyed.flatMapGroupsWithState(
+          OutputMode.Append, GroupStateTimeout.NoTimeout(),
+          init.groupByKey(_._1).mapValues(_._2))(fn)
+    }
   }
+
+  // -- reshard migration (S → S′ without replaying history) ---------------
+
+  /** Read a STOPPED gate deployment's keyed state from its streaming
+    * checkpoint via Spark's state data source: (gram hash → GramState),
+    * including the replay fence. This is the dump half of the S=1→S=4
+    * migration: stop the old query at a batch boundary, dump, slice
+    * with [[shardSlice]], and boot each new shard with `initialState`.
+    * Distributed end to end — the state store is read as a DataFrame,
+    * never collected. */
+  def dumpState(spark: SparkSession, checkpointDir: String)
+      : Dataset[(Long, GramState)] = {
+    import spark.implicits._
+    spark.read.format("statestore").load(checkpointDir)
+      .select(col("key.value").as("_1"),
+        col("value.groupState").as("_2"))
+      .as[(Long, GramState)]
+  }
+
+  /** The slice of a state dump that shard `shard` of `shards` owns —
+    * EXACTLY the `pmod(gh, shards)` routing [[hits]] applies to
+    * arriving grams, so dump ∪-over-slices is a partition and every
+    * gram's history lands with its future occurrences. Works for any
+    * S → S′ (the dump may come from a sharded deployment too: dump
+    * each old shard, union, re-slice). */
+  def shardSlice(state: Dataset[(Long, GramState)], shard: Int, shards: Int)
+      : Dataset[(Long, GramState)] = {
+    require(shards >= 1 && shard >= 0 && shard < shards)
+    state.filter(kv => java.lang.Long.remainderUnsigned(kv._1, shards.toLong)
+      == shard.toLong)
+  }
+
+  /** Account bootstrapped state in the resident-gram gauge (initial
+    * state bypasses the `s == null` increment path — see [[hits]]). */
+  private[graft] def preloadGauge(n: Long): Unit = residentGrams.addAndGet(n)
 }

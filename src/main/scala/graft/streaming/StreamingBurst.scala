@@ -111,8 +111,19 @@ object StreamingBurst {
   /** foreachBatch hook routing burst verdicts onto the ops surface the
     * reference's dashboard exposes (the StreamingIvfIngest drift-alert
     * pattern): every `is_burst` row records an alert the StatsServer
-    * `/detail/` drill-down renders. Burst rows are alert-sized — the
-    * collect is bounded by flagged (type, hour) cells, not traffic. */
+    * `/detail/` drill-down renders.
+    *
+    * BOUNDED DRIVER COLLECT (the LiveClusterIndex discipline): the
+    * collect below is bounded by |flagged (event_type, hour) cells| in
+    * THIS micro-batch — at most |event types| × |hours the batch
+    * closed|, independent of event traffic (a burst hour contributes
+    * ONE row however many million events it holds). That is alert
+    * grain, the same cardinality a pager would carry, so it belongs on
+    * the driver: the listener's stats registry is driver-resident by
+    * design. If a deployment ever had unbounded type cardinality, the
+    * upstream q154 grain itself is the thing to cap (top-K types by
+    * volume), not this hook — an alert surface with a million rows is
+    * operationally meaningless before it is a memory problem. */
   def alertHook(listener: PipelineStatsListener, query: String)
       : (Dataset[HourVerdict], Long) => Unit = { (ds, _) =>
     ds.filter(_.is_burst).collect().foreach { v =>

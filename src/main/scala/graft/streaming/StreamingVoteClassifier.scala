@@ -34,7 +34,20 @@ object StreamingVoteClassifier {
     * @param docs  streaming (doc_id, text)
     * @param votes trained vote table (word, vote ∈ {−1,0,1}) — a batch
     *              relation; collected once here (vocab-sized) and
-    *              broadcast to executors
+    *              broadcast to executors.
+    *
+    *              BOUNDED DRIVER COLLECT (the LiveClusterIndex
+    *              discipline): the collect is bounded by the VOCABULARY
+    *              of the trained vote table — q131 trains votes only
+    *              for seed-adjacent words, a dictionary-scale relation
+    *              (≲10⁶ rows ≈ tens of MB as a Scala map), independent
+    *              of corpus size; it is the classic broadcast-dim
+    *              shape, collected ONCE at query start, never per
+    *              batch. If the vote table ever outgrew broadcast
+    *              range, the scale path is a stream-static equi-join
+    *              on the token explode (one shuffle per batch) — the
+    *              map-side kernel here exists precisely to avoid that
+    *              while the table is dictionary-sized.
     * @return streaming (doc_id, pos_votes, neg_votes, margin, label),
     *         one row per doc with ≥1 seed-known token (q131 semantics)
     */

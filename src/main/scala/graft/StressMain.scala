@@ -128,7 +128,12 @@ object StressMain {
     // fluency bucketing (q101's LM relation + tercile window), and the
     // token-budget sampler (running-sum window at corpus doc grain)
     "q187_line_dedup", "q188_gopher_dup_ngrams", "q189_line_purge_apply",
-    "q191_fluency_buckets", "q192_token_budget_sample")
+    "q191_fluency_buckets", "q192_token_budget_sample",
+    // round 15: media near-dup (50k real PNG encode+decode+pool in the
+    // scan stage — the heaviest per-row UDF work in the registry) and
+    // the doc-grain purge emission (pair space + CC + two doc-keyed
+    // joins at corpus grain)
+    "q194_media_dedup_groups", "q196_neardup_purge_apply")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

@@ -43,6 +43,7 @@ import org.apache.spark.sql.SparkSession
   *  32. media metadata census (q193): per-mime dims/rates + reject bill
   *  33. media near-dup groups (q194): decoded-pixel fingerprint dedup
   *  34. domain blocklist gate (q195): RefinedWeb URL-filter bill
+  *  36. audio energy envelope (q197): real PCM-decode census
   *  35. near-dup purge applied (q196): doc-grain keep/drop + remap
   *
   * Every table is deterministic (integer counts + single divisions),
@@ -98,6 +99,7 @@ object GovernanceMain {
       "media metadata census (mime/dims/rejects)" -> "q193_media_census",
       "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups",
       "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist",
+      "audio energy envelope (PCM decode, first rows)" -> "q197_audio_energy_envelope",
       "near-dup purge applied (keep/drop + remap, first rows)" -> "q196_neardup_purge_apply")
 
     sections.foreach { case (title, name) =>

@@ -116,6 +116,71 @@ object MediaFixture {
       "WAVE".getBytes("US-ASCII") ++ fmt ++ data
   }
 
+  // -- q197: PCM-decodable audio with closed-form samples -------------------
+
+  val PcmRate = 16000
+  val PcmFrames = 2048
+  val PcmWindows = 8
+
+  /** Closed-form signed 16-bit sample i of document docId — the audio
+    * twin of [[cellValue]]: the oracle recomputes it arithmetically,
+    * the engine must recover it through the JDK's actual WAV decoder. */
+  def pcmSample(docId: Long, i: Int): Int =
+    (((docId * 7919 + i.toLong * 31) % 65536) - 32768).toInt
+
+  /** A complete valid mono 16-bit PCM WAV whose samples are
+    * [[pcmSample]] — decodable end-to-end by `javax.sound.sampled`. */
+  def pcmWav(docId: Long): Array[Byte] = {
+    val blockAlign = 2
+    val dataSize = PcmFrames * blockAlign
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+      le16(1) ++ le16(1) ++ le32(PcmRate) ++ le32(PcmRate * blockAlign) ++
+      le16(blockAlign) ++ le16(16)
+    val data = new Array[Byte](dataSize)
+    var i = 0
+    while (i < PcmFrames) {
+      val v = pcmSample(docId, i)
+      data(2 * i) = v.toByte
+      data(2 * i + 1) = (v >> 8).toByte
+      i += 1
+    }
+    val dataChunk = "data".getBytes("US-ASCII") ++ le32(dataSize) ++ data
+    val riffSize = 4 + fmt.length + dataChunk.length
+    "RIFF".getBytes("US-ASCII") ++ le32(riffSize) ++
+      "WAVE".getBytes("US-ASCII") ++ fmt ++ dataChunk
+  }
+
+  /** Integer energy envelope from a REAL JDK audio decode: the payload
+    * goes through `javax.sound.sampled` (container framing, format,
+    * endianness all decoded by the JRE, not by this code), and each of
+    * `windows` equal frame windows emits the SUM OF |sample| — exact
+    * integers, so the envelope fingerprint is bit-identical across
+    * engines (the float-RMS path [[Multimodal.audioFeatures]] serves
+    * ANN; THIS is the dedup/census kernel). Only mono signed 16-bit
+    * PCM is accepted (the fixture's format); anything else, or an
+    * unreadable payload, returns null. */
+  def pcmWindowSums(payload: Array[Byte], windows: Int): Array[Long] = {
+    val in = Multimodal.decodeAudio(payload)
+    if (in == null) return null
+    val fmt = in.getFormat
+    if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      return null
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    if (n == 0) return null
+    val sums = new Array[Long](windows)
+    var f = 0
+    while (f < n) {
+      val lo = bytes(2 * f + (if (fmt.isBigEndian) 1 else 0))
+      val hi = bytes(2 * f + (if (fmt.isBigEndian) 0 else 1))
+      val s = (hi << 8) | java.lang.Byte.toUnsignedInt(lo)
+      sums(math.min(windows - 1, f * windows / n)) += math.abs(s)
+      f += 1
+    }
+    sums
+  }
+
   // -- q194: pixel-decodable pattern image ---------------------------------
 
   val PatternSize = 32 // 4x4 grid of 8x8 blocks

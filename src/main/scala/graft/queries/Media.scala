@@ -143,5 +143,42 @@ object Media {
       .orderBy("group_fp")
   }
 
-  val all: Seq[GraftQuery] = Seq(q193, q194)
+  // -- q197: audio energy envelope via real PCM decode ----------------------
+  // The audio twin of q194: every document gets a complete valid WAV
+  // whose 2048 signed-16-bit samples are the closed form
+  // pcmSample(doc_id, i); the engine decodes it through
+  // javax.sound.sampled (container framing, format, endianness all
+  // handled by the JRE's actual decoder) and emits an 8-window integer
+  // energy envelope (sum of |sample| per window) + its fingerprint,
+  // while the oracle recomputes the windows arithmetically. Any
+  // decoder misread — frame offset, sign, endianness, a dropped
+  // sample — diverges. This closes the oracle gap on the audio DECODE
+  // path (q193 gates only the header probe).
+  private val envelope = udf { (docId: Long) =>
+    // one synthesize+decode per row: env string and total travel
+    // together so the decoder runs once
+    val sums = MediaFixture.pcmWindowSums(
+      MediaFixture.pcmWav(docId), MediaFixture.PcmWindows)
+    if (sums == null) None else Some((sums.mkString(","), sums.sum))
+  }
+
+  val q197 = q("q197_audio_energy_envelope",
+    s"""WITH s AS (
+      |  SELECT doc_id, list_transform(range(8), w ->
+      |      list_sum(list_transform(range(w*256, (w+1)*256),
+      |        i -> abs(((doc_id * 7919 + i * 31) % 65536) - 32768)))) AS sums
+      |  FROM documents)
+      |SELECT doc_id,
+      |  ${crossHash60Sql("array_to_string(sums, ',')")} AS env_fp,
+      |  CAST(list_sum(sums) AS BIGINT) AS total_abs
+      |FROM s ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"))
+      .withColumn("env", envelope(col("doc_id")))
+      .select(col("doc_id"),
+        crossHash60(col("env._1")).as("env_fp"),
+        col("env._2").as("total_abs"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q193, q194, q197)
 }

@@ -63,6 +63,25 @@ class MediaFixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("PCM fixture round-trips through the real JDK decoder: every sample, every window") {
+    (0L until 40L).foreach { id =>
+      val sums = MediaFixture.pcmWindowSums(
+        MediaFixture.pcmWav(id), MediaFixture.PcmWindows)
+      assert(sums != null && sums.length == MediaFixture.PcmWindows, s"doc $id")
+      val n = MediaFixture.PcmFrames
+      val expect = new Array[Long](MediaFixture.PcmWindows)
+      (0 until n).foreach { i =>
+        val w = math.min(MediaFixture.PcmWindows - 1, i * MediaFixture.PcmWindows / n)
+        expect(w) += math.abs(MediaFixture.pcmSample(id, i))
+      }
+      assert(sums.toSeq == expect.toSeq, s"doc $id envelope")
+    }
+    // non-conforming formats are refused, not misread: stereo/8-bit
+    assert(MediaFixture.pcmWindowSums(MediaFixture.wav(8000, 100), 8) != null)
+    assert(MediaFixture.pcmWindowSums("junk".getBytes, 8) == null)
+    assert(MediaFixture.pcmWindowSums(null, 8) == null)
+  }
+
   test("audioMeta is robust: skips LIST chunks, rejects junk and non-RIFF") {
     // WAV with an interposed LIST chunk before fmt/data
     val base = MediaFixture.wav(16000, 100)

@@ -43,8 +43,9 @@ import org.apache.spark.sql.SparkSession
   *  32. media metadata census (q193): per-mime dims/rates + reject bill
   *  33. media near-dup groups (q194): decoded-pixel fingerprint dedup
   *  34. domain blocklist gate (q195): RefinedWeb URL-filter bill
-  *  36. audio energy envelope (q197): real PCM-decode census
   *  35. near-dup purge applied (q196): doc-grain keep/drop + remap
+  *  36. audio energy envelope (q197): real PCM-decode census
+  *  37. video frame census (q198): real AVI-demux frame sampling
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -99,8 +100,9 @@ object GovernanceMain {
       "media metadata census (mime/dims/rejects)" -> "q193_media_census",
       "media near-dup groups (pixel-decode fingerprint)" -> "q194_media_dedup_groups",
       "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist",
+      "near-dup purge applied (keep/drop + remap, first rows)" -> "q196_neardup_purge_apply",
       "audio energy envelope (PCM decode, first rows)" -> "q197_audio_energy_envelope",
-      "near-dup purge applied (keep/drop + remap, first rows)" -> "q196_neardup_purge_apply")
+      "video frame census (AVI demux, first rows)" -> "q198_video_frame_census")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

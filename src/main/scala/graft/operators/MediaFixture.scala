@@ -181,6 +181,94 @@ object MediaFixture {
     sums
   }
 
+  // -- q198: demuxable uncompressed AVI video --------------------------------
+
+  val VideoSize = 16     // 4x4 grid of 4x4-pixel solid blocks
+  val VideoGrid = 4
+  val VideoBlock = VideoSize / VideoGrid // 4 px; 16 px per block
+  val VideoFpsUs = 100000 // 10 fps -> 100 ms per frame
+  val FrameStride = 2     // q198 samples frames 0, 2, 4, ...
+
+  def videoFrames(docId: Long): Int = (4 + docId % 5).toInt
+
+  /** Closed-form BLUE channel of the 4×4 block at grid cell (cx, cy) of
+    * frame `f` — the video twin of [[cellValue]]. The three channels are
+    * deliberately DISTINCT (blue = v, green = v+1, red = v+2, mod 256)
+    * and the pooling kernel reads only RED, so a BGR/RGB byte-order
+    * misread in the DIB walk diverges from the oracle instead of
+    * cancelling out on a gray image. */
+  def videoCellValue(docId: Long, f: Int, cx: Int, cy: Int): Int =
+    ((docId * 31 + f * 53 + cx * 4 + cy) % 256).toInt
+
+  /** One uncompressed bottom-up 24-bit DIB frame (the AVI '00db'
+    * payload): stored row r is image row h-1-r, pixels are B,G,R. Row
+    * stride w·3 = 48 bytes is already 4-aligned for the fixture size. */
+  private[operators] def aviFrame(docId: Long, f: Int): Array[Byte] = {
+    val w = VideoSize; val h = VideoSize
+    val out = new Array[Byte](w * 3 * h)
+    var r = 0
+    while (r < h) {
+      val y = h - 1 - r // bottom-up storage
+      val cy = y / VideoBlock
+      var x = 0
+      while (x < w) {
+        val v = videoCellValue(docId, f, x / VideoBlock, cy)
+        val o = r * w * 3 + x * 3
+        out(o) = v.toByte
+        out(o + 1) = ((v + 1) % 256).toByte
+        out(o + 2) = ((v + 2) % 256).toByte
+        x += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** A complete, spec-valid uncompressed AVI: RIFF('AVI ') containing
+    * LIST(hdrl){ avih + LIST(strl){ strh('vids'/'DIB ') + strf(
+    * BITMAPINFOHEADER, 24-bit, biCompression=0, positive biHeight =
+    * bottom-up) } } + LIST(movi){ one '00db' DIB chunk per frame } —
+    * the layout any real demuxer (ffmpeg, VfW) reads. Frame pixels are
+    * [[videoCellValue]] closed form, so the DuckDB oracle recomputes
+    * the pooled sums arithmetically while the engine must recover them
+    * through [[Multimodal.sampleAviFrames]]'s actual chunk walk. */
+  def avi(docId: Long): Array[Byte] = {
+    val w = VideoSize; val h = VideoSize
+    val nf = videoFrames(docId)
+    val frameBytes = w * 3 * h
+    def fourcc(s: String) = s.getBytes("US-ASCII")
+    def chunk(id: String, body: Array[Byte]): Array[Byte] =
+      fourcc(id) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array[Byte](0) else Array.emptyByteArray)
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", fourcc(typ) ++ body)
+    val avih =
+      le32(VideoFpsUs) ++ le32(frameBytes * 10) ++ le32(0) ++ le32(0) ++
+        le32(nf) ++ le32(0) ++ le32(1) ++ le32(frameBytes) ++
+        le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh =
+      fourcc("vids") ++ fourcc("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+        le32(0) ++ le32(1) ++ le32(10) ++ le32(0) ++ le32(nf) ++
+        le32(frameBytes) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = // BITMAPINFOHEADER
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+        le32(0) ++ le32(frameBytes) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl",
+      chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      (0 until nf).toArray.flatMap(f => chunk("00db", aviFrame(docId, f))))
+    val body = fourcc("AVI ") ++ hdrl ++ movi
+    fourcc("RIFF") ++ le32(body.length) ++ body
+  }
+
+  /** The q198 payload: full AVI, truncated to 5 bytes for the corrupt
+    * class (every parser must reject → census mime 'rejected'). */
+  def aviPayload(docId: Long): Array[Byte] = {
+    val full = avi(docId)
+    if (corrupt(docId)) full.take(5) else full
+  }
+
   // -- q194: pixel-decodable pattern image ---------------------------------
 
   val PatternSize = 32 // 4x4 grid of 8x8 blocks

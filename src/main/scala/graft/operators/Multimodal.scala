@@ -15,9 +15,12 @@ import org.apache.spark.sql.types._
   * PNG/JPEG/GIF/BMP readers, grid-pooled luminance features); and
   * uncompressed AUDIO decode is REAL (`decodeAudio`/`audioFeatures`
   * via the JDK's built-in `javax.sound.sampled` WAV/AIFF/AU PCM
-  * readers — RMS energy-envelope features). Only VIDEO — the JDK
-  * genuinely ships no container/codec — plus compressed audio
-  * (mp3/ogg) remain a deterministic fake (`decodeStub`/
+  * readers — RMS energy-envelope features). VIDEO container demux is
+  * REAL for uncompressed AVI (`videoMeta`/`sampleAviFrames` — RIFF
+  * tree walk, BITMAPINFOHEADER, 24-bit DIB frame chunks with
+  * bottom-up rows and 4-byte stride, sampled every k-th frame). Only
+  * COMPRESSED codecs — the JDK genuinely ships none (h264/vp9,
+  * mp3/ogg) — remain a deterministic fake (`decodeStub`/
   * `frameSampleStub`), and unrecognized payloads fall back to the same
   * fake, so the pipeline never throws on corrupt media. Swap the fakes
   * for a real codec call (JNI/FFmpeg) without touching the plumbing.
@@ -133,6 +136,121 @@ object Multimodal {
     if (rate <= 0 || blockAlign <= 0 || dataSize < 0) return null
     val frames = dataSize / blockAlign
     AudioMeta("audio/wav", rate, channels, frames * 1000L / rate)
+  }
+
+  final case class VideoMeta(mime: String, width: Int, height: Int,
+      frames: Int, durationMs: Long)
+
+  /** REAL video container-header probe, the AVI twin of [[audioMeta]]:
+    * RIFF('AVI ') chunk scan recursing into LIST chunks until the
+    * 'avih' main header, which carries µs-per-frame (LE32 @+0), total
+    * frames (LE32 @+16) and width/height (LE32 @+32/+36), so
+    * durationMs = frames · µsPerFrame / 1000 — integer arithmetic,
+    * bit-identical across engines. Returns null for unrecognized or
+    * truncated payloads. */
+  def videoMeta(payload: Array[Byte]): VideoMeta = {
+    if (payload == null || payload.length < 24) return null
+    def u8(i: Int): Int = java.lang.Byte.toUnsignedInt(payload(i))
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    def four(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    if (four(0) != "RIFF" || four(8) != "AVI ") return null
+    var found: VideoMeta = null
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (found == null && i + 8 <= end) {
+        val id = four(i)
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > end) return // truncated — stop
+        val body = i + 8
+        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz.toInt)
+        else if (id == "avih" && sz >= 40) {
+          val usPerFrame = le32(body)
+          val frames = le32(body + 16)
+          found = VideoMeta("video/avi", le32(body + 32).toInt, le32(body + 36).toInt,
+            frames.toInt, frames * usPerFrame / 1000L)
+        }
+        i = body + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+      }
+    }
+    walk(12, payload.length)
+    found
+  }
+
+  /** REAL AVI demux + frame sampling — the non-stub video pixel path:
+    * walks the RIFF tree to the strf BITMAPINFOHEADER (uncompressed
+    * 24-bit DIB only — biCompression 0, biBitCount 24; anything else,
+    * i.e. any real codec, returns null and callers fall back to
+    * [[frameSampleStub]]), then iterates the LIST(movi) '##db'/'##dc'
+    * frame chunks, keeps every `stride`-th frame, and pools each kept
+    * frame's RED channel into a grid×grid array of integer sums —
+    * honoring the DIB's bottom-up row order (positive biHeight; a
+    * flipped reader diverges from the oracle because the fixture's
+    * cell value depends on cy) and the 4-byte row stride. Exact
+    * integers, so the per-frame fingerprints are bit-identical across
+    * engines (the q194 discipline at frame grain). */
+  def sampleAviFrames(payload: Array[Byte], stride: Int, grid: Int): Array[Array[Long]] = {
+    if (payload == null || payload.length < 24) return null
+    def u8(i: Int): Int = java.lang.Byte.toUnsignedInt(payload(i))
+    def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long = le16(i).toLong | (le16(i + 2).toLong << 16)
+    def four(i: Int): String = new String(payload, i, 4, "US-ASCII")
+    if (four(0) != "RIFF" || four(8) != "AVI ") return null
+    var bw = 0; var bh = 0; var bits = 0; var comp = -1L
+    var bad = false
+    var frameIdx = 0
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    def poolFrame(off: Int, len: Int): Array[Long] = {
+      if (comp != 0L || bits != 24 || bw <= 0 || bh == 0) { bad = true; return null }
+      val h = math.abs(bh)
+      val bottomUp = bh > 0
+      val rowBytes = ((bw * 3 + 3) / 4) * 4
+      if (len < rowBytes * h) { bad = true; return null }
+      val cells = new Array[Long](grid * grid)
+      var r = 0
+      while (r < h) {
+        val y = if (bottomUp) h - 1 - r else r
+        val cy = math.min(grid - 1, y * grid / h)
+        var x = 0
+        while (x < bw) {
+          val cx = math.min(grid - 1, x * grid / bw)
+          cells(cy * grid + cx) += u8(off + r * rowBytes + x * 3 + 2) // RED
+          x += 1
+        }
+        r += 1
+      }
+      cells
+    }
+    def isFrameId(id: String): Boolean =
+      id.length == 4 && id.charAt(0).isDigit && id.charAt(1).isDigit &&
+        (id.endsWith("db") || id.endsWith("dc"))
+    def walk(start: Int, end: Int): Unit = {
+      var i = start
+      while (!bad && i + 8 <= end) {
+        val id = four(i)
+        val sz = le32(i + 4)
+        if (sz < 0 || i + 8 + sz > end) return // truncated — keep what parsed
+        val body = i + 8
+        if (id == "LIST" && sz >= 4) walk(body + 4, body + sz.toInt)
+        else if (id == "strf" && sz >= 40 && bits == 0) {
+          // first video strf wins (single-stream fixture; a multi-stream
+          // demux would key this off the matching strh fccType)
+          bw = le32(body + 4).toInt
+          bh = le32(body + 8).toInt
+          bits = le16(body + 14)
+          comp = le32(body + 16)
+        } else if (isFrameId(id)) {
+          if (frameIdx % stride == 0) {
+            val cells = poolFrame(body, sz.toInt)
+            if (cells != null) frames += cells
+          }
+          frameIdx += 1
+        }
+        i = body + sz.toInt + (sz.toInt & 1)
+      }
+    }
+    walk(12, payload.length)
+    if (bad || frames.isEmpty) null else frames.toArray
   }
 
   /** Column-level metadata probe: fills the MediaSchema `meta` width/
@@ -324,9 +442,10 @@ object Multimodal {
     Array.tabulate[Byte](targetLen)(i => payload(i % payload.length))
   }
 
-  /** STUB frame sampling — real impl: demux video, decode every
-    * `stride`-th frame. Deterministic fake: slice the payload into
-    * `frames` chunks, one "frame" feature vector per chunk. */
+  /** STUB frame sampling for payloads [[sampleAviFrames]] can't demux
+    * (compressed codecs, corrupt media). Deterministic fake: slice the
+    * payload into `frames` chunks, one "frame" feature vector per
+    * chunk. */
   def frameSampleStub(payload: Array[Byte], frames: Int, dim: Int): Array[Array[Float]] = {
     if (payload == null || payload.isEmpty) return Array.empty
     val chunk = math.max(1, payload.length / frames)
@@ -338,16 +457,34 @@ object Multimodal {
   final case class FrameFeatures(mediaId: Long, frameIdx: Int, features: Array[Float])
 
   /** Video path: one row per sampled frame — the explode-shaped output
-    * that feeds frame-level dedup/similarity. */
+    * that feeds frame-level dedup/similarity. Uncompressed AVI goes
+    * through the REAL demux ([[sampleAviFrames]]; grid sums normalized
+    * into the first grid² feature slots); anything else falls back to
+    * the deterministic stub so the pipeline keeps flowing. */
   def sampleFrames(media: DataFrame, frames: Int = 8, dim: Int = 64): Dataset[FrameFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
+    val grid = math.max(1, math.min(math.sqrt(dim.toDouble).toInt, 8))
     media.where(col("modality") === "video")
       .select("media_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        frameSampleStub(payload, frames, dim).zipWithIndex.map {
-          case (feat, i) => FrameFeatures(id, i, feat)
-        }
+        val real = sampleAviFrames(payload, 1, grid)
+        val feats: Array[Array[Float]] =
+          if (real != null) {
+            val meta = videoMeta(payload)
+            val pxPerCell = math.max(1,
+              (meta.width.toLong * meta.height / (grid * grid)).toInt)
+            real.take(frames).map { cells =>
+              val f = new Array[Float](dim)
+              var i = 0
+              while (i < cells.length && i < dim) {
+                f(i) = cells(i).toFloat / (pxPerCell * 255f)
+                i += 1
+              }
+              f
+            }
+          } else frameSampleStub(payload, frames, dim)
+        feats.zipWithIndex.map { case (feat, i) => FrameFeatures(id, i, feat) }
       }
   }
 

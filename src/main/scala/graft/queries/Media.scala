@@ -180,5 +180,66 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q193, q194, q197)
+  // -- q198: video frame-sample census via real AVI demux -------------------
+  // The video twin of q194/q197 — closes the LAST fake decode path
+  // (r14 VERDICT listed video as "documented deterministic fake"; the
+  // JDK ships no compressed codec, but container demux needs none):
+  // every document gets a complete spec-valid uncompressed AVI
+  // (RIFF/hdrl/avih/strl/strh/strf + movi with one 24-bit bottom-up
+  // DIB '00db' chunk per frame, 4 + doc_id%5 frames of 16x16 solid
+  // 4x4 blocks whose B/G/R channels are DISTINCT closed forms). The
+  // engine demuxes the real chunk tree (Multimodal.videoMeta +
+  // sampleAviFrames), samples every 2nd frame, and pools each kept
+  // frame's RED channel into 4x4 integer grid sums; the oracle
+  // recomputes frames/duration/sample count/grid sums arithmetically.
+  // Any demux misread — a wrong avih offset, a missed LIST recursion,
+  // RGB/BGR swap, top-down/bottom-up flip, off-by-one stride — breaks
+  // the hash. The corrupt class (doc_id%13, truncated to 5 bytes)
+  // pins rejection. Synthesis+demux+pool are per-row map work (the
+  // binary never leaves its row); output is doc-grain like q197.
+  private val vidCensus = udf { (docId: Long) =>
+    val payload = MediaFixture.aviPayload(docId)
+    val meta = Multimodal.videoMeta(payload)
+    val grids = Multimodal.sampleAviFrames(
+      payload, MediaFixture.FrameStride, MediaFixture.VideoGrid)
+    if (meta == null || grids == null)
+      ("rejected", 0L, 0L, 0L, "", 0L)
+    else
+      ("video/avi", meta.frames.toLong, meta.durationMs, grids.length.toLong,
+        grids.map(_.mkString(",")).mkString(";"), grids.map(_.sum).sum)
+  }
+
+  val q198 = q("q198_video_frame_census",
+    s"""WITH v AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS nf, doc_id % 13 = 0 AS rej
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, nf, rej,
+      |    list_transform(range(0, CAST(nf AS INTEGER), 2), fr ->
+      |      list_transform(range(16), c ->
+      |        16 * ((doc_id * 31 + fr * 53 + (c % 4) * 4 + (c // 4) + 2) % 256))) AS cells
+      |  FROM v)
+      |SELECT doc_id,
+      |  CASE WHEN rej THEN 'rejected' ELSE 'video/avi' END AS mime,
+      |  CAST(CASE WHEN rej THEN 0 ELSE nf END AS BIGINT) AS n_frames,
+      |  CAST(CASE WHEN rej THEN 0 ELSE nf * 100 END AS BIGINT) AS dur_ms,
+      |  CAST(CASE WHEN rej THEN 0 ELSE (nf + 1) // 2 END AS BIGINT) AS n_sampled,
+      |  ${crossHash60Sql(
+           "CASE WHEN rej THEN '' ELSE array_to_string(list_transform(cells, fc -> array_to_string(fc, ',')), ';') END")} AS frames_fp,
+      |  CAST(CASE WHEN rej THEN 0
+      |       ELSE list_sum(list_transform(cells, fc -> list_sum(fc))) END AS BIGINT) AS total_red
+      |FROM g ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"))
+      .withColumn("v", vidCensus(col("doc_id")))
+      .select(col("doc_id"),
+        col("v._1").as("mime"),
+        col("v._2").as("n_frames"),
+        col("v._3").as("dur_ms"),
+        col("v._4").as("n_sampled"),
+        crossHash60(col("v._5")).as("frames_fp"),
+        col("v._6").as("total_red"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q193, q194, q197, q198)
 }

@@ -82,6 +82,92 @@ class MediaFixtureSpec extends AnyFunSuite {
     assert(MediaFixture.pcmWindowSums(null, 8) == null)
   }
 
+  test("AVI fixture round-trips through the real demux: header, sampling, grid sums") {
+    (0L until 120L).filterNot(MediaFixture.corrupt).foreach { id =>
+      val p = MediaFixture.aviPayload(id)
+      val vm = Multimodal.videoMeta(p)
+      assert(vm != null && vm.mime == "video/avi", s"doc $id")
+      assert(vm.width == MediaFixture.VideoSize && vm.height == MediaFixture.VideoSize)
+      assert(vm.frames == MediaFixture.videoFrames(id), s"doc $id frames")
+      assert(vm.durationMs == MediaFixture.videoFrames(id) * 100L, s"doc $id duration")
+      val grids = Multimodal.sampleAviFrames(p, MediaFixture.FrameStride, MediaFixture.VideoGrid)
+      assert(grids != null, s"doc $id demux")
+      assert(grids.length == (vm.frames + 1) / 2, s"doc $id sample count")
+      grids.zipWithIndex.foreach { case (cells, gi) =>
+        val f = gi * MediaFixture.FrameStride
+        (0 until 16).foreach { c =>
+          val expect = 16L * ((MediaFixture.videoCellValue(id, f, c % 4, c / 4) + 2) % 256)
+          assert(cells(c) == expect, s"doc $id frame $f cell $c: ${cells(c)} != $expect")
+        }
+      }
+      // an AVI must not parse as image or audio
+      assert(Multimodal.imageMeta(p) == null && Multimodal.audioMeta(p) == null, s"doc $id")
+    }
+    // corrupt class rejected by the video parsers too
+    (0L until 120L).filter(MediaFixture.corrupt).foreach { id =>
+      val p = MediaFixture.aviPayload(id)
+      assert(p.length == 5 && Multimodal.videoMeta(p) == null &&
+        Multimodal.sampleAviFrames(p, 2, 4) == null, s"doc $id")
+    }
+  }
+
+  test("AVI demux honors DIB orientation and refuses compressed frames") {
+    // stride 1 returns every frame; the demux must read BOTTOM-UP rows
+    // (a top-down misread flips cy and breaks the cell values — pinned
+    // above); here pin that a TOP-DOWN file (negative biHeight) is also
+    // read correctly by flipping the stored rows of a bottom-up frame.
+    val id = 7L
+    val p = MediaFixture.avi(id)
+    val all = Multimodal.sampleAviFrames(p, 1, 4)
+    assert(all != null && all.length == MediaFixture.videoFrames(id))
+    // locate strf's biHeight (LE32) and negate it + flip each frame's rows
+    def le32At(b: Array[Byte], i: Int): Long =
+      java.lang.Byte.toUnsignedInt(b(i)).toLong |
+        (java.lang.Byte.toUnsignedInt(b(i + 1)).toLong << 8) |
+        (java.lang.Byte.toUnsignedInt(b(i + 2)).toLong << 16) |
+        (java.lang.Byte.toUnsignedInt(b(i + 3)).toLong << 24)
+    val strfAt = {
+      var at = -1
+      (0 until p.length - 4).foreach { i =>
+        if (at < 0 && new String(p, i, 4, "US-ASCII") == "strf") at = i
+      }
+      at
+    }
+    assert(strfAt > 0)
+    val topDown = p.clone()
+    val bhOff = strfAt + 8 + 8 // past fourcc+size, biSize+biWidth
+    val h = le32At(topDown, bhOff).toInt
+    val neg = -h
+    topDown(bhOff) = neg.toByte
+    topDown(bhOff + 1) = (neg >> 8).toByte
+    topDown(bhOff + 2) = (neg >> 16).toByte
+    topDown(bhOff + 3) = (neg >> 24).toByte
+    val w = MediaFixture.VideoSize
+    val rowBytes = w * 3
+    (0 until p.length - 4).foreach { i =>
+      if (new String(p, i, 4, "US-ASCII") == "00db") {
+        val body = i + 8
+        (0 until h / 2).foreach { r =>
+          val a = body + r * rowBytes
+          val b = body + (h - 1 - r) * rowBytes
+          (0 until rowBytes).foreach { k =>
+            val t = topDown(a + k); topDown(a + k) = topDown(b + k); topDown(b + k) = t
+          }
+        }
+      }
+    }
+    val flipped = Multimodal.sampleAviFrames(topDown, 1, 4)
+    assert(flipped != null && flipped.length == all.length)
+    flipped.zip(all).foreach { case (fc, ac) => assert(fc.toSeq == ac.toSeq) }
+    // compressed frames (biCompression != 0) are refused, not misread
+    val compressed = p.clone()
+    val compOff = strfAt + 8 + 16
+    compressed(compOff) = 1
+    assert(Multimodal.sampleAviFrames(compressed, 1, 4) == null)
+    // but the header probe still reads avih fine
+    assert(Multimodal.videoMeta(compressed) != null)
+  }
+
   test("audioMeta is robust: skips LIST chunks, rejects junk and non-RIFF") {
     // WAV with an interposed LIST chunk before fmt/data
     val base = MediaFixture.wav(16000, 100)

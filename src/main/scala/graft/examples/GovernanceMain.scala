@@ -46,6 +46,8 @@ import org.apache.spark.sql.SparkSession
   *  35. near-dup purge applied (q196): doc-grain keep/drop + remap
   *  36. audio energy envelope (q197): real PCM-decode census
   *  37. video frame census (q198): real AVI-demux frame sampling
+  *  38. cross-video frame dedup (q199): frame-grain duplicate groups
+  *  39. image gate census (q200): resolution/aspect filter bill
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -102,7 +104,9 @@ object GovernanceMain {
       "domain blocklist gate (block/allow/kept per source)" -> "q195_domain_blocklist",
       "near-dup purge applied (keep/drop + remap, first rows)" -> "q196_neardup_purge_apply",
       "audio energy envelope (PCM decode, first rows)" -> "q197_audio_energy_envelope",
-      "video frame census (AVI demux, first rows)" -> "q198_video_frame_census")
+      "video frame census (AVI demux, first rows)" -> "q198_video_frame_census",
+      "cross-video frame dedup (first rows)" -> "q199_video_frame_dedup",
+      "image gate census (resolution/aspect bill)" -> "q200_image_gate_census")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

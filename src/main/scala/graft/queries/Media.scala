@@ -241,5 +241,116 @@ object Media {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q193, q194, q197, q198)
+  // -- q199: cross-video frame-level dedup ----------------------------------
+  // Frame-grain near-dup across videos — the video analogue of q194's
+  // image groups: each demuxed sampled frame's grid-sum fingerprint is
+  // grouped corpus-wide, so identical frames appearing in DIFFERENT
+  // videos land in one group (the fixture's closed form makes frame
+  // content depend on (doc_id*31 + f*53) mod 256 only, so cross-video
+  // collisions are guaranteed and the oracle enumerates them exactly).
+  // Shape: one Generate (frame explode) + a TWO-LEVEL aggregate —
+  // (frame_fp, doc_id) first, then frame_fp — the q178 discipline that
+  // avoids a count-distinct Expand; only (doc_id, f, 16 small ints)
+  // ride the shuffle, never the payload. Corrupt docs demux to null →
+  // excluded, mirrored by the oracle's WHERE.
+  private val frameFps = udf { (docId: Long) =>
+    val grids = Multimodal.sampleAviFrames(
+      MediaFixture.aviPayload(docId), MediaFixture.FrameStride, MediaFixture.VideoGrid)
+    if (grids == null) Array.empty[(Int, String)]
+    else grids.zipWithIndex.map { case (cells, gi) =>
+      (gi * MediaFixture.FrameStride, cells.mkString(","))
+    }
+  }
+
+  val q199 = q("q199_video_frame_dedup",
+    s"""WITH v AS (
+      |  SELECT doc_id, 4 + doc_id % 5 AS nf FROM documents
+      |  WHERE doc_id % 13 <> 0),
+      |fr AS (
+      |  SELECT doc_id, unnest(range(0, CAST(nf AS INTEGER), 2)) AS f FROM v),
+      |fp AS (
+      |  SELECT doc_id, f,
+      |    array_to_string(list_transform(range(16), c ->
+      |      16 * ((doc_id * 31 + f * 53 + (c % 4) * 4 + (c // 4) + 2) % 256)), ',') AS cells
+      |  FROM fr),
+      |lvl1 AS (
+      |  SELECT cells, doc_id, count(*) AS nfr, sum(doc_id * 7 + f) AS chk
+      |  FROM fp GROUP BY 1, 2)
+      |SELECT ${crossHash60Sql("cells")} AS group_fp,
+      |  CAST(count(*) AS BIGINT) AS n_videos,
+      |  CAST(sum(nfr) AS BIGINT) AS n_frames,
+      |  CAST(sum(chk) AS BIGINT) AS sum_chk
+      |FROM lvl1 GROUP BY cells ORDER BY group_fp""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"))
+      .select(col("doc_id"), explode(frameFps(col("doc_id"))).as("fr"))
+      .select(col("doc_id"), col("fr._1").as("f"), col("fr._2").as("cells"))
+      .groupBy("cells", "doc_id")
+      .agg(count(lit(1)).as("nfr"),
+        sum(col("doc_id") * 7 + col("f")).as("chk"))
+      .groupBy("cells")
+      .agg(count(lit(1)).as("n_videos"), sum("nfr").as("n_frames"),
+        sum("chk").as("sum_chk"))
+      .select(crossHash60(col("cells")).as("group_fp"),
+        col("n_videos"), col("n_frames"), col("sum_chk"))
+      .orderBy("group_fp")
+  }
+
+  // -- q200: image resolution/aspect gate census -----------------------------
+  // The standard multimodal curation filter (LAION/DataComp drop
+  // images below a minimum resolution and outside an aspect-ratio
+  // band): per (source, verdict) bill over the image classes of the
+  // q193 fixture, with w/h coming from the REAL header parse
+  // (imageMeta), never the generator. Verdict precedence mirrors the
+  // production gates: rejected (unparseable) > too_small
+  // (min(w,h) < 32) > extreme_aspect (max > 2·min) > ok.
+  // aspect_milli = 1000·max/min in integer division — exact in both
+  // engines. Map-only + one aggregate; audio-class docs are excluded
+  // by the modality manifest (doc_id % 4 <> 3), matching the oracle.
+  val q200 = q("q200_image_gate_census",
+    s"""WITH m AS (
+      |  SELECT doc_id, source,
+      |    CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 16 + doc_id % 97 END AS w,
+      |    CASE WHEN doc_id % 13 = 0 THEN 0 ELSE 16 + doc_id % 61 END AS h
+      |  FROM documents WHERE doc_id % 4 <> 3),
+      |v AS (
+      |  SELECT source, w, h,
+      |    CASE WHEN w = 0 THEN 'rejected'
+      |         WHEN least(w, h) < 32 THEN 'too_small'
+      |         WHEN greatest(w, h) > 2 * least(w, h) THEN 'extreme_aspect'
+      |         ELSE 'ok' END AS verdict,
+      |    CASE WHEN w = 0 THEN 0
+      |         ELSE (1000 * greatest(w, h)) // least(w, h) END AS aspect_milli
+      |  FROM m)
+      |SELECT source, verdict,
+      |  CAST(count(*) AS BIGINT) AS n_imgs,
+      |  CAST(sum(w) AS BIGINT) AS sum_w,
+      |  CAST(sum(h) AS BIGINT) AS sum_h,
+      |  CAST(max(aspect_milli) AS BIGINT) AS max_aspect_milli
+      |FROM v GROUP BY source, verdict ORDER BY source, verdict""".stripMargin) {
+    (s, dir) =>
+      val media = Tables(s, dir).documents
+        .where(col("doc_id") % 4 =!= 3) // image classes of the manifest
+        .select(col("doc_id"), col("source"))
+        .withColumn("payload", genPayload(col("doc_id")))
+        .withColumn("im", probeImage(col("payload")))
+        .select(col("source"),
+          coalesce(col("im.width"), lit(0)).cast(LongType).as("w"),
+          coalesce(col("im.height"), lit(0)).cast(LongType).as("h"))
+      media.select(col("source"), col("w"), col("h"),
+          when(col("w") === 0, "rejected")
+            .when(least(col("w"), col("h")) < 32, "too_small")
+            .when(greatest(col("w"), col("h")) > lit(2) * least(col("w"), col("h")),
+              "extreme_aspect")
+            .otherwise("ok").as("verdict"),
+          when(col("w") === 0, 0L)
+            .otherwise(floor(lit(1000) * greatest(col("w"), col("h")) /
+              least(col("w"), col("h")))).as("aspect_milli"))
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_imgs"),
+          sum("w").as("sum_w"), sum("h").as("sum_h"),
+          max("aspect_milli").as("max_aspect_milli"))
+        .orderBy("source", "verdict")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q193, q194, q197, q198, q199, q200)
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Analytics, Analytics2, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Curation8, Curation9, Curation10, Curation11, Curation12, Curation13, Curation14, Curation15, Curation16, Curation17, Dedup, Media, Relational, Relational2, Relational3, Relational4, Similarity, Similarity2, TextOps, TextOps2}
+import graft.queries.{Analytics, Analytics2, Curation, Curation2, Curation3, Curation4, Curation5, Curation6, Curation7, Curation8, Curation9, Curation10, Curation11, Curation12, Curation13, Curation14, Curation15, Curation16, Curation17, Dedup, Media, Media2, Relational, Relational2, Relational3, Relational4, Similarity, Similarity2, TextOps, TextOps2}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
       Curation6.all ++ Curation7.all ++ Curation8.all ++ Curation9.all ++
       Curation10.all ++ Curation11.all ++ Curation12.all ++ Curation13.all ++
       Curation14.all ++ Curation15.all ++ Curation16.all ++ Curation17.all ++
-      Analytics.all ++ Analytics2.all ++ Media.all
+      Analytics.all ++ Analytics2.all ++ Media.all ++ Media2.all
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. The
     * end-to-end curation pipeline (quality gate ∩ exact-dedup keeper ∩

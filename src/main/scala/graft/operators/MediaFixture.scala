@@ -181,6 +181,48 @@ object MediaFixture {
     sums
   }
 
+  /** Per-sample quality statistics from a REAL JDK audio decode — the
+    * q203 gate kernel (clipping / DC offset / low-energy windows, the
+    * standard audio-curation checks). Same decode discipline as
+    * [[pcmWindowSums]]: the payload goes through `javax.sound.sampled`
+    * and only mono signed 16-bit PCM is accepted. Returns
+    * `[nClip, maxAbs, sumSigned, nLowWindows]` — all exact integers so
+    * the census is bit-identical across engines — or null when the
+    * payload doesn't decode.
+    *
+    *  - nClip   = #samples with |s| >= clipAbs (clipping detector)
+    *  - maxAbs  = max |s| (peak level)
+    *  - sumSigned = Σ s (DC offset numerator, signed)
+    *  - nLowWindows = #equal frame windows whose Σ|s| < lowThreshold
+    */
+  def pcmSampleStats(payload: Array[Byte], clipAbs: Int, windows: Int,
+      lowThreshold: Long): Array[Long] = {
+    val in = Multimodal.decodeAudio(payload)
+    if (in == null) return null
+    val fmt = in.getFormat
+    if (fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      return null
+    val bytes = in.readAllBytes()
+    val n = bytes.length / 2
+    if (n == 0) return null
+    val winSums = new Array[Long](windows)
+    var nClip = 0L; var maxAbs = 0L; var sumSigned = 0L
+    var f = 0
+    while (f < n) {
+      val lo = bytes(2 * f + (if (fmt.isBigEndian) 1 else 0))
+      val hi = bytes(2 * f + (if (fmt.isBigEndian) 0 else 1))
+      val s = (hi << 8) | java.lang.Byte.toUnsignedInt(lo)
+      val a = math.abs(s)
+      if (a >= clipAbs) nClip += 1
+      if (a > maxAbs) maxAbs = a
+      sumSigned += s
+      winSums(math.min(windows - 1, f * windows / n)) += a
+      f += 1
+    }
+    Array(nClip, maxAbs, sumSigned, winSums.count(_ < lowThreshold).toLong)
+  }
+
   // -- q198: demuxable uncompressed AVI video --------------------------------
 
   val VideoSize = 16     // 4x4 grid of 4x4-pixel solid blocks

@@ -217,5 +217,83 @@ object Curation17 {
       .orderBy("doc_id")
   }
 
-  val all: Seq[GraftQuery] = Seq(q195, q196)
+  // -- q204: encoding-damage census + repair bill (ftfy pass) --------------
+  // The encoding-hygiene gate every web-scale pipeline runs before
+  // training (ftfy's fix_text, Dolma's unicode scrubbers): detect
+  // UTF-8-read-as-Latin-1 mojibake sequences ('Ã' followed by a
+  // Latin-1 supplement continuation char — the signature of a
+  // double-decoded 'é'-class code point), U+FFFD replacement
+  // characters (lossy transcodes), and C0 control characters
+  // (tab/LF/CR excluded), then bill per source how many documents are
+  // dirty, how many artifacts of each class, and how many characters
+  // the repair pass removes. The corpus is clean ASCII, so — the
+  // q184 derived-corpus discipline — damage is injected by a
+  // closed-form doc_id rule shared VERBATIM by both engines
+  // (%11=3 mojibake via replace-all, %11=7 U+FFFD runs, %11=5 BEL
+  // runs), and the DETECTORS/repairers run on the derived text with no
+  // knowledge of the rule. Repair order is fixed (mojibake fix, then
+  // FFFD strip, then control strip) so chars_repaired is well-defined.
+  // Regexes stay in the Java-regex ∩ RE2 common subset (literal BMP
+  // chars in classes, \x{..} escapes — no lookaround).
+  //
+  // Scale: pure map-side per-row regex work on ONE corpus scan
+  // (codegen'd RegExpCount/RegExpReplace), then a source-keyed
+  // aggregate. No shuffle beyond the final group-by.
+  private val MojiRe = "Ã[ -¿]"
+  private val FffdRe = "�"
+  private val CtrlRe = "[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"
+
+  /** The damage injection — one SQL fragment, evaluated by BOTH
+    * engines (Spark via expr(), DuckDB verbatim). */
+  private val InjectSql =
+    """CASE WHEN doc_id % 11 = 3 THEN replace(text, 'e', 'Ã©')
+      |     WHEN doc_id % 11 = 7
+      |       THEN text || ' ' || repeat('�', CAST(1 + doc_id % 3 AS INT))
+      |     WHEN doc_id % 11 = 5
+      |       THEN text || repeat(chr(7), CAST(1 + doc_id % 2 AS INT))
+      |     ELSE text END""".stripMargin
+
+  val q204 = q("q204_mojibake_census",
+    s"""WITH d AS (SELECT doc_id, source, $InjectSql AS content FROM documents),
+      |m AS (SELECT source,
+      |    CAST(len(regexp_extract_all(content, '$MojiRe')) AS BIGINT) AS n_moji,
+      |    CAST(len(regexp_extract_all(content, '$FffdRe')) AS BIGINT) AS n_fffd,
+      |    CAST(len(regexp_extract_all(content, '$CtrlRe')) AS BIGINT) AS n_ctrl,
+      |    CAST(len(content) AS BIGINT)
+      |      - CAST(len(regexp_replace(regexp_replace(regexp_replace(content,
+      |          'Ã©', 'é', 'g'),
+      |          '$FffdRe', '', 'g'),
+      |          '$CtrlRe', '', 'g')) AS BIGINT) AS chars_cut
+      |  FROM d)
+      |SELECT source,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(CASE WHEN n_moji + n_fffd + n_ctrl > 0 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_docs_dirty,
+      |  CAST(sum(n_moji) AS BIGINT) AS n_mojibake,
+      |  CAST(sum(n_fffd) AS BIGINT) AS n_replacement,
+      |  CAST(sum(n_ctrl) AS BIGINT) AS n_control,
+      |  CAST(sum(chars_cut) AS BIGINT) AS chars_repaired
+      |FROM m GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    val d = Tables(s, dir).documents
+      .select(col("doc_id"), col("source"), expr(InjectSql).as("content"))
+    val m = d.select(col("source"),
+      regexp_count(col("content"), lit(MojiRe)).cast("long").as("n_moji"),
+      regexp_count(col("content"), lit(FffdRe)).cast("long").as("n_fffd"),
+      regexp_count(col("content"), lit(CtrlRe)).cast("long").as("n_ctrl"),
+      (length(col("content")) -
+        length(regexp_replace(regexp_replace(regexp_replace(col("content"),
+          "Ã©", "é"), FffdRe, ""), CtrlRe, "")))
+        .cast("long").as("chars_cut"))
+    m.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_moji") + col("n_fffd") + col("n_ctrl") > 0, 1L)
+          .otherwise(0L)).as("n_docs_dirty"),
+        sum(col("n_moji")).as("n_mojibake"),
+        sum(col("n_fffd")).as("n_replacement"),
+        sum(col("n_ctrl")).as("n_control"),
+        sum(col("chars_cut")).as("chars_repaired"))
+      .orderBy("source")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q195, q196, q204)
 }

@@ -133,7 +133,10 @@ object StressMain {
     // scan stage — the heaviest per-row UDF work in the registry) and
     // the doc-grain purge emission (pair space + CC + two doc-keyed
     // joins at corpus grain)
-    "q194_media_dedup_groups", "q196_neardup_purge_apply")
+    "q194_media_dedup_groups", "q196_neardup_purge_apply",
+    // round 15b: the media<->embedding join over real pixel decode and
+    // 50k real WAV per-sample decodes in the scan stage
+    "q201_crossmodal_align", "q203_audio_quality_gate")
 
   def main(args: Array[String]): Unit = {
     val mode = args.headOption.getOrElse("all")

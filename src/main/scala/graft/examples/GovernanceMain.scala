@@ -48,6 +48,12 @@ import org.apache.spark.sql.SparkSession
   *  37. video frame census (q198): real AVI-demux frame sampling
   *  38. cross-video frame dedup (q199): frame-grain duplicate groups
   *  39. image gate census (q200): resolution/aspect filter bill
+  *  40. cross-modal alignment census (q201): image x caption score bill
+  *  41. perceptual near-dup pairs (q202): dHash Hamming-band groups
+  *  42. audio quality gate (q203): clipping/DC/dropout bill
+  *  43. encoding-damage census (q204): mojibake/U+FFFD/control repair bill
+  *  44. audio fingerprint dedup (q205): quantized-envelope groups
+  *  45. video gate census (q206): duration/motion verdict bill
   *
   * Every table is deterministic (integer counts + single divisions),
   * so two runs of this report — or a rerun after an incident — are
@@ -106,7 +112,13 @@ object GovernanceMain {
       "audio energy envelope (PCM decode, first rows)" -> "q197_audio_energy_envelope",
       "video frame census (AVI demux, first rows)" -> "q198_video_frame_census",
       "cross-video frame dedup (first rows)" -> "q199_video_frame_dedup",
-      "image gate census (resolution/aspect bill)" -> "q200_image_gate_census")
+      "image gate census (resolution/aspect bill)" -> "q200_image_gate_census",
+      "cross-modal alignment census (score bill per source)" -> "q201_crossmodal_align",
+      "perceptual near-dup pairs (dHash Hamming bands)" -> "q202_image_phash_neardup",
+      "audio quality gate (clip/DC/dropout bill)" -> "q203_audio_quality_gate",
+      "encoding-damage census (mojibake repair bill)" -> "q204_mojibake_census",
+      "audio fingerprint dedup (envelope groups, first rows)" -> "q205_audio_fingerprint_dedup",
+      "video gate census (duration/motion bill)" -> "q206_video_gate_census")
 
     sections.foreach { case (title, name) =>
       val t0 = System.nanoTime()

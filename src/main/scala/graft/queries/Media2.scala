@@ -1,7 +1,8 @@
 package graft.queries
 
 import graft.{GraftQuery, Tables}
-import graft.operators.MediaFixture
+import graft.QueryDsl.{crossHash60, crossHash60Sql}
+import graft.operators.{MediaFixture, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -10,8 +11,11 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   * pipeline runs AFTER ingest-census (q193) and exact pixel dedup
   * (q194): cross-modal alignment scoring (the CLIP-score gate shape),
   * perceptual-hash near-duplicate pairing (Hamming-ball dedup, not just
-  * exact), and the audio quality gate (clipping / DC offset / dropout
-  * windows). Same oracle premise as [[Media]]: payloads are
+  * exact), the audio quality gate (clipping / DC offset / dropout
+  * windows), audio fingerprint dedup, and the video gate census —
+  * completing a census/dedup/gate matrix across all three modalities
+  * (image q193/q194+q202/q200, audio q197/q205/q203, video
+  * q198/q199/q206). Same oracle premise as [[Media]]: payloads are
   * [[graft.operators.MediaFixture]] closed forms, the engine recovers
   * every number THROUGH THE REAL BYTE PATH (JDK PNG pixel decode, JDK
   * WAV sample decode), and the DuckDB oracle recomputes arithmetically
@@ -239,5 +243,126 @@ object Media2 {
         .orderBy("source", "verdict")
   }
 
-  val all: Seq[GraftQuery] = Seq(q201, q202, q203)
+  // -- q205: audio fingerprint dedup groups ----------------------------------
+  // Completes the dedup column of the modality matrix (image q194/q202,
+  // video q199, audio HERE): a coarse acoustic fingerprint — the
+  // 8-window energy envelope from the REAL JDK sample decode, each
+  // window quantized by >>16 (the chromaprint-style robustness trade:
+  // nearby loudness profiles land on one fingerprint) — grouped
+  // corpus-wide with q194's group-census shape (id-sum membership
+  // checksum, min-id canonical). The fixture's sample law concentrates
+  // window energies, so quantized collisions are plentiful at every SF
+  // (hundreds of multi-member groups at sf0.1). Map-side decode + ONE
+  // hash-aggregate exchange; the payload never shuffles.
+  private val envFp = udf { (docId: Long) =>
+    val sums = MediaFixture.pcmWindowSums(
+      MediaFixture.pcmWav(docId), MediaFixture.PcmWindows)
+    if (sums == null) null else sums.map(_ >> 16).mkString(",")
+  }
+
+  val q205 = q("q205_audio_fingerprint_dedup",
+    s"""WITH s AS (
+      |  SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      list_transform(range(8), w ->
+      |        list_sum(list_transform(range(w*256, (w+1)*256),
+      |          i -> abs(((doc_id * 7919 + i * 31) % 65536) - 32768)))),
+      |      x -> CAST(x AS BIGINT) >> 16), ',') AS fp
+      |  FROM documents)
+      |SELECT ${crossHash60Sql("fp")} AS group_fp,
+      |  CAST(count(*) AS BIGINT) AS n_audio,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_dup,
+      |  CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+      |  CAST(min(doc_id) AS BIGINT) AS canonical_id
+      |FROM s GROUP BY fp ORDER BY group_fp""".stripMargin) { (s, dir) =>
+    Tables(s, dir).documents.select(col("doc_id"))
+      .withColumn("fp", envFp(col("doc_id")))
+      .groupBy("fp")
+      .agg(count(lit(1)).as("n_audio"),
+        (count(lit(1)) - 1).as("n_dup"),
+        sum("doc_id").as("sum_doc_id"),
+        min("doc_id").as("canonical_id"))
+      .select(crossHash60(col("fp")).as("group_fp"),
+        col("n_audio"), col("n_dup"), col("sum_doc_id"), col("canonical_id"))
+      .orderBy("group_fp")
+  }
+
+  // -- q206: video gate census (duration + temporal activity) ---------------
+  // Completes the gate column of the modality matrix (image q200,
+  // audio q203, video HERE): the duration filter every video-curation
+  // pipeline applies plus a temporal-activity metric — the summed
+  // |Δ| of consecutive SAMPLED frames' grid sums, a motion detector
+  // computed from the REAL AVI demux (a misread frame order, a dropped
+  // sample, or a stride bug changes the deltas). Verdict precedence:
+  // rejected (demux fails) > too_short (< 600 ms) > high_motion
+  // (per-pair activity > 31000) > ok. The fixture's nf law aligns with
+  // the source assignment (both are doc_id mods), so the DURATION
+  // verdict is constant within a source — the motion split is what
+  // varies within sources (mod-256 wrap count of the frame deltas) and
+  // keeps the census non-derivable from the source name. All integers;
+  // the oracle replays the fixture's frame law. Map-only + one
+  // aggregate.
+  private val vidGate = udf { (docId: Long) =>
+    val payload = MediaFixture.aviPayload(docId)
+    val meta = Multimodal.videoMeta(payload)
+    val grids = Multimodal.sampleAviFrames(
+      payload, MediaFixture.FrameStride, MediaFixture.VideoGrid)
+    if (meta == null || grids == null) ("rejected", 0L, 0L, 0L)
+    else {
+      val activity = grids.sliding(2).collect { case Array(a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(y - x) }.sum
+      }.sum
+      val verdict =
+        if (meta.durationMs < 600) "too_short"
+        else if (activity > 31000L * (grids.length - 1)) "high_motion"
+        else "ok"
+      (verdict, meta.frames.toLong, meta.durationMs, activity)
+    }
+  }
+
+  val q206 = q("q206_video_gate_census",
+    s"""WITH v AS (
+      |  SELECT doc_id, source, 4 + doc_id % 5 AS nf,
+      |    doc_id % 13 = 0 AS rej, (4 + doc_id % 5 + 1) // 2 AS ns
+      |  FROM documents),
+      |a AS (
+      |  SELECT source, nf, rej, ns,
+      |    CASE WHEN rej THEN 0 ELSE
+      |      list_sum(list_transform(range(CAST(ns - 1 AS INTEGER)), p ->
+      |        list_sum(list_transform(range(16), c ->
+      |          abs(16 * ((doc_id * 31 + (2*p + 2) * 53 + (c % 4) * 4 + (c // 4) + 2) % 256)
+      |            - 16 * ((doc_id * 31 + 2*p * 53 + (c % 4) * 4 + (c // 4) + 2) % 256))))))
+      |    END AS activity
+      |  FROM v),
+      |m AS (
+      |  SELECT source,
+      |    CASE WHEN rej THEN 'rejected'
+      |         WHEN nf * 100 < 600 THEN 'too_short'
+      |         WHEN activity > 31000 * (ns - 1) THEN 'high_motion'
+      |         ELSE 'ok' END AS verdict,
+      |    CASE WHEN rej THEN 0 ELSE nf END AS n_frames,
+      |    CASE WHEN rej THEN 0 ELSE nf * 100 END AS dur_ms,
+      |    activity
+      |  FROM a)
+      |SELECT source, verdict,
+      |  CAST(count(*) AS BIGINT) AS n_videos,
+      |  CAST(sum(n_frames) AS BIGINT) AS sum_frames,
+      |  CAST(sum(dur_ms) AS BIGINT) AS sum_dur_ms,
+      |  CAST(sum(activity) AS BIGINT) AS sum_activity
+      |FROM m GROUP BY source, verdict ORDER BY source, verdict""".stripMargin) {
+    (s, dir) =>
+      Tables(s, dir).documents.select(col("doc_id"), col("source"))
+        .withColumn("v", vidGate(col("doc_id")))
+        .select(col("source"), col("v._1").as("verdict"),
+          col("v._2").as("n_frames"), col("v._3").as("dur_ms"),
+          col("v._4").as("activity"))
+        .groupBy("source", "verdict")
+        .agg(count(lit(1)).as("n_videos"),
+          sum("n_frames").as("sum_frames"),
+          sum("dur_ms").as("sum_dur_ms"),
+          sum("activity").as("sum_activity"))
+        .orderBy("source", "verdict")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q201, q202, q203, q205, q206)
 }

@@ -127,6 +127,43 @@ class Media2Spec extends SparkSpecBase {
     assert(rows.map(_.getLong(4)).min < 0 && rows.map(_.getLong(5)).max > 0)
   }
 
+  test("q205: quantized envelope groups are real duplicates and conserve the corpus") {
+    val rows = Media2.q205.run(spark, sfDir).collect()
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "every doc lands in one group")
+    assert(rows.exists(_.getLong(1) > 1), "the fixture guarantees multi-member groups")
+    // group checksum algebra: n_dup = n_audio - 1, canonical <= sum/n
+    rows.foreach { r =>
+      assert(r.getLong(2) == r.getLong(1) - 1)
+      assert(r.getLong(4) * r.getLong(1) <= r.getLong(3))
+    }
+  }
+
+  test("q206: verdict ladder fires all four classes; activity matches the frame law") {
+    val rows = Media2.q206.run(spark, sfDir).collect()
+    val verdicts = rows.map(_.getString(1)).toSet
+    assert(verdicts == Set("rejected", "too_short", "high_motion", "ok"))
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(rows.map(_.getLong(2)).sum == nDocs)
+    // closed-form activity replay for a handful of demuxed docs
+    (1L until 30L).filterNot(MediaFixture.corrupt).foreach { id =>
+      val grids = graft.operators.Multimodal.sampleAviFrames(
+        MediaFixture.aviPayload(id), MediaFixture.FrameStride, MediaFixture.VideoGrid)
+      val real = grids.sliding(2).collect { case Array(a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(y - x) }.sum
+      }.sum
+      val ns = (MediaFixture.videoFrames(id) + 1) / 2
+      val expect = (0 until ns - 1).map { p =>
+        (0 until 16).map { c =>
+          val k = (c % 4) * 4 + (c / 4) + 2
+          math.abs(16L * ((id * 31 + (2 * p + 2) * 53 + k) % 256)
+            - 16L * ((id * 31 + 2 * p * 53 + k) % 256))
+        }.sum
+      }.sum
+      assert(real == expect, s"doc $id")
+    }
+  }
+
   test("q204: every repair removes exactly one character (bill algebra)") {
     val rows = Curation17.q204.run(spark, sfDir).collect()
     rows.foreach { r =>

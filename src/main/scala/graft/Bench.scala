@@ -155,6 +155,21 @@ object Bench {
     * measurement (None), so it can never out-vote the in-JVM
     * regression verdict with a bogus fast time (the r13 ADVICE fix;
     * BenchSwingSpec pins both directions). */
+  /** One swings-map entry for the artifact. `probe` semantics: >= 0 is
+    * the fork median; -1 means the probe RAN and every fork failed;
+    * NaN means the swing never escalated (the in-JVM rerun already
+    * adjudicated it) and serializes as `null` so an artifact reader
+    * can tell "not needed" from "machinery broken". */
+  private[graft] def swingEntry(key: String, t1: Double, t2: Double,
+      prior: Double, probe: Double, verdict: String): String = {
+    def n3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    "\"" + key + "\":{\"t1\":" + n3(t1) + ",\"t2\":" + n3(t2) +
+      ",\"prior\":" + n3(prior) +
+      ",\"probe\":" + (if (probe.isNaN) "null" else n3(probe)) +
+      ",\"verdict\":\"" + verdict + "\"}"
+  }
+
   private[graft] def parseProbeOutput(s: String): Option[Double] =
     raw"""PROBE \S+ (-?[0-9.]+)""".r
       .findFirstMatchIn(s)
@@ -451,12 +466,20 @@ object Bench {
         val t2 = rerun.getOrElse(name, -1.0)
         val p = priorOf(name).getOrElse(-1.0)
         val inJvm = swingVerdict(t1, t2, p, judgeFactor)
+        // probe value semantics in the artifact: a number >= 0 is the
+        // fork median; -1 means the probe RAN and all forks failed;
+        // NaN (serialized as null) means the swing never escalated —
+        // the in-JVM rerun already adjudicated it. Keeping the two
+        // no-measurement cases distinct stops a reader from mistaking
+        // "not needed" for "machinery broken" (observed in r15: q158's
+        // rerun-adjudicated noise carried probe:-1.0 and read like a
+        // triple fork failure).
         val (probe, verdict) =
           if (inJvm == "regression" && probesLeft > 0) {
             probesLeft -= 1
             val m = forkProbeMedian(name, sfDir, cpus)
             if (m >= 0 && m <= 2 * p * judgeFactor) (m, "noise") else (m, "regression")
-          } else (-1.0, inJvm)
+          } else (Double.NaN, inJvm)
         name -> (t1, t2, p, probe, verdict)
       }
 
@@ -476,9 +499,7 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":{\"t1\":" + f3(t1) + ",\"t2\":" + f3(t2) + "}"
     }.mkString("{", ",", "}")
     val swingsJson = swings.sortBy(_._1).map { case (k, (t1, t2, p, probe, verdict)) =>
-      "\"" + k.takeWhile(_ != '_') + "\":{\"t1\":" + f3(t1) + ",\"t2\":" + f3(t2) +
-        ",\"prior\":" + f3(p) + ",\"probe\":" + f3(probe) +
-        ",\"verdict\":\"" + verdict + "\"}"
+      Bench.swingEntry(k.takeWhile(_ != '_'), t1, t2, p, probe, verdict)
     }.mkString("{", ",", "}")
     val sentinelJson =
       "\"box_factor\":" + f3(factor) +

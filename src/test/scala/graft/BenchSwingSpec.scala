@@ -176,4 +176,23 @@ class BenchSwingSpec extends AnyFunSuite {
     // no PROBE line at all (fork died before printing)
     assert(Bench.parseProbeOutput("OutOfMemoryError\n").isEmpty)
   }
+
+  test("swing entry distinguishes not-escalated (null) from failed forks (-1)") {
+    // never escalated: the rerun already adjudicated — probe is null,
+    // NOT -1, so an artifact reader can't mistake "not needed" for
+    // "three forks failed" (the r15 q158 misread)
+    val idle = Bench.swingEntry("q158", 5.429, 3.974, 2.022, Double.NaN, "noise")
+    assert(idle.contains("\"probe\":null"), idle)
+    // escalated and every fork failed: -1 stays, verdict untouched
+    val broken = Bench.swingEntry("q158", 5.429, 5.1, 2.022, -1.0, "regression")
+    assert(broken.contains("\"probe\":-1.000"), broken)
+    // escalated with a healthy median: the number ships
+    val ok = Bench.swingEntry("q158", 5.429, 5.1, 2.022, 2.016, "noise")
+    assert(ok.contains("\"probe\":2.016"), ok)
+    // all three remain parseable JSON fragments
+    Seq(idle, broken, ok).foreach { e =>
+      val json = "{" + e + "}"
+      assert(json.count(_ == '{') == json.count(_ == '}'), json)
+    }
+  }
 }

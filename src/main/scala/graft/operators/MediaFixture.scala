@@ -186,9 +186,12 @@ object MediaFixture {
     * standard audio-curation checks). Same decode discipline as
     * [[pcmWindowSums]]: the payload goes through `javax.sound.sampled`
     * and only mono signed 16-bit PCM is accepted. Returns
-    * `[nClip, maxAbs, sumSigned, nLowWindows]` — all exact integers so
-    * the census is bit-identical across engines — or null when the
-    * payload doesn't decode.
+    * `[nClip, maxAbs, sumSigned, nLowWindows, nSamples]` — all exact
+    * integers so the census is bit-identical across engines — or null
+    * when the payload doesn't decode. nSamples (the decoded sample
+    * count) lets rate thresholds — e.g.
+    * [[graft.streaming.StreamingMediaGate]]'s clip-rate cut — stay
+    * duration-independent.
     *
     *  - nClip   = #samples with |s| >= clipAbs (clipping detector)
     *  - maxAbs  = max |s| (peak level)
@@ -220,7 +223,7 @@ object MediaFixture {
       winSums(math.min(windows - 1, f * windows / n)) += a
       f += 1
     }
-    Array(nClip, maxAbs, sumSigned, winSums.count(_ < lowThreshold).toLong)
+    Array(nClip, maxAbs, sumSigned, winSums.count(_ < lowThreshold).toLong, n.toLong)
   }
 
   // -- q198: demuxable uncompressed AVI video --------------------------------

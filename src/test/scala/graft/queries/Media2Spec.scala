@@ -103,7 +103,8 @@ class Media2Spec extends SparkSpecBase {
         wins(i * MediaFixture.PcmWindows / MediaFixture.PcmFrames) += math.abs(s)
       }
       val nLow = wins.count(_ < 4194304L).toLong
-      assert(st.toSeq == Seq(nClip, maxAbs, dc, nLow), s"doc $id")
+      assert(st.toSeq ==
+        Seq(nClip, maxAbs, dc, nLow, MediaFixture.PcmFrames.toLong), s"doc $id")
     }
   }
 

@@ -191,6 +191,14 @@ object Media2 {
   // makes the count vary 0..50 per doc, so both classes exist at every
   // SF). All stats are exact integers; the oracle replays the sample
   // closed form. Map-only + one aggregate; the payload never shuffles.
+  //
+  // Null path: pcmSampleStats returns null only for an undecodable
+  // payload; this fixture has none (q197's WAVs are all complete) and
+  // the oracle has no 'rejected' class, so the udf's None branch is
+  // unreachable here. A corpus with corrupt audio should gate through
+  // [[graft.streaming.StreamingMediaGate.audioVerdict]] (whose ladder
+  // leads with 'rejected') rather than rely on the null-propagating
+  // 'ok' fallthrough below.
   private val ClipAbs = 32000
   private val LowWindowSum = 4194304L // 2^22 — splits the 8 windows 3..5
   private val ClipVerdictAt = 50L

@@ -242,7 +242,8 @@ object StressMain {
         "q146_pagerank",         // fixed-point power iteration on the dup graph
         "q167_span_purge",       // span agg + equi-join + doc reassembly
         "q183_exact_substring",  // token-grain gram census + window merge
-        "q188_gopher_dup_ngrams") // 6 census windows on one token exchange
+        "q188_gopher_dup_ngrams", // 6 census windows on one token exchange
+        "q194_media_dedup_groups") // media axis: real PNG encode+decode+pool in the scan
       SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
       def timeBestOf2(q: String, dir: String): Double =
         (1 to 2).map { _ =>

@@ -33,6 +33,16 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to DISK-backed stream caches (a temp file per
+  // decode AND per encode). At per-record decode volume that is a
+  // hidden file create/write/delete on every row — measured as a
+  // superlinear wall-time leg on the 10x stress curve (q194's 3x->10x
+  // exponent read 1.79 while the work is map-linear) and it would
+  // thrash executor local disks at 100 TB. Memory-cached streams make
+  // the codecs pure CPU. Set once per JVM; executors pick it up when
+  // this object loads inside the first task.
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Canonical media-row schema: payload + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),

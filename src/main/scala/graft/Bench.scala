@@ -125,6 +125,29 @@ object Bench {
       math.exp(ratios.map(math.log).sum / ratios.size)))
   }
 
+  /** Box-normalized suite total — the cross-round-comparable headline
+    * number (the r15 lesson: the committed definitive artifact sat on a
+    * 1.486→1.204 window and read as a regression until ROUNDNOTES
+    * exegesis; `value_norm` makes the normalized number part of the
+    * artifact itself). Normalizes by the geometric mean of the start
+    * and end sentinel factors — the run's queries are spread across the
+    * window, so the mean window factor (not the worst, which the SWING
+    * gate rightly uses to stay conservative) is the unbiased estimate
+    * of how much host noise inflated the sum. Factors below 1 never
+    * occur (boxFactor clamps), but guard anyway so a hand-edited prior
+    * can't inflate the normalized number above raw. */
+  private[graft] def valueNorm(total: Double, factorStart: Double,
+      factorEnd: Double): Double =
+    total / math.sqrt(math.max(1.0, factorStart) * math.max(1.0, factorEnd))
+
+  /** Definitive-artifact gate: a start-of-run sentinel factor above
+    * this means the window is too noisy to commit as the round's
+    * number — Bench re-measures the sentinels after a pause (up to
+    * [[MaxQuietWaits]] times) instead of charging ahead and leaving
+    * the adjudication to a human reading ROUNDNOTES. */
+  private[graft] val QuietFactorGate = 1.2
+  private[graft] val MaxQuietWaits = 5
+
   /** Fresh-JVM probe command line: same add-opens/heap/-D args as this
     * JVM (sbt's fork provides them), same classpath, `graft.Bench`
     * re-entered in probe mode via SPARK_GRAFT_PROBE. Pure — the spec
@@ -157,9 +180,14 @@ object Bench {
     * BenchSwingSpec pins both directions). */
   /** One swings-map entry for the artifact. `probe` semantics: >= 0 is
     * the fork median; -1 means the probe RAN and every fork failed;
-    * NaN means the swing never escalated (the in-JVM rerun already
-    * adjudicated it) and serializes as `null` so an artifact reader
-    * can tell "not needed" from "machinery broken". */
+    * -2 means the in-JVM verdict was `regression` but the per-run
+    * probe budget ([[main]]'s MaxProbes) was already spent, so NO fork
+    * ran — the verdict stands unprobed (the r15 ADVICE fix: before
+    * this marker, budget exhaustion was indistinguishable from "never
+    * escalated" without cross-reading the verdict field); NaN means
+    * the swing never escalated (the in-JVM rerun already adjudicated
+    * it) and serializes as `null` so an artifact reader can tell "not
+    * needed" from "machinery broken". */
   private[graft] def swingEntry(key: String, t1: Double, t2: Double,
       prior: Double, probe: Double, verdict: String): String = {
     def n3(v: Double): String =
@@ -353,29 +381,49 @@ object Bench {
     // yields this window's box factor, which scales every prior before
     // a swing verdict. Sentinels are measured through the same
     // runOnce/sweep path as the metric runs.
-    val sentinelObserved: Map[String, Double] = SentinelQueries.flatMap { name =>
+    def measureSentinels(): Map[String, Double] = SentinelQueries.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> runOnce(fn)._1)
     }.toMap
+    var sentinelObserved: Map[String, Double] = measureSentinels()
     val priorBaseline = parseSentinelBaseline(
       { try new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("bench_full.json")), "UTF-8")
         catch { case _: Throwable => "" } }, sfDir)
-    val factor = boxFactor(sentinelObserved, priorBaseline)
+    var factor = boxFactor(sentinelObserved, priorBaseline)
+    // Definitive-artifact gate (r15 VERDICT #1): the committed r15
+    // artifact was captured on a box_factor-1.486 window and read as a
+    // +18% regression until manual exegesis. If the START sentinel
+    // reads noisy, wait for a quieter window (bounded: MaxQuietWaits ×
+    // 60 s) before running the suite — the artifact records how long it
+    // waited. Skipped for filtered local iteration runs (and a window
+    // that never quiets just proceeds; value_norm still normalizes it).
+    var boxWaitSec = 0
+    while (filter.isEmpty && factor > QuietFactorGate && boxWaitSec < MaxQuietWaits * 60) {
+      Thread.sleep(60000)
+      boxWaitSec += 60
+      sentinelObserved = measureSentinels()
+      factor = boxFactor(sentinelObserved, priorBaseline)
+    }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       filter.forall(f => f.contains(n) || f.contains(n.takeWhile(_ != '_')))
     }
-    // Family prime (r13 VERDICT #7): the nine near-dup-graph queries all
-    // derive from the ONE canonical pair relation allPairsJaccard(0.5).
-    // Spark's cache manager keys on the canonicalized plan, so persisting
-    // and counting that relation before a family query substitutes an
-    // InMemoryRelation for the whole prefix-filtered pair build inside
-    // the query's own plan — the timed number then measures the query's
-    // OWN work (CC, PageRank, census, split) instead of a ninth rebuild
-    // of the shared build: the q139 eager-count discipline at family
-    // scope. The prime is untimed but REPORTED (family_prime_sec /
-    // family_primes) so the artifact stays honest about wall cost, and
-    // sweep() still runs after every query — non-family queries see an
-    // unchanged environment, and each family member primes fresh.
+    // Family prime (r13 VERDICT #7, amortized per r15 VERDICT #4): the
+    // near-dup-graph queries all derive from the ONE canonical pair
+    // relation allPairsJaccard(0.5). Spark's cache manager keys on the
+    // canonicalized plan, so persisting and counting that relation
+    // substitutes an InMemoryRelation for the whole prefix-filtered
+    // pair build inside each family query's own plan — the timed number
+    // then measures the query's OWN work (CC, PageRank, census, split),
+    // the q139 eager-count discipline at family scope. Until r15 every
+    // family member primed FRESH (the full isolation sweep between
+    // queries dropped the cache), costing ~26 s of untimed wall per
+    // bench; now the family runs as a CONTIGUOUS BLOCK over one prime:
+    // non-family queries keep the full three-layer sweep, family
+    // members get a light sweep that unpersists everything EXCEPT the
+    // RDDs backing the family cache (snapshotted right after the
+    // prime) plus a GC — so members still can't leak blocks into each
+    // other, while the shared build survives the block. The prime
+    // stays untimed but REPORTED (family_prime_sec / family_primes).
     var familyPrimeSec = 0.0
     var familyPrimes = 0
     def measured(name: String,
@@ -395,7 +443,43 @@ object Bench {
       }
       runOnce(fn)
     }
-    val results = selected.map { case (name, fn) => name -> measured(name, fn) }
+    val (famSelected, restSelected) =
+      selected.partition(p => PairFamily.contains(p._1))
+    val restResults = restSelected.map { case (name, fn) => name -> runOnce(fn) }
+    val famResults: Seq[(String, (Double, Long, Long))] =
+      if (famSelected.isEmpty) Seq.empty
+      else {
+        val t0 = System.nanoTime()
+        try graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .count()
+        catch { case _: Throwable => () }
+        familyPrimeSec += (System.nanoTime() - t0) / 1e9
+        familyPrimes += 1
+        // everything persisted at this instant IS the family cache
+        // (pairs + the shingled corpus + the prefix relation it rides)
+        val familyRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        def famSweep(): Unit = {
+          spark.sparkContext.getPersistentRDDs
+            .filter { case (id, _) => !familyRdds.contains(id) }
+            .values.foreach(_.unpersist(blocking = true))
+          System.gc()
+        }
+        val rs = famSelected.map { case (name, fn) =>
+          val gc0 = gcMillis()
+          val t1 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t1) / 1e9
+          val gcd = gcMillis() - gc0
+          famSweep()
+          name -> (dt, gcd, (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+        }
+        sweep() // full three-layer sweep once the block is done
+        rs
+      }
+    // emission and the median/swing machinery are name-keyed; keep the
+    // combined list in registry order so artifacts stay deterministic
+    val results = (restResults ++ famResults).sortBy(_._1)
 
     // The start-of-run factor can't see a window that degrades
     // MID-run (observed live in r13: a co-tenant ramped after the
@@ -468,18 +552,22 @@ object Bench {
         val inJvm = swingVerdict(t1, t2, p, judgeFactor)
         // probe value semantics in the artifact: a number >= 0 is the
         // fork median; -1 means the probe RAN and all forks failed;
-        // NaN (serialized as null) means the swing never escalated —
-        // the in-JVM rerun already adjudicated it. Keeping the two
-        // no-measurement cases distinct stops a reader from mistaking
-        // "not needed" for "machinery broken" (observed in r15: q158's
-        // rerun-adjudicated noise carried probe:-1.0 and read like a
-        // triple fork failure).
+        // -2 means the verdict WANTED a probe but the MaxProbes budget
+        // was spent (verdict stands unprobed — the r15 ADVICE fix: a
+        // reader no longer has to infer budget exhaustion from
+        // verdict=="regression" + null); NaN (serialized as null)
+        // means the swing never escalated — the in-JVM rerun already
+        // adjudicated it. Keeping the no-measurement cases distinct
+        // stops a reader from mistaking "not needed" for "machinery
+        // broken" (observed in r15: q158's rerun-adjudicated noise
+        // carried probe:-1.0 and read like a triple fork failure).
         val (probe, verdict) =
           if (inJvm == "regression" && probesLeft > 0) {
             probesLeft -= 1
             val m = forkProbeMedian(name, sfDir, cpus)
             if (m >= 0 && m <= 2 * p * judgeFactor) (m, "noise") else (m, "regression")
-          } else (Double.NaN, inJvm)
+          } else if (inJvm == "regression") (-2.0, inJvm)
+          else (Double.NaN, inJvm)
         name -> (t1, t2, p, probe, verdict)
       }
 
@@ -501,9 +589,11 @@ object Bench {
     val swingsJson = swings.sortBy(_._1).map { case (k, (t1, t2, p, probe, verdict)) =>
       Bench.swingEntry(k.takeWhile(_ != '_'), t1, t2, p, probe, verdict)
     }.mkString("{", ",", "}")
+    val normTotal = valueNorm(total, factor, factorEnd)
     val sentinelJson =
       "\"box_factor\":" + f3(factor) +
       ",\"box_factor_end\":" + f3(factorEnd) +
+      ",\"box_wait_sec\":" + boxWaitSec +
       ",\"sentinel_observed\":" + sentinelObserved.toSeq.sortBy(_._1)
         .map { case (k, t) => "\"" + k + "\":" + f3(t) }.mkString("{", ",", "}") +
       ",\"sentinel_end\":" + sentinelEnd.toSeq.sortBy(_._1)
@@ -518,8 +608,9 @@ object Bench {
     val full = results.map { case (k, (dt, gc, heap)) =>
       "\"" + k + "\":{\"t\":" + f3(dt) + ",\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
     }.mkString("{", ",", "}")
+    val capsJson = graft.metrics.CapObservatory.snapshotJson()
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$full}"""
+      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"value_norm":${f3(normTotal)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"caps":$capsJson,"rerun":$rerunJson,"swings":$swingsJson,"queries":$full}"""
     // bench_full.json is the next run's prior memory (per-query times +
     // sentinel baseline) — only an UNFILTERED run may overwrite it, or
     // a 2-query local iteration would wipe the full registry's priors
@@ -541,11 +632,11 @@ object Bench {
       "\"" + k.takeWhile(_ != '_') + "\":" + f3(dt)
     }.mkString("{", ",", "}")
     val compact = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
-      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)}""" +
-      s""","box_factor":${f3(factor)},"box_factor_end":${f3(factorEnd)}""" +
+      s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"value_norm":${f3(normTotal)},"gc_sec":${f3(gcSec)}""" +
+      s""","box_factor":${f3(factor)},"box_factor_end":${f3(factorEnd)},"box_wait_sec":$boxWaitSec""" +
       s""","family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,"worst5":$worst5}"""
     println(compact)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"rerun":$rerunJson,"swings":$swingsJson,"queries":$qs}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"value_best":${f3(totalAdj)},"value_norm":${f3(normTotal)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"caps":$capsJson,"rerun":$rerunJson,"swings":$swingsJson,"queries":$qs}""")
     System.out.flush()
     // Stop Spark BEFORE the final headline print: nothing (not even a
     // misconfigured stdout log appender) can follow it on stdout. With

@@ -378,6 +378,9 @@ object StressMain {
         name -> sec
       }
       println(f"[stress] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} heavy queries at 10x sf0.1")
+      // bounded-drop observability (r15 VERDICT #2): at 10x the LSH
+      // bucket / block caps are the first place recall loss would show
+      println(s"[stress] caps ${graft.metrics.CapObservatory.snapshotJson()}")
 
       // Forced-distributed connected components: the size-adaptive
       // driver fallback absorbs every test corpus (the 10x dup graph is

@@ -1,0 +1,115 @@
+package graft.metrics
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Observability for every BOUNDED DROP in the engine (r15 VERDICT #2:
+  * "no silent caps" — a skew guard that discards rows above a cap is a
+  * documented recall trade-off, but at 100 TB a boilerplate-dominated
+  * LSH bucket would silently shed candidate pairs with zero signal
+  * that it happened). Each capped operator threads its pre-filter
+  * relation through [[observeCap]], which attaches a Spark
+  * `Dataset.observe` node — metrics ride the existing job, cost one
+  * map-side aggregate, and change neither rows nor plan semantics —
+  * and a per-session [[QueryExecutionListener]] collects them here so
+  * Bench/StressMain can print a `caps` section in their artifacts.
+  *
+  * Metrics per cap site:
+  *  - `dropped_rows`   — rows discarded by the cap in the last run
+  *  - `dropped_groups` — distinct capped groups (buckets/blocks)
+  *  - `max_group`      — largest group size observed (capped or not),
+  *    the early-warning gauge: a max_group climbing toward the cap
+  *    predicts recall loss BEFORE any row is dropped.
+  *
+  * Values are last-run-wins per (tag) — the consumers (bench, stress)
+  * run queries sequentially and snapshot at the end; reset() starts a
+  * fresh window. Listener delivery is async (Spark's listener bus), so
+  * test code polls [[snapshot]] rather than asserting immediately.
+  */
+object CapObservatory {
+
+  /** observe() names are namespaced so the listener can cheaply filter
+    * the metrics it owns from any other observation in the plan. */
+  private val Prefix = "cap:"
+
+  private val metrics = new ConcurrentHashMap[String, Map[String, Long]]()
+  private val installed =
+    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+
+  private def install(spark: SparkSession): Unit =
+    if (installed.add(spark)) {
+      spark.listenerManager.register(new QueryExecutionListener {
+        override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+          qe.observedMetrics.foreach { case (name, row) =>
+            if (name.startsWith(Prefix)) record(name.stripPrefix(Prefix), row)
+          }
+        override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
+      })
+    }
+
+  private def record(tag: String, row: Row): Unit = {
+    val m = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+      f -> (if (row.isNullAt(i)) 0L
+            else row.get(i) match {
+              case l: Long => l
+              case i2: Int => i2.toLong
+              case d: Double => math.round(d)
+              case other => math.round(other.toString.toDouble)
+            })
+    }.toMap
+    metrics.put(tag, m)
+  }
+
+  /** Attach drop metrics for a bounded-group cap to `preFilter` (the
+    * relation BEFORE the cap's `where`), keyed by `tag` (stable per
+    * call site — it names the metric in artifacts and must be unique
+    * within one query plan). `groupN` is the per-row group-size column
+    * the cap compares against `cap`. Row data is untouched — callers
+    * apply their own filter on the returned frame. */
+  def observeCap(preFilter: DataFrame, tag: String, groupN: org.apache.spark.sql.Column,
+      cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    install(preFilter.sparkSession)
+    val over = groupN > cap
+    preFilter.observe(Prefix + tag,
+      sum(when(over, 1L).otherwise(0L)).as("dropped_rows"),
+      // each row of a capped group contributes 1/|group|, so the sum
+      // counts GROUPS exactly (integer-valued rational; rounded once)
+      sum(when(over, lit(1.0) / groupN).otherwise(0.0)).as("dropped_groups"),
+      max(groupN).as("max_group"))
+  }
+
+  /** Like [[observeCap]], but over a relation where each ROW is a
+    * group (e.g. a `groupBy(key).count()` census) and `sizeCol` its
+    * size: dropped_rows then counts the MEMBERS the cap discards,
+    * dropped_groups the capped groups, max_group the largest group. */
+  def observeGroupCap(groups: DataFrame, tag: String,
+      sizeCol: org.apache.spark.sql.Column, cap: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    install(groups.sparkSession)
+    val over = sizeCol > cap
+    groups.observe(Prefix + tag,
+      sum(when(over, sizeCol.cast("long")).otherwise(0L)).as("dropped_rows"),
+      sum(when(over, 1L).otherwise(0L)).as("dropped_groups"),
+      max(sizeCol.cast("long")).as("max_group"))
+  }
+
+  /** Last observed metrics per tag since the last [[reset]]. */
+  def snapshot(): Map[String, Map[String, Long]] = {
+    import scala.jdk.CollectionConverters._
+    metrics.asScala.toMap
+  }
+
+  /** Compact JSON rendering for bench/stress artifacts: `{}` when no
+    * capped operator ran (the common, healthy case). */
+  def snapshotJson(): String =
+    snapshot().toSeq.sortBy(_._1).map { case (tag, m) =>
+      "\"" + tag + "\":" + m.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
+
+  def reset(): Unit = metrics.clear()
+}

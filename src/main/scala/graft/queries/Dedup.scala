@@ -78,10 +78,18 @@ object Dedup {
     * stall the stage. Buckets above `maxBucket` are dropped before the
     * pair join (documented recall trade-off; such buckets are almost
     * always templated/boilerplate content that exact dedup catches
-    * first). No effect at test scales (buckets ≪ cap). */
-  private def capBuckets(banded: DataFrame, maxBucket: Int): DataFrame = {
+    * first). No effect at test scales (buckets ≪ cap) — and the drop
+    * is OBSERVABLE, not silent (r15 VERDICT #2): an `observe` node on
+    * the pre-filter relation ships dropped-row/dropped-bucket counts
+    * and the max bucket size into
+    * [[graft.metrics.CapObservatory]], which Bench/StressMain surface
+    * in their artifacts, so a boilerplate-dominated band bucket at
+    * corpus scale announces its recall loss instead of hiding it. */
+  private[graft] def capBuckets(banded: DataFrame, maxBucket: Int,
+      tag: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("pos", "band")
-    banded.withColumn("bucket_n", count(lit(1)).over(w))
+    val withN = banded.withColumn("bucket_n", count(lit(1)).over(w))
+    graft.metrics.CapObservatory.observeCap(withN, tag, col("bucket_n"), maxBucket)
       .where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
   }
@@ -121,7 +129,11 @@ object Dedup {
     val S = 8
     val MaxBlock = 10000
     val d = docShingled(s, dir)
-    val blockN = d.groupBy("first_tok").agg(count(lit(1)).as("block_n"))
+    // block census observed (r15 VERDICT #2 discipline): the docs a
+    // Zipf-headed block cap discards are reported, never silent
+    val blockN = graft.metrics.CapObservatory.observeGroupCap(
+      d.groupBy("first_tok").agg(count(lit(1)).as("block_n")),
+      "ngram_first_tok_block", col("block_n"), MaxBlock)
     val capped = d.join(broadcast(blockN.where(col("block_n") <= MaxBlock)), Seq("first_tok"))
     val a = capped.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
       .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
@@ -310,7 +322,7 @@ object Dedup {
     val bandsArr = array((0 until Bands).map(b => slice(col("sig"), b * R + 1, R)): _*)
     val banded = capBuckets(
       withSig.select(col("doc_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
-      maxBucket = 1000)
+      maxBucket = 1000, tag = "minhash_lsh_bucket")
     val pairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"))
       .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_id")), Seq("pos", "band"))
       .where(col("a_id") < col("b_id"))
@@ -370,7 +382,7 @@ object Dedup {
       .select(col("doc_id"), fp.as("fp"))
       .select(col("doc_id"), col("fp"),
         posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, Bits / Bands)).as(Seq("pos", "band"))),
-      maxBucket = 1000)
+      maxBucket = 1000, tag = "simhash_band_bucket")
     val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
     val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
     a.join(b, Seq("pos", "band"))

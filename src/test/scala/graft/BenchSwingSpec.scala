@@ -177,6 +177,27 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(Bench.parseProbeOutput("OutOfMemoryError\n").isEmpty)
   }
 
+  test("value_norm: box-normalized total uses the geometric-mean window factor") {
+    // r15's committed artifact in miniature: 163.263 s raw on a
+    // 1.486-start / 1.204-end window normalizes to ~122 s — the number
+    // comparable to a quiet-box round without ROUNDNOTES exegesis
+    val norm = Bench.valueNorm(163.263, 1.486, 1.204)
+    assert(math.abs(norm - 163.263 / math.sqrt(1.486 * 1.204)) < 1e-9)
+    assert(norm < 163.263 && norm > 100.0)
+    // a quiet window normalizes to itself
+    assert(Bench.valueNorm(142.0, 1.0, 1.0) == 142.0)
+    // degenerate (hand-edited) sub-1 factors never INFLATE the number
+    assert(Bench.valueNorm(100.0, 0.5, 0.25) == 100.0)
+    // the definitive-artifact gate constants the wait loop runs on
+    assert(Bench.QuietFactorGate == 1.2 && Bench.MaxQuietWaits == 5)
+  }
+
+  test("probe -2 marks a regression verdict whose probe budget was exhausted") {
+    val exhausted = Bench.swingEntry("q51", 4.2, 4.1, 1.0, -2.0, "regression")
+    assert(exhausted.contains("\"probe\":-2.000"), exhausted)
+    assert(exhausted.contains("\"verdict\":\"regression\""), exhausted)
+  }
+
   test("swing entry distinguishes not-escalated (null) from failed forks (-1)") {
     // never escalated: the rerun already adjudicated — probe is null,
     // NOT -1, so an artifact reader can't mistake "not needed" for

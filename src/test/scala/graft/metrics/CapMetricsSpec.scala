@@ -1,0 +1,71 @@
+package graft.metrics
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.functions._
+
+/** The "no silent caps" gate (r15 VERDICT #2): every bounded drop in
+  * the engine must announce itself. Plants a hot LSH bucket over the
+  * cap and asserts (a) the capped rows are gone from the OUTPUT exactly
+  * as before — the cap's semantics are unchanged — and (b) the drop is
+  * COUNTED in [[CapObservatory]] (dropped rows, dropped groups, max
+  * group size); below the cap the output is untouched and the counters
+  * read zero while max_group still gauges headroom. */
+class CapMetricsSpec extends SparkSpecBase {
+
+  // QueryExecutionListener delivery is async on the listener bus
+  private def await(tag: String)(cond: Map[String, Long] => Boolean): Map[String, Long] = {
+    pollUntil(s"cap metrics for $tag", 30000L) {
+      CapObservatory.snapshot().get(tag).exists(cond)
+    }
+    CapObservatory.snapshot()(tag)
+  }
+
+  // (pos, band, doc_id): bucket (0, 7) holds 5 docs, bucket (1, 9) two
+  private def banded = {
+    import spark.implicits._
+    ((1 to 5).map(i => (0, 7L, i.toLong)) ++ Seq((1, 9L, 10L), (1, 9L, 11L)))
+      .toDF("pos", "band", "doc_id")
+  }
+
+  test("a planted hot bucket over the cap increments the drop metrics") {
+    CapObservatory.reset()
+    val out = graft.queries.Dedup.capBuckets(banded, maxBucket = 3,
+      tag = "spec_hot_bucket").collect()
+    assert(out.length == 2, "the 5-doc bucket must be dropped, the 2-doc one kept")
+    assert(out.map(_.getLong(2)).sorted.toSeq == Seq(10L, 11L))
+    val m = await("spec_hot_bucket")(_.getOrElse("dropped_rows", -1L) == 5L)
+    assert(m("dropped_rows") == 5L && m("dropped_groups") == 1L && m("max_group") == 5L, m)
+  }
+
+  test("below the cap: output unchanged, zero drops, max_group still gauges headroom") {
+    CapObservatory.reset()
+    val out = graft.queries.Dedup.capBuckets(banded, maxBucket = 10,
+      tag = "spec_cool_bucket").collect()
+    assert(out.length == 7, "no bucket reaches the cap — every row survives")
+    val m = await("spec_cool_bucket")(_.contains("max_group"))
+    assert(m("dropped_rows") == 0L && m("dropped_groups") == 0L && m("max_group") == 5L, m)
+  }
+
+  test("group-grain cap (ngram block census) counts members and groups") {
+    import spark.implicits._
+    CapObservatory.reset()
+    val blocks = Seq(("the", 12000L), ("rare", 3L), ("mid", 9000L))
+      .toDF("first_tok", "block_n")
+    val observed = CapObservatory.observeGroupCap(blocks, "spec_block",
+      col("block_n"), cap = 10000)
+    assert(observed.where(col("block_n") <= 10000).count() == 2)
+    val m = await("spec_block")(_.getOrElse("dropped_groups", -1L) == 1L)
+    assert(m("dropped_rows") == 12000L && m("max_group") == 12000L, m)
+  }
+
+  test("snapshotJson renders a sorted, parse-stable object") {
+    CapObservatory.reset()
+    assert(CapObservatory.snapshotJson() == "{}")
+    graft.queries.Dedup.capBuckets(banded, maxBucket = 3, tag = "spec_json").collect()
+    await("spec_json")(_.nonEmpty)
+    val json = CapObservatory.snapshotJson()
+    assert(json.startsWith("{\"spec_json\":{"), json)
+    assert(json.contains("\"dropped_rows\":5"), json)
+    CapObservatory.reset()
+  }
+}

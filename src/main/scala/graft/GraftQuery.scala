@@ -55,4 +55,23 @@ object QueryDsl {
   /** DuckDB twin of [[crossHash60]] over a SQL expression string. */
   def crossHash60Sql(expr: String): String =
     s"CAST(concat('0x', substr(md5(CAST($expr AS VARCHAR)), 1, 15)) AS BIGINT)"
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** JVM twin of [[crossHash60]] for typed per-row kernels (q188's
+    * fused duplicate-n-gram pass): the first 15 hex chars of
+    * md5(UTF-8 bytes) are the top 60 bits of the digest — 7 full bytes
+    * plus the high nibble of byte 7 — parsed as a non-negative long.
+    * Bit-identical to the Column/SQL forms (GraftExtensionsSpec pins
+    * the three-way equality). */
+  def crossHash60Jvm(s: String): Long = {
+    val d = md5Local.get().digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
 }

@@ -124,8 +124,8 @@ object StressMain {
     "q183_exact_substring",
     // round 14: line-grain census bill + applied purge (line explode,
     // vocabulary census, reassembly aggregate), the dup-n-gram
-    // coverage windows (token grain × 6 census sorts on one exchange),
-    // fluency bucketing (q101's LM relation + tercile window), and the
+    // coverage fractions (fused map-only kernel since r16), fluency
+    // bucketing (q101's LM relation + tercile window), and the
     // token-budget sampler (running-sum window at corpus doc grain)
     "q187_line_dedup", "q188_gopher_dup_ngrams", "q189_line_purge_apply",
     "q191_fluency_buckets", "q192_token_budget_sample",
@@ -242,7 +242,7 @@ object StressMain {
         "q146_pagerank",         // fixed-point power iteration on the dup graph
         "q167_span_purge",       // span agg + equi-join + doc reassembly
         "q183_exact_substring",  // token-grain gram census + window merge
-        "q188_gopher_dup_ngrams", // 6 census windows on one token exchange
+        "q188_gopher_dup_ngrams", // fused map-only dup-n-gram kernel (r16)
         "q194_media_dedup_groups") // media axis: real PNG encode+decode+pool in the scan
       SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
       def timeBestOf2(q: String, dir: String): Double =

@@ -400,32 +400,27 @@ object Curation16 {
   // classes append a repeat of their own opening span (12 or 20
   // tokens), which duplicates every n ≤ span n-gram inside it.
   //
-  // Scale shape (why this is NOT an in-row kernel like q185/q186):
-  // in-row duplicate marking costs O(P²) per doc and dies on 100k-word
-  // documents, so the kernel rides ONE token-grain explode and ONE
-  // doc-keyed exchange. Everything downstream reuses that partitioning:
-  // the per-(doc, gramₙ) duplicate census is a window count (doc ⊆ the
-  // partition keys, so no new exchange — only a sort), coverage is a
-  // sliding-window max over (doc, pos) ROWS n-1 PRECEDING (a window
-  // start at i covers positions [i, i+n-1], so position p is covered
-  // iff some duplicated start lies in [p-n+1, p]), and the final
-  // per-doc fraction aggregate rides the same partitioning. One
-  // Generate, one hash exchange, zero joins — plan-gated.
+  // Scale shape (r16): a MAP-ONLY per-doc kernel — no Generate, no
+  // token-grain exchange, no joins; the only exchange left is the
+  // display orderBy (plan-gated). Through r15 this was a token-grain
+  // explode + one doc-keyed exchange + 12 window sorts (6 duplicate
+  // censuses + 6 coverage windows), on the rationale that in-row
+  // duplicate marking costs O(P²) in SQL expressions; the typed
+  // [[dupNgramKernel]] removes that limit with a per-doc hash map
+  // (O(P·6) time, O(P) memory — bounded by the document the row
+  // already holds), which is also the shape that survives 100 TB
+  // best: zero shuffle bytes at token grain.
   private val DupNs = 5 to 10
   private val DupNgramKeepScaled = Map(5 -> 1500L, 6 -> 1400L, 7 -> 1300L,
     8 -> 1200L, 9 -> 1100L, 10 -> 1000L)
 
-  /** The q188 derived corpus as a Column: docs ≡0 mod 6 re-append their
-    * first 12 tokens, ≡0 mod 11 their first 20, and ≡0 mod 7 their
-    * first SEVEN — a span that duplicates 5/6/7-grams but no ≥8-gram,
-    * so the per-n signals genuinely diverge (a repeated span of length
-    * s covers exactly its s tokens for EVERY n ≤ s, so without the
-    * short span all six fractions would be identical per doc). */
-  private[graft] def dupNgramDirty(w: Column, docId: Column): Column =
-    concat(w,
-      when(docId % 6 === 0 && size(w) >= 12, slice(w, 1, 12)).otherwise(emptyStr),
-      when(docId % 11 === 0 && size(w) >= 20, slice(w, 1, 20)).otherwise(emptyStr),
-      when(docId % 7 === 0 && size(w) >= 7, slice(w, 1, 7)).otherwise(emptyStr))
+  // The q188 derived corpus (inlined in [[dupNgramKernel]], mirrored in
+  // the oracle): docs ≡0 mod 6 re-append their first 12 tokens, ≡0 mod
+  // 11 their first 20, and ≡0 mod 7 their first SEVEN — a span that
+  // duplicates 5/6/7-grams but no ≥8-gram, so the per-n signals
+  // genuinely diverge (a repeated span of length s covers exactly its
+  // s tokens for EVERY n ≤ s, so without the short span all six
+  // fractions would be identical per doc).
 
   private def dupNgramOracle: String = {
     val ghFields = DupNs.map(n =>
@@ -469,42 +464,98 @@ object Curation16 {
       |FROM sig ORDER BY doc_id""".stripMargin
   }
 
+  /** The fused per-doc output: scaled coverage fractions for n = 5..10
+    * (×10⁴, the cross-engine integer form). */
+  private[graft] final case class DupNgramSig(doc_id: Long, d5_l: Long,
+      d6_l: Long, d7_l: Long, d8_l: Long, d9_l: Long, d10_l: Long)
+
+  /** Fused duplicate-n-gram kernel (r15 VERDICT #3): ALL six coverage
+    * fractions from one in-row pass. The pre-r16 dataflow exploded to
+    * token grain and ran 6 census windows + 6 coverage windows — 12
+    * sorts over the token grain on one exchange; the registry's most
+    * expensive query. A per-doc hash map makes the duplicate census
+    * O(P) per n (the windowed-SQL formulation was kept OUT of the row
+    * because SQL expressions have no per-doc map, making in-row
+    * duplicate marking O(P²) — the scaladoc's original rationale; a
+    * typed kernel has no such limit), so the whole query is now
+    * MAP-ONLY: no Generate, no token-grain exchange, no sorts except
+    * the display orderBy. Memory per row is O(P) token refs + the gram
+    * count map — bounded by the document itself, which the row already
+    * holds.
+    *
+    * Bit-equality with the oracle (and the pre-fusion plan) rests on:
+    * `split(" ", -1)` ≙ Spark `split`/DuckDB `string_split` (trailing
+    * empties kept); code-point token lengths ≙ `length()`/`len()`;
+    * [[graft.QueryDsl.crossHash60Jvm]] ≙ the md5 gram hash; and
+    * HALF_UP rounding of the same IEEE quotient ≙ Spark `round` /
+    * DuckDB `round`. Curation16Spec pins kernel ≡ windowed-SQL
+    * equality on the fixture corpus. */
+  private[graft] def dupNgramKernel(docId: Long, text: String): DupNgramSig = {
+    val t0 = text.split(" ", -1)
+    val w: Array[String] = {
+      val b = Array.newBuilder[String]
+      b ++= t0
+      if (docId % 6 == 0 && t0.length >= 12) b ++= t0.take(12)
+      if (docId % 11 == 0 && t0.length >= 20) b ++= t0.take(20)
+      if (docId % 7 == 0 && t0.length >= 7) b ++= t0.take(7)
+      b.result()
+    }
+    val p = w.length
+    val wlen = new Array[Long](p)
+    var totalW = 0L
+    var i = 0
+    while (i < p) {
+      val l = w(i).codePointCount(0, w(i).length).toLong
+      wlen(i) = l; totalW += l; i += 1
+    }
+    val ds = new Array[Long](DupNs.size)
+    val sb = new java.lang.StringBuilder
+    var ni = 0
+    while (ni < DupNs.size) {
+      val n = DupNs.start + ni
+      val nGrams = p - n + 1
+      var covSum = 0L
+      if (nGrams > 0) {
+        val gh = new Array[Long](nGrams)
+        val counts = new java.util.HashMap[java.lang.Long, Integer](nGrams * 2)
+        var g = 0
+        while (g < nGrams) {
+          sb.setLength(0)
+          var k = 0
+          while (k < n) { if (k > 0) sb.append(' '); sb.append(w(g + k)); k += 1 }
+          val h = graft.QueryDsl.crossHash60Jvm(sb.toString)
+          gh(g) = h
+          counts.merge(h, 1, (a, b) => Integer.valueOf(a.intValue + b.intValue))
+          g += 1
+        }
+        // position pos is covered iff some DUPLICATED window start lies
+        // in [pos-n+1, pos] — the ROWS (n-1) PRECEDING sliding max,
+        // computed streaming via the last duplicated start seen
+        var lastDup = Int.MinValue
+        var pos = 0
+        while (pos < p) {
+          if (pos < nGrams && counts.get(gh(pos)).intValue >= 2) lastDup = pos
+          if (lastDup >= pos - n + 1) covSum += wlen(pos)
+          pos += 1
+        }
+      }
+      // Spark round(double) ≙ BigDecimal.valueOf + HALF_UP; an empty
+      // doc's 0/0 is NaN, which Spark's long cast sends to 0
+      ds(ni) =
+        if (totalW == 0L) 0L
+        else java.math.BigDecimal.valueOf(covSum * 10000.0 / totalW)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      ni += 1
+    }
+    DupNgramSig(docId, ds(0), ds(1), ds(2), ds(3), ds(4), ds(5))
+  }
+
   val q188 = q("q188_gopher_dup_ngrams", dupNgramOracle) { (s, dir) =>
-    val w0 = split(col("text"), " ")
-    val base = Tables(s, dir).documents.select(col("doc_id"),
-      dupNgramDirty(w0, col("doc_id")).as("w"))
-    val tokStruct = transform(sequence(lit(0), size(col("w")) - 1), i =>
-      struct(
-        (length(element_at(col("w"), i + 1)).cast(LongType).as("wlen") +:
-          DupNs.map(n => when(i + n <= size(col("w")),
-            crossHash60(concat_ws(" ", slice(col("w"), i + 1, lit(n)))))
-            .as(s"gh$n")).toSeq): _*))
-    val tok = base
-      .select(col("doc_id"), posexplode(tokStruct))
-      .select((col("doc_id") +: col("pos") +: col("col.wlen").as("wlen") +:
-        DupNs.map(n => col(s"col.gh$n").as(s"gh$n")).toSeq): _*)
-      // the ONE exchange: without this, EnsureRequirements keys the
-      // first census window's exchange on (doc_id, gh5) and every later
-      // window needs a fresh shuffle — 7 token-grain exchanges. Pinned
-      // to doc_id, HashPartitioning(doc_id) satisfies every window's
-      // ClusteredDistribution (doc_id ⊆ its keys) and the plan needs
-      // only per-window sorts (PlanShapeSpec gates exchange count = 1).
-      .repartition(col("doc_id"))
-    val byDocPos = Window.partitionBy("doc_id").orderBy("pos")
-    val flagged = DupNs.foldLeft(tok) { (df, n) =>
-      df.withColumn(s"dup$n",
-        col(s"gh$n").isNotNull &&
-          count(lit(1)).over(Window.partitionBy(col("doc_id"), col(s"gh$n"))) >= 2)
-    }
-    val covered = DupNs.foldLeft(flagged) { (df, n) =>
-      df.withColumn(s"cov$n",
-        max(when(col(s"dup$n"), 1).otherwise(0))
-          .over(byDocPos.rowsBetween(-(n - 1), 0)))
-    }
-    val fracs = DupNs.map(n =>
-      round(sum(when(col(s"cov$n") === 1, col("wlen")).otherwise(0L)) * 10000.0 /
-        sum(col("wlen"))).cast(LongType).as(s"d${n}_l"))
-    val sig = covered.groupBy("doc_id").agg(fracs.head, fracs.tail: _*)
+    import s.implicits._
+    val sig = Tables(s, dir).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, tx) => dupNgramKernel(id, tx) }
+      .toDF()
     val keep = DupNs.map(n => col(s"d${n}_l") <= DupNgramKeepScaled(n)).reduce(_ && _)
     sig.select((col("doc_id") +:
         DupNs.map(n => (col(s"d${n}_l") / 10000.0).as(s"dup${n}_share")).toSeq) :+

@@ -5,6 +5,20 @@ import org.apache.spark.sql.functions._
 /** The native kernels through the SQL front-end. */
 class GraftExtensionsSpec extends SparkSpecBase {
 
+  test("crossHash60: JVM kernel twin is bit-identical to the Column form") {
+    // the q188 fused kernel rides the JVM twin; a divergence here would
+    // silently desync every typed kernel from the SQL/oracle hashes
+    import spark.implicits._
+    val samples = Seq("", " ", "a", "the quick brown fox", "tok1 tok2 tok3",
+      "Ünïcødé ∂ north 北京", "trailing space ", "a b c d e f g h i j")
+    val viaColumn = samples.toDF("s")
+      .select(QueryDsl.crossHash60(col("s")).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaJvm = samples.map(QueryDsl.crossHash60Jvm)
+    assert(viaJvm == viaColumn)
+    assert(viaJvm.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
   test("registered functions evaluate from SQL text") {
     GraftFunctions.register(spark)
     val r = spark.sql(

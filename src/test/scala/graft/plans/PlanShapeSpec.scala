@@ -407,19 +407,18 @@ class PlanShapeSpec extends SparkSpecBase {
       assert(!plan.contains("Generate"), s"$name plans a Generate:\n$plan")
     }
 
-  // q188's per-doc duplicate census is deliberately NOT in-row (O(P²)
-  // on long docs): it rides ONE token explode and ONE doc-keyed hash
-  // exchange, and every census window, sliding-coverage window, and the
-  // final per-doc aggregate reuses that partitioning (doc_id is a
-  // subset of each window's keys). A second hash exchange means a
-  // window or aggregate stopped riding the doc partitioning; a join
-  // means the census left the window form.
-  test("q188_gopher_dup_ngrams: one explode, one hash exchange, no joins") {
+  // q188 (r16): the fused typed kernel computes all six duplicate
+  // censuses AND coverage fractions per row, so the query is MAP-ONLY
+  // — no Generate, no hash exchange, no window sorts; the only
+  // exchange is the display orderBy's range partitioning. A hash
+  // exchange or Generate reappearing means token-grain data left the
+  // row again (the pre-r16 12-sort dataflow this kernel replaced).
+  test("q188_gopher_dup_ngrams: map-only fused kernel — no explode, no hash exchange, no joins") {
     val plan = executed("q188_gopher_dup_ngrams")
-    assert(plan.linesIterator.count(_.contains("Generate posexplode")) == 1,
-      s"q188 explodes more than once:\n$plan")
-    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
-      s"q188 shuffles the token grain more than once:\n$plan")
+    assert(!plan.contains("Generate"), s"q188 plans a Generate:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q188 plans a hash exchange for a per-row signal:\n$plan")
+    assert(!plan.contains("Window"), s"q188 plans a window:\n$plan")
     assert(!plan.contains("Join") && !plan.contains("CartesianProduct"),
       s"q188 plans a join:\n$plan")
   }

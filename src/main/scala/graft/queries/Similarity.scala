@@ -263,6 +263,14 @@ object Similarity {
   // hash/row mismatch, making the driver row a real recall gate, not
   // rows-only. The full top-5 list stays available via
   // [[ivfKmeansTop5]] (recall-banded against q37 in TextAndAnnSpec).
+  /** Driver-side spherical-k-means training. Deterministic under any
+    * cluster shape: the sample is a TakeOrderedAndProject collect
+    * (identical order at any partition count) and Lloyd accumulates
+    * over it sequentially, so the centroids are a pure function of the
+    * data — DeterminismSpec runs q37b/q102 with no exclusion. What
+    * float Lloyd can NOT be is replayed bit-identically by another
+    * engine, which is why the registry oracles gate the rank-1
+    * WITNESS, not the lists. */
   private[graft] def kmeansCentroids(
       c: DataFrame, k: Int, iters: Int, sampleN: Int,
       init: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {

@@ -13,17 +13,21 @@ import graft.{SparkEntry, SparkSpecBase}
   * precisely to make this hold; this spec enforces it mechanically so
   * a future query can't quietly ship an order-dependent double SUM.
   *
-  * Exclusions (documented float paths): q37b and q102 train float
-  * k-means indexes whose centroid updates are genuinely accumulation-
-  * order-dependent; their correctness gate is the exact-NN witness
-  * (oracle recall check), not bitwise reproducibility.
+  * Zero exclusions (r16 — closing r15 VERDICT #5): q37b/q102 train
+  * float k-means indexes and were excluded as "accumulation-order-
+  * dependent", but that conflated CROSS-ENGINE reproducibility (float
+  * Lloyd genuinely can't be replayed bit-identically in DuckDB, which
+  * is why their ORACLE is the rank-1 witness) with cross-PARTITIONING
+  * reproducibility, which holds structurally: the training sample is a
+  * TakeOrderedAndProject collect (ordered identically at any partition
+  * count) and Lloyd accumulates over it SEQUENTIALLY on the driver, so
+  * the centroids — and every per-row score and totally-ordered
+  * tie-broken rank downstream — are pure functions of the data.
   */
 class DeterminismSpec extends SparkSpecBase {
 
-  private val FloatTrainingPaths = Set("q37b_ann_ivf_kmeans", "q102_ann_pq")
-
   test("every registry query is bit-identical under 4 vs 7 shuffle partitions") {
-    val names = SparkEntry.queries.keys.toSeq.sorted.filterNot(FloatTrainingPaths)
+    val names = SparkEntry.queries.keys.toSeq.sorted
 
     def pass(partitions: Int): Map[String, Seq[String]] = {
       spark.conf.set("spark.sql.shuffle.partitions", partitions.toString)

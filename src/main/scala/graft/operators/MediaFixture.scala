@@ -343,6 +343,10 @@ object MediaFixture {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
+    // explicit codec init (r15 ADVICE): the fixture ENCODE can be the
+    // first ImageIO touch in a fresh executor — it must not depend on
+    // Multimodal's class-load order to get memory-cached streams
+    MediaCodecs.init()
     javax.imageio.ImageIO.write(img, "png", out)
     out.toByteArray
   }

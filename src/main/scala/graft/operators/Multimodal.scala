@@ -22,8 +22,11 @@ import org.apache.spark.sql.types._
   * COMPRESSED codecs — the JDK genuinely ships none (h264/vp9,
   * mp3/ogg) — remain a deterministic fake (`decodeStub`/
   * `frameSampleStub`), and unrecognized payloads fall back to the same
-  * fake, so the pipeline never throws on corrupt media. Swap the fakes
-  * for a real codec call (JNI/FFmpeg) without touching the plumbing.
+  * fake, so the pipeline never throws on corrupt media. The decode
+  * entry points route through the TYPED [[MediaDecoder]] seam
+  * ([[DecoderChain]]): swapping in a real codec stack (JNI/FFmpeg) is
+  * prepending a decoder that passes MediaDecoderConformanceSpec — no
+  * plumbing changes, and the claim is contract-pinned, not a comment.
   *
   * Scale notes: binary payloads stay columnar in parquet and are never
   * collected; per-partition batches bound memory (`batchSize` rows at a
@@ -33,15 +36,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  // ImageIO defaults to DISK-backed stream caches (a temp file per
-  // decode AND per encode). At per-record decode volume that is a
-  // hidden file create/write/delete on every row — measured as a
-  // superlinear wall-time leg on the 10x stress curve (q194's 3x->10x
-  // exponent read 1.79 while the work is map-linear) and it would
-  // thrash executor local disks at 100 TB. Memory-cached streams make
-  // the codecs pure CPU. Set once per JVM; executors pick it up when
-  // this object loads inside the first task.
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Decode preference order — the codec seam (see [[MediaDecoder]]):
+    * real JDK codecs first, deterministic fakes as the terminal floor.
+    * Swapping in an FFmpeg/JNI binding = prepending its decoder here;
+    * MediaDecoderConformanceSpec is the contract it must pass. */
+  val DecoderChain: Seq[MediaDecoder] = Seq(JdkMediaDecoder, StubMediaDecoder)
 
   /** Canonical media-row schema: payload + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(
@@ -286,8 +285,11 @@ object Multimodal {
     * pipeline keeps flowing instead of throwing mid-job. */
   def decodeImage(payload: Array[Byte]): java.awt.image.BufferedImage =
     if (payload == null) null
-    else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-    catch { case _: Throwable => null }
+    else try {
+      MediaCodecs.init() // memory-cached streams (disk cache = a temp
+      // file per decode: 16x superlinear on the 10x curve, pre-fix)
+      javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    } catch { case _: Throwable => null }
 
   /** REAL image features from decoded pixels: grid-pooled mean
     * luminance. The image is divided into a g×g cell grid
@@ -392,20 +394,22 @@ object Multimodal {
     feat
   }
 
-  /** Decode one media row to features: real pixel decode for images,
-    * real PCM energy envelope for JRE-readable audio (WAV/AIFF/AU);
-    * deterministic byte-histogram fake otherwise (video — the JDK
-    * genuinely has no container/codec — plus mp3/ogg and corrupt
+  /** Decode one media row to features through [[DecoderChain]]: real
+    * pixel decode for images, real PCM energy envelope for
+    * JRE-readable audio (WAV/AIFF/AU); the terminal deterministic
+    * byte-histogram fake otherwise (video-as-single-vector — frame
+    * features go through [[sampleFrames]] — plus mp3/ogg and corrupt
     * payloads). */
-  def decodeFeatures(payload: Array[Byte], modality: String, dim: Int): Array[Float] =
-    if (modality == "image") {
-      val img = decodeImage(payload)
-      if (img != null) imageFeatures(img, dim) else decodeStub(payload, dim)
-    } else if (modality == "audio") {
-      val in = decodeAudio(payload)
-      val feat = if (in != null) audioFeatures(in, dim) else null
-      if (feat != null) feat else decodeStub(payload, dim)
-    } else decodeStub(payload, dim)
+  def decodeFeatures(payload: Array[Byte], modality: String, dim: Int): Array[Float] = {
+    val viaChain = modality match {
+      case "image" =>
+        DecoderChain.iterator.map(_.imageFeatures(payload, dim)).find(_ != null)
+      case "audio" =>
+        DecoderChain.iterator.map(_.audioFeatures(payload, dim)).find(_ != null)
+      case _ => None // single-vector fallback for video/unknown rows
+    }
+    viaChain.getOrElse(decodeStub(payload, dim))
+  }
 
   /** FAKE decoder for payloads without a JDK codec (audio/video, and
     * the fallback for unreadable images): deterministic byte histogram
@@ -439,6 +443,7 @@ object Multimodal {
     gfx.drawImage(img, 0, 0, w, h, null)
     gfx.dispose()
     val baos = new java.io.ByteArrayOutputStream()
+    MediaCodecs.init() // the ENCODE side has its own stream cache
     javax.imageio.ImageIO.write(out, "png", baos)
     baos.toByteArray
   }
@@ -467,33 +472,20 @@ object Multimodal {
   final case class FrameFeatures(mediaId: Long, frameIdx: Int, features: Array[Float])
 
   /** Video path: one row per sampled frame — the explode-shaped output
-    * that feeds frame-level dedup/similarity. Uncompressed AVI goes
-    * through the REAL demux ([[sampleAviFrames]]; grid sums normalized
-    * into the first grid² feature slots); anything else falls back to
-    * the deterministic stub so the pipeline keeps flowing. */
+    * that feeds frame-level dedup/similarity. Routed through
+    * [[DecoderChain]]: uncompressed AVI goes through the REAL demux
+    * ([[sampleAviFrames]] inside [[JdkMediaDecoder]]; grid sums
+    * normalized into the first grid² feature slots); anything else
+    * falls to the deterministic stub so the pipeline keeps flowing. */
   def sampleFrames(media: DataFrame, frames: Int = 8, dim: Int = 64): Dataset[FrameFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val grid = math.max(1, math.min(math.sqrt(dim.toDouble).toInt, 8))
     media.where(col("modality") === "video")
       .select("media_id", "payload").as[(Long, Array[Byte])]
       .flatMap { case (id, payload) =>
-        val real = sampleAviFrames(payload, 1, grid)
-        val feats: Array[Array[Float]] =
-          if (real != null) {
-            val meta = videoMeta(payload)
-            val pxPerCell = math.max(1,
-              (meta.width.toLong * meta.height / (grid * grid)).toInt)
-            real.take(frames).map { cells =>
-              val f = new Array[Float](dim)
-              var i = 0
-              while (i < cells.length && i < dim) {
-                f(i) = cells(i).toFloat / (pxPerCell * 255f)
-                i += 1
-              }
-              f
-            }
-          } else frameSampleStub(payload, frames, dim)
+        val feats = DecoderChain.iterator
+          .map(_.videoFrames(payload, frames, dim)).find(_ != null)
+          .getOrElse(Array.empty[Array[Float]])
         feats.zipWithIndex.map { case (feat, i) => FrameFeatures(id, i, feat) }
       }
   }

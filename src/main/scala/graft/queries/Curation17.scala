@@ -241,7 +241,11 @@ object Curation17 {
   // aggregate. No shuffle beyond the final group-by.
   private val MojiRe = "Ã[ -¿]"
   private val FffdRe = "�"
-  private val CtrlRe = "[\\x{01}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"
+  // NUL included (r15 ADVICE: the class is billed as "C0 controls,
+  // tab/LF/CR excluded" — starting at \x{01} silently under-reported
+  // NUL-bearing real corpora). ONE string drives both engines, so the
+  // detector and the oracle move together by construction.
+  private[graft] val CtrlRe = "[\\x{00}-\\x{08}\\x{0B}\\x{0C}\\x{0E}-\\x{1F}]"
 
   /** The damage injection — one SQL fragment, evaluated by BOTH
     * engines (Spark via expr(), DuckDB verbatim). */

@@ -27,6 +27,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    rate-normalized so clips are duration-independent (at q203's
   *    fixed 2048-sample fixture the 24‰ default cuts at exactly
   *    nClip ≥ 50, the batch constant)
+  *  - any OTHER declared modality (video — no streaming ladder yet —
+  *    or a manifest typo): "unroutable", counted as dropped but
+  *    distinct in the census, so a routing/manifest error never
+  *    masquerades as media-quality rejections
   *
   * At-least-once: `seq` is the stream's monotone delivery sequence
   * (repeated only on redelivery). The ladders are stateless and
@@ -88,11 +92,19 @@ object StreamingMediaGate {
       : Dataset[MediaVerdict] = {
     val spark = records.sparkSession
     import spark.implicits._
-    // map-side adjudication: the payload dies here, in the scan stage
+    // map-side adjudication: the payload dies here, in the scan stage.
+    // Routing matches modalities EXPLICITLY (r15 ADVICE): a record
+    // declaring "video" (no streaming video ladder yet) or a typoed
+    // modality gets the distinct "unroutable" verdict — still counted
+    // as dropped, but visible in the census as a MANIFEST problem
+    // rather than silently adjudicated (and near-certainly rejected)
+    // by the image ladder, which would disguise a routing bug as a
+    // media-quality bug.
     val judged = records.map { r =>
       val v = r.modality match {
+        case "image" => imageVerdict(r.payload)
         case "audio" => audioVerdict(r.payload)
-        case _       => imageVerdict(r.payload)
+        case _       => "unroutable"
       }
       JudgedRecord(r.docId, r.source, r.modality, v, r.seq)
     }

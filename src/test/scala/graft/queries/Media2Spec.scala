@@ -182,4 +182,14 @@ class Media2Spec extends SparkSpecBase {
         ((col("doc_id") % 11 === 3) && col("text").contains("e"))).count()
     assert(rows.map(_.getLong(2)).sum == expectDirty)
   }
+
+  test("q204 control class detects NUL (r15 ADVICE) and strips it \u2014 tab/LF/CR excluded") {
+    // pin via the shared detector regex semantics: a NUL-bearing string
+    // must count and repair like any other C0 control, while the
+    // whitespace controls stay exempt (the class' billed contract)
+    val re = Curation17.CtrlRe.r
+    assert(re.findAllIn("a\u0000b\u0007c").size == 2, "NUL + BEL both count")
+    assert(re.findAllIn("a\tb\nc\rd").isEmpty, "tab/LF/CR are exempt")
+    assert(re.replaceAllIn("x\u0000y", "") == "xy")
+  }
 }

@@ -64,6 +64,30 @@ class StreamingMediaGateSpec extends SparkSpecBase {
     } finally q.stop()
   }
 
+  test("unknown modalities route to 'unroutable', never to the image ladder") {
+    // r15 ADVICE: a "video" record (no streaming ladder) or a manifest
+    // typo must surface as a routing problem in the census — before the
+    // fix it fell to the image ladder and read as 'rejected'
+    val recs = Array(
+      MediaRecord(1L, "s1", "video", MediaFixture.aviPayload(1L), 1L),
+      MediaRecord(2L, "s1", "vdieo", MediaFixture.payload(2L), 2L), // typo
+      MediaRecord(3L, "s1", "image", MediaFixture.payload(4L), 3L))
+    val input = MemoryStream[MediaRecord](spark, 4)
+    val q = StreamingMediaGate.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("media_gate_route")
+      .outputMode("append").start()
+    try {
+      input.addData(recs); q.processAllAvailable()
+      val got = spark.table("media_gate_route").as[MediaVerdict].collect()
+      val byId = got.map(v => v.docId -> v.verdict).toMap
+      assert(byId(1L) == "unroutable" && byId(2L) == "unroutable")
+      assert(byId(3L) != "unroutable", "a declared image still runs the image ladder")
+      // unroutable counts as dropped in its (source, modality) census
+      val vid = got.find(_.docId == 1L).get
+      assert(vid.nDropped == 1L && vid.nSeen == 1L)
+    } finally q.stop()
+  }
+
   test("redelivery fence: replays re-emit the verdict, never re-count") {
     val recs = mediaStream().take(10)
     val fenced = spark.sparkContext.longAccumulator("media_fenced")

@@ -14,6 +14,10 @@ import graft.queries.{Analytics, Analytics2, Curation, Curation2, Curation3, Cur
   */
 object SparkEntry {
 
+  // Numbering note: the registry has no `q71` — the id was skipped when
+  // TextOps2 was numbered in round 3 and never back-filled (renumbering
+  // would invalidate every recorded artifact/prior keyed by query id).
+  // q37b fills the count: 206 queries across ids q01..q206.
   val registry: Seq[GraftQuery] =
     Relational.all ++ Relational2.all ++ Relational3.all ++ Relational4.all ++
       TextOps.all ++ TextOps2.all ++ Dedup.all ++ Similarity.all ++ Similarity2.all ++

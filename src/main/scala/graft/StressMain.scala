@@ -211,8 +211,12 @@ object StressMain {
       // optional extra scale point (e.g. `curve 30`): deeper points
       // sharpen the exponent (less overhead-dominated) and push the dup
       // graph past the 1M-directed-edge cutover, so the DISTRIBUTED
-      // connected-components loop gets a curve point too.
+      // connected-components loop gets a curve point too. An optional
+      // third arg filters the operator list by qNN prefix or full name
+      // (`curve 30 q194,q202,q203`) so a deep point doesn't force the
+      // heavy pair-space operators through 30x data generation runs.
       val extra = args.lift(1).map(_.toInt)
+      val curveFilter = args.lift(2).map(_.split(',').map(_.trim).toSet)
       extra.filter(_ <= 10).foreach(s =>
         println(s"[stress] extra scale $s ignored (must exceed the built-in 10x point)"))
       val scales = Seq(1, 3, 10) ++ extra.filter(_ > 10)
@@ -243,7 +247,11 @@ object StressMain {
         "q167_span_purge",       // span agg + equi-join + doc reassembly
         "q183_exact_substring",  // token-grain gram census + window merge
         "q188_gopher_dup_ngrams", // fused map-only dup-n-gram kernel (r16)
-        "q194_media_dedup_groups") // media axis: real PNG encode+decode+pool in the scan
+        "q194_media_dedup_groups", // media axis: real PNG encode+decode+pool in the scan
+        "q202_image_phash_neardup", // dHash + Hamming-band join over real decode
+        "q203_audio_quality_gate")  // per-sample real PCM decode in the scan
+      val curveSelected = curveQueries.filter(q =>
+        curveFilter.forall(f => f.contains(q) || f.contains(q.takeWhile(_ != '_'))))
       SparkEntry.queries("q27_dedup_exact")(spark, dirs(1)).count(); sweep()
       def timeBestOf2(q: String, dir: String): Double =
         (1 to 2).map { _ =>
@@ -256,7 +264,7 @@ object StressMain {
       println(f"[stress] ${"operator"}%-24s " +
         scales.map(s => f"${s"${s}x"}%7s").mkString(" ") + "   " +
         legs.map { case (a, b) => f"${s"a($a->$b)"}%8s" }.mkString(" "))
-      curveQueries.foreach { q =>
+      curveSelected.foreach { q =>
         val t = scales.map(s => s -> timeBestOf2(q, dirs(s))).toMap
         val as = legs.map { case (a, b) =>
           math.log(t(b) / t(a)) / math.log(b.toDouble / a) }

@@ -5,7 +5,8 @@ import org.apache.spark.sql.Dataset
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Live media ingest gate — the streaming twin of the q200 (image
-  * resolution/aspect) and q203 (audio clipping) batch gates: media
+  * resolution/aspect), q203 (audio clipping), and q206 (video
+  * duration/motion) batch gates: media
   * payloads arrive as a stream, each is adjudicated MAP-SIDE by the
   * exact batch verdict ladders over the REAL parsers
   * ([[Multimodal.imageMeta]]'s header walks,
@@ -27,10 +28,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *    rate-normalized so clips are duration-independent (at q203's
   *    fixed 2048-sample fixture the 24‰ default cuts at exactly
   *    nClip ≥ 50, the batch constant)
-  *  - any OTHER declared modality (video — no streaming ladder yet —
-  *    or a manifest typo): "unroutable", counted as dropped but
-  *    distinct in the census, so a routing/manifest error never
-  *    masquerades as media-quality rejections
+  *  - video: rejected (demux fails) > too_short (< 600 ms) >
+  *    high_motion (per-pair activity > 31000) > ok — q206's ladder
+  *    over the real AVI demux
+  *  - any OTHER declared modality (a manifest typo): "unroutable",
+  *    counted as dropped but distinct in the census, so a
+  *    routing/manifest error never masquerades as media-quality
+  *    rejections
   *
   * At-least-once: `seq` is the stream's monotone delivery sequence
   * (repeated only on redelivery). The ladders are stateless and
@@ -84,6 +88,27 @@ object StreamingMediaGate {
     else "ok"
   }
 
+  /** The q206 video ladder over the real AVI demux (duration floor +
+    * temporal-activity motion metric — summed |Δ| of consecutive
+    * sampled frames' grid sums, normalized per frame pair). Same
+    * constants and precedence as the batch census: rejected >
+    * too_short > high_motion > ok. */
+  def videoVerdict(payload: Array[Byte], minDurationMs: Long = 600,
+      activityPerPair: Long = 31000L): String = {
+    val meta = Multimodal.videoMeta(payload)
+    val grids = Multimodal.sampleAviFrames(payload,
+      MediaFixture.FrameStride, MediaFixture.VideoGrid)
+    if (meta == null || grids == null) "rejected"
+    else if (meta.durationMs < minDurationMs) "too_short"
+    else {
+      val activity = grids.sliding(2).collect { case Array(a, b) =>
+        a.zip(b).map { case (x, y) => math.abs(y - x) }.sum
+      }.sum
+      if (activity > activityPerPair * (grids.length - 1)) "high_motion"
+      else "ok"
+    }
+  }
+
   /** @param fenced optional counter for redeliveries caught by the seq
     *   fence — zero under clean delivery (rate gauge only, never
     *   correctness: accumulators over-count under task retry). */
@@ -93,17 +118,17 @@ object StreamingMediaGate {
     val spark = records.sparkSession
     import spark.implicits._
     // map-side adjudication: the payload dies here, in the scan stage.
-    // Routing matches modalities EXPLICITLY (r15 ADVICE): a record
-    // declaring "video" (no streaming video ladder yet) or a typoed
-    // modality gets the distinct "unroutable" verdict — still counted
-    // as dropped, but visible in the census as a MANIFEST problem
-    // rather than silently adjudicated (and near-certainly rejected)
-    // by the image ladder, which would disguise a routing bug as a
-    // media-quality bug.
+    // Routing matches modalities EXPLICITLY (r15 ADVICE): a typoed or
+    // unknown modality gets the distinct "unroutable" verdict — still
+    // counted as dropped, but visible in the census as a MANIFEST
+    // problem rather than silently adjudicated (and near-certainly
+    // rejected) by the image ladder, which would disguise a routing
+    // bug as a media-quality bug.
     val judged = records.map { r =>
       val v = r.modality match {
         case "image" => imageVerdict(r.payload)
         case "audio" => audioVerdict(r.payload)
+        case "video" => videoVerdict(r.payload)
         case _       => "unroutable"
       }
       JudgedRecord(r.docId, r.source, r.modality, v, r.seq)

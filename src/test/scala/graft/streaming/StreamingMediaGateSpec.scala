@@ -65,9 +65,9 @@ class StreamingMediaGateSpec extends SparkSpecBase {
   }
 
   test("unknown modalities route to 'unroutable', never to the image ladder") {
-    // r15 ADVICE: a "video" record (no streaming ladder) or a manifest
-    // typo must surface as a routing problem in the census — before the
-    // fix it fell to the image ladder and read as 'rejected'
+    // r15 ADVICE: a manifest typo must surface as a routing problem in
+    // the census — before the fix it fell to the image ladder and read
+    // as 'rejected'; a declared video runs the real q206 ladder
     val recs = Array(
       MediaRecord(1L, "s1", "video", MediaFixture.aviPayload(1L), 1L),
       MediaRecord(2L, "s1", "vdieo", MediaFixture.payload(2L), 2L), // typo
@@ -80,11 +80,37 @@ class StreamingMediaGateSpec extends SparkSpecBase {
       input.addData(recs); q.processAllAvailable()
       val got = spark.table("media_gate_route").as[MediaVerdict].collect()
       val byId = got.map(v => v.docId -> v.verdict).toMap
-      assert(byId(1L) == "unroutable" && byId(2L) == "unroutable")
+      assert(byId(2L) == "unroutable")
+      assert(Set("too_short", "high_motion", "ok", "rejected")(byId(1L)),
+        "a declared video runs the q206 ladder, never 'unroutable'")
       assert(byId(3L) != "unroutable", "a declared image still runs the image ladder")
       // unroutable counts as dropped in its (source, modality) census
-      val vid = got.find(_.docId == 1L).get
-      assert(vid.nDropped == 1L && vid.nSeen == 1L)
+      val typo = got.find(_.docId == 2L).get
+      assert(typo.nDropped == 1L && typo.nSeen == 1L)
+    } finally q.stop()
+  }
+
+  test("video gate verdicts reproduce the batch q206 census class by class") {
+    import graft.SparkEntry
+    val ids = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val recs = ids.map { case (id, src) =>
+      MediaRecord(id, src, "video", MediaFixture.aviPayload(id), id)
+    }
+    val input = MemoryStream[MediaRecord](spark, 4)
+    val q = StreamingMediaGate.verdicts(input.toDS())
+      .writeStream.format("memory").queryName("media_gate_video")
+      .outputMode("append").start()
+    try {
+      input.addData(recs); q.processAllAvailable()
+      val got = spark.table("media_gate_video").as[MediaVerdict].collect()
+        .groupBy(v => (v.source, v.verdict)).view.mapValues(_.length.toLong).toMap
+      val want = SparkEntry.queries("q206_video_gate_census")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(got == want, "video gate must equal the q206 census")
+      assert(got.keys.map(_._2).toSet ==
+        Set("rejected", "too_short", "high_motion", "ok"))
     } finally q.stop()
   }
 

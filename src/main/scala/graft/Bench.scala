@@ -358,16 +358,18 @@ object Bench {
 
     val rt = Runtime.getRuntime
     // timed run + untimed sweep; returns (sec, gcMsDuringRun, heapMbAfterSweep)
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : (Double, Long, Long) = {
+    def runOnceWith(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        sweeper: () => Unit): (Double, Long, Long) = {
       val gc0 = gcMillis()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
       val gcd = gcMillis() - gc0
-      sweep()
+      sweeper()
       (dt, gcd, (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
     }
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Long, Long) = runOnceWith(fn, () => sweep())
 
     // Optional comma-separated query filter for local iteration, e.g.
     // SPARK_GRAFT_QUERIES=q61,q78 — driver runs unfiltered. Matches the
@@ -426,21 +428,24 @@ object Bench {
     // stays untimed but REPORTED (family_prime_sec / family_primes).
     var familyPrimeSec = 0.0
     var familyPrimes = 0
+    // ONE prime implementation for both call sites (block prime and
+    // rerun-path re-prime), so the storage level / guard / accounting
+    // can never desynchronize. The guard: a prime failure must degrade
+    // to "family query runs unprimed" (and records the attempt's wall
+    // cost), never abort the whole bench (ADVICE r14).
+    def primeFamily(): Unit = {
+      val t0 = System.nanoTime()
+      try graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .count()
+      catch { case _: Throwable => () }
+      familyPrimeSec += (System.nanoTime() - t0) / 1e9
+      familyPrimes += 1
+    }
     def measured(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : (Double, Long, Long) = {
-      if (PairFamily.contains(name)) {
-        val t0 = System.nanoTime()
-        // Same guard as the probe fork's prime: a prime failure must
-        // degrade to "family query runs unprimed" (and records the
-        // attempt's wall cost), never abort the whole bench (ADVICE r14).
-        try graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        catch { case _: Throwable => () }
-        familyPrimeSec += (System.nanoTime() - t0) / 1e9
-        familyPrimes += 1
-      }
+      if (PairFamily.contains(name)) primeFamily()
       runOnce(fn)
     }
     val (famSelected, restSelected) =
@@ -449,30 +454,29 @@ object Bench {
     val famResults: Seq[(String, (Double, Long, Long))] =
       if (famSelected.isEmpty) Seq.empty
       else {
-        val t0 = System.nanoTime()
-        try graft.queries.Dedup.allPairsJaccard(spark, sfDir, 0.5)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          .count()
-        catch { case _: Throwable => () }
-        familyPrimeSec += (System.nanoTime() - t0) / 1e9
-        familyPrimes += 1
+        primeFamily()
         // everything persisted at this instant IS the family cache
-        // (pairs + the shingled corpus + the prefix relation it rides)
+        // (pairs + the shingled corpus + the prefix relation it rides):
+        // snapshot BOTH the RDD ids and the CacheManager entry
+        // identities, because the two layers leak independently — a
+        // member's internal Dataset.persist leaves a CacheManager ENTRY
+        // that an RDD-only sweep turns into a dead substitution target
+        // (recomputes without caching, and the next member's own
+        // persist of the same plan no-ops as "already cached"), while
+        // localCheckpoint blocks live only at the RDD layer.
         val familyRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+        val familyEntries = org.apache.spark.sql.graftbridge.ColumnBridge
+          .cachedEntryRefs(spark)
         def famSweep(): Unit = {
+          org.apache.spark.sql.graftbridge.ColumnBridge
+            .uncacheEntriesExcept(spark, familyEntries)
           spark.sparkContext.getPersistentRDDs
             .filter { case (id, _) => !familyRdds.contains(id) }
             .values.foreach(_.unpersist(blocking = true))
           System.gc()
         }
         val rs = famSelected.map { case (name, fn) =>
-          val gc0 = gcMillis()
-          val t1 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-          val dt = (System.nanoTime() - t1) / 1e9
-          val gcd = gcMillis() - gc0
-          famSweep()
-          name -> (dt, gcd, (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024))
+          name -> runOnceWith(fn, () => famSweep())
         }
         sweep() // full three-layer sweep once the block is done
         rs
@@ -608,6 +612,9 @@ object Bench {
     val full = results.map { case (k, (dt, gc, heap)) =>
       "\"" + k + "\":{\"t\":" + f3(dt) + ",\"gc_ms\":" + gc + ",\"heap_mb\":" + heap + "}"
     }.mkString("{", ",", "}")
+    // listener delivery is async; the fence guarantees every capped
+    // query's metrics landed before the artifact reads them
+    graft.metrics.CapObservatory.fence(spark)
     val capsJson = graft.metrics.CapObservatory.snapshotJson()
     val fullLine = s"""{"metric":"total","value":${f3(total)},"unit":"sec","sf":"$sfDir"""" +
       s""","n_queries":${results.size},"value_best":${f3(totalAdj)},"value_norm":${f3(normTotal)},"gc_sec":${f3(gcSec)},"family_prime_sec":${f3(familyPrimeSec)},"family_primes":$familyPrimes,$sentinelJson,$env,"caps":$capsJson,"rerun":$rerunJson,"swings":$swingsJson,"queries":$full}"""

@@ -388,6 +388,9 @@ object StressMain {
       println(f"[stress] TOTAL ${results.map(_._2).sum}%.1f s over ${results.size} heavy queries at 10x sf0.1")
       // bounded-drop observability (r15 VERDICT #2): at 10x the LSH
       // bucket / block caps are the first place recall loss would show
+      // (fence = async listener-bus drain, so the last query's metrics
+      // are guaranteed in before the read)
+      graft.metrics.CapObservatory.fence(spark)
       println(s"[stress] caps ${graft.metrics.CapObservatory.snapshotJson()}")
 
       // Forced-distributed connected components: the size-adaptive

@@ -36,8 +36,13 @@ object CapObservatory {
   private val Prefix = "cap:"
 
   private val metrics = new ConcurrentHashMap[String, Map[String, Long]]()
+  // weak keys: a stopped session must be collectable — a strong set
+  // here would pin every session ever observed (plus everything it
+  // transitively holds) for the JVM's lifetime in multi-session
+  // processes (the test JVM, an embedding application)
   private val installed =
-    java.util.Collections.newSetFromMap(new ConcurrentHashMap[SparkSession, java.lang.Boolean]())
+    java.util.Collections.newSetFromMap(java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private def install(spark: SparkSession): Unit =
     if (installed.add(spark)) {
@@ -50,6 +55,13 @@ object CapObservatory {
       })
     }
 
+  /** ACCUMULATE, never overwrite (review r16): one tag is shared by
+    * every execution of its call site within a snapshot window, and a
+    * later clean run must not erase an earlier run's recorded drop —
+    * that would reintroduce the silent-cap failure mode this object
+    * exists to close. Counters sum; `max_group` takes the window max
+    * (it is the headroom gauge, so the worst observation is the one
+    * that matters). */
   private def record(tag: String, row: Row): Unit = {
     val m = row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
       f -> (if (row.isNullAt(i)) 0L
@@ -60,8 +72,33 @@ object CapObservatory {
               case other => math.round(other.toString.toDouble)
             })
     }.toMap
-    metrics.put(tag, m)
+    metrics.merge(tag, m, (old, nw) =>
+      (old.keySet ++ nw.keySet).map { k =>
+        val a = old.getOrElse(k, 0L); val b = nw.getOrElse(k, 0L)
+        k -> (if (k == "max_group") math.max(a, b) else a + b)
+      }.toMap)
   }
+
+  private val fenceSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Drain barrier for the async listener bus: delivery of observed
+    * metrics rides Spark's listener thread, so a snapshot taken right
+    * after the last action can miss it. The fence runs a marker query
+    * through the SAME bus (FIFO) and waits for its metric to land —
+    * everything enqueued before it is then guaranteed delivered. Call
+    * before reading [[snapshot]]/[[snapshotJson]] for an artifact;
+    * best-effort (bounded wait), never throws. */
+  def fence(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try {
+      import org.apache.spark.sql.functions._
+      install(spark)
+      val tag = s"__fence_${fenceSeq.incrementAndGet()}"
+      spark.range(1).observe(Prefix + tag, count(lit(1)).as("n")).collect()
+      val deadline = System.nanoTime() + timeoutMs * 1000000L
+      while (!metrics.containsKey(tag) && System.nanoTime() < deadline)
+        Thread.sleep(10L)
+      metrics.remove(tag)
+    } catch { case _: Throwable => () }
 
   /** Attach drop metrics for a bounded-group cap to `preFilter` (the
     * relation BEFORE the cap's `where`), keyed by `tag` (stable per
@@ -97,10 +134,11 @@ object CapObservatory {
       max(sizeCol.cast("long")).as("max_group"))
   }
 
-  /** Last observed metrics per tag since the last [[reset]]. */
+  /** Accumulated metrics per tag since the last [[reset]] (fence
+    * markers excluded — a timed-out fence must not pollute artifacts). */
   def snapshot(): Map[String, Map[String, Long]] = {
     import scala.jdk.CollectionConverters._
-    metrics.asScala.toMap
+    metrics.asScala.toMap.filter(!_._1.startsWith("__fence_"))
   }
 
   /** Compact JSON rendering for bench/stress artifacts: `{}` when no

@@ -9,15 +9,15 @@ import org.apache.spark.sql.functions._
   * as before — the cap's semantics are unchanged — and (b) the drop is
   * COUNTED in [[CapObservatory]] (dropped rows, dropped groups, max
   * group size); below the cap the output is untouched and the counters
-  * read zero while max_group still gauges headroom. */
+  * read zero while max_group still gauges headroom. Delivery rides the
+  * async listener bus, so reads go through [[CapObservatory.fence]] —
+  * the same drain barrier Bench/StressMain use before their artifacts,
+  * which these tests therefore also exercise. */
 class CapMetricsSpec extends SparkSpecBase {
 
-  // QueryExecutionListener delivery is async on the listener bus
-  private def await(tag: String)(cond: Map[String, Long] => Boolean): Map[String, Long] = {
-    pollUntil(s"cap metrics for $tag", 30000L) {
-      CapObservatory.snapshot().get(tag).exists(cond)
-    }
-    CapObservatory.snapshot()(tag)
+  private def fenced(tag: String): Map[String, Long] = {
+    CapObservatory.fence(spark)
+    CapObservatory.snapshot().getOrElse(tag, Map.empty)
   }
 
   // (pos, band, doc_id): bucket (0, 7) holds 5 docs, bucket (1, 9) two
@@ -33,7 +33,7 @@ class CapMetricsSpec extends SparkSpecBase {
       tag = "spec_hot_bucket").collect()
     assert(out.length == 2, "the 5-doc bucket must be dropped, the 2-doc one kept")
     assert(out.map(_.getLong(2)).sorted.toSeq == Seq(10L, 11L))
-    val m = await("spec_hot_bucket")(_.getOrElse("dropped_rows", -1L) == 5L)
+    val m = fenced("spec_hot_bucket")
     assert(m("dropped_rows") == 5L && m("dropped_groups") == 1L && m("max_group") == 5L, m)
   }
 
@@ -42,8 +42,24 @@ class CapMetricsSpec extends SparkSpecBase {
     val out = graft.queries.Dedup.capBuckets(banded, maxBucket = 10,
       tag = "spec_cool_bucket").collect()
     assert(out.length == 7, "no bucket reaches the cap — every row survives")
-    val m = await("spec_cool_bucket")(_.contains("max_group"))
+    val m = fenced("spec_cool_bucket")
     assert(m("dropped_rows") == 0L && m("dropped_groups") == 0L && m("max_group") == 5L, m)
+  }
+
+  test("metrics ACCUMULATE across runs: a later clean run never erases a recorded drop") {
+    // review r16: last-write-wins would let q177's clean re-execution of
+    // the shared minhash tag wipe q29's recorded drop from the artifact
+    CapObservatory.reset()
+    graft.queries.Dedup.capBuckets(banded, maxBucket = 3, tag = "spec_acc").collect()
+    graft.queries.Dedup.capBuckets(banded, maxBucket = 10, tag = "spec_acc").collect()
+    val m = fenced("spec_acc")
+    assert(m("dropped_rows") == 5L && m("dropped_groups") == 1L,
+      s"the clean second run must not erase the first run's drop: $m")
+    assert(m("max_group") == 5L)
+    // and a second dropping run adds
+    graft.queries.Dedup.capBuckets(banded, maxBucket = 3, tag = "spec_acc").collect()
+    val m2 = fenced("spec_acc")
+    assert(m2("dropped_rows") == 10L && m2("dropped_groups") == 2L, m2)
   }
 
   test("group-grain cap (ngram block census) counts members and groups") {
@@ -54,18 +70,21 @@ class CapMetricsSpec extends SparkSpecBase {
     val observed = CapObservatory.observeGroupCap(blocks, "spec_block",
       col("block_n"), cap = 10000)
     assert(observed.where(col("block_n") <= 10000).count() == 2)
-    val m = await("spec_block")(_.getOrElse("dropped_groups", -1L) == 1L)
-    assert(m("dropped_rows") == 12000L && m("max_group") == 12000L, m)
+    val m = fenced("spec_block")
+    assert(m("dropped_rows") == 12000L && m("dropped_groups") == 1L &&
+      m("max_group") == 12000L, m)
   }
 
-  test("snapshotJson renders a sorted, parse-stable object") {
+  test("snapshotJson renders a sorted, parse-stable object; fence markers never leak") {
     CapObservatory.reset()
+    CapObservatory.fence(spark)
     assert(CapObservatory.snapshotJson() == "{}")
     graft.queries.Dedup.capBuckets(banded, maxBucket = 3, tag = "spec_json").collect()
-    await("spec_json")(_.nonEmpty)
+    CapObservatory.fence(spark)
     val json = CapObservatory.snapshotJson()
     assert(json.startsWith("{\"spec_json\":{"), json)
     assert(json.contains("\"dropped_rows\":5"), json)
+    assert(!json.contains("__fence_"), json)
     CapObservatory.reset()
   }
 }

@@ -75,6 +75,21 @@ class CapMetricsSpec extends SparkSpecBase {
       m("max_group") == 12000L, m)
   }
 
+  test("q28's block census metric fires through the BROADCAST side of the real plan") {
+    // the observe node sits under broadcast(blockN.where(...)) — if
+    // CollectMetrics did not report from a broadcast subtree, the ngram
+    // cap would be silently unobserved (the exact failure mode this
+    // object closes); pin it on the registered query end-to-end
+    CapObservatory.reset()
+    graft.SparkEntry.queries("q28_dedup_ngram")(spark, sfDir).collect()
+    CapObservatory.fence(spark)
+    val m = CapObservatory.snapshot().get("ngram_first_tok_block")
+    assert(m.exists(_.getOrElse("max_group", 0L) > 0L),
+      s"block census metric missing/empty: ${CapObservatory.snapshot()}")
+    assert(m.exists(_("dropped_groups") == 0L), "no block tops 10k at spec SF")
+    CapObservatory.reset()
+  }
+
   test("snapshotJson renders a sorted, parse-stable object; fence markers never leak") {
     CapObservatory.reset()
     CapObservatory.fence(spark)

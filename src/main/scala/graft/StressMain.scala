@@ -215,8 +215,12 @@ object StressMain {
       // third arg filters the operator list by qNN prefix or full name
       // (`curve 30 q194,q202,q203`) so a deep point doesn't force the
       // heavy pair-space operators through 30x data generation runs.
-      val extra = args.lift(1).map(_.toInt)
-      val curveFilter = args.lift(2).map(_.split(',').map(_.trim).toSet)
+      // `curve q194` (filter without an explicit extra scale) must
+      // filter, not crash with NumberFormatException (ADVICE r16): a
+      // non-numeric second arg IS the filter.
+      val extra = args.lift(1).flatMap(a => scala.util.Try(a.toInt).toOption)
+      val curveFilter = (if (extra.isDefined) args.lift(2) else args.lift(1))
+        .map(_.split(',').map(_.trim).toSet)
       extra.filter(_ <= 10).foreach(s =>
         println(s"[stress] extra scale $s ignored (must exceed the built-in 10x point)"))
       val scales = Seq(1, 3, 10) ++ extra.filter(_ > 10)

@@ -18,16 +18,22 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * Bench/StressMain can print a `caps` section in their artifacts.
   *
   * Metrics per cap site:
-  *  - `dropped_rows`   — rows discarded by the cap in the last run
-  *  - `dropped_groups` — distinct capped groups (buckets/blocks)
-  *  - `max_group`      — largest group size observed (capped or not),
-  *    the early-warning gauge: a max_group climbing toward the cap
-  *    predicts recall loss BEFORE any row is dropped.
+  *  - `dropped_rows`   — rows discarded by the cap, SUMMED over every
+  *    execution of the tagged call site within the snapshot window
+  *  - `dropped_groups` — capped groups (buckets/blocks), summed likewise
+  *  - `max_group`      — largest group size observed in the window
+  *    (capped or not), the early-warning gauge: a max_group climbing
+  *    toward the cap predicts recall loss BEFORE any row is dropped
+  *  - `n_runs`         — executions that reported this tag in the
+  *    window, so an artifact reader can normalize the summed counters
+  *    per execution (Bench reruns/swing probes re-execute capped
+  *    queries; without n_runs the sums inflate by a run-dependent
+  *    multiple — ADVICE r16).
   *
-  * Values are last-run-wins per (tag) — the consumers (bench, stress)
-  * run queries sequentially and snapshot at the end; reset() starts a
-  * fresh window. Listener delivery is async (Spark's listener bus), so
-  * test code polls [[snapshot]] rather than asserting immediately.
+  * Values ACCUMULATE per tag within a window (see [[record]]); reset()
+  * starts a fresh window. Listener delivery is async (Spark's listener
+  * bus), so test code polls [[snapshot]] rather than asserting
+  * immediately.
   */
 object CapObservatory {
 
@@ -47,10 +53,18 @@ object CapObservatory {
   private def install(spark: SparkSession): Unit =
     if (installed.add(spark)) {
       spark.listenerManager.register(new QueryExecutionListener {
+        // observedMetricsWithPruned, NOT qe.observedMetrics: AQE's
+        // empty-relation propagation prunes a runtime-empty subtree —
+        // and a cap that drops a whole bucket's candidate pairs can
+        // produce exactly such a subtree, vanishing its own drop
+        // metrics from the final plan (found by CapMetricsSpec's
+        // exact-copy-flood case). The bridge also reads the
+        // materialized-but-pruned stages.
         override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
-          qe.observedMetrics.foreach { case (name, row) =>
-            if (name.startsWith(Prefix)) record(name.stripPrefix(Prefix), row)
-          }
+          org.apache.spark.sql.graftbridge.AqeBridge.observedMetricsWithPruned(qe)
+            .foreach { case (name, row) =>
+              if (name.startsWith(Prefix)) record(name.stripPrefix(Prefix), row)
+            }
         override def onFailure(funcName: String, qe: QueryExecution, ex: Exception): Unit = ()
       })
     }
@@ -71,7 +85,7 @@ object CapObservatory {
               case d: Double => math.round(d)
               case other => math.round(other.toString.toDouble)
             })
-    }.toMap
+    }.toMap + ("n_runs" -> 1L) // sums across the window → executions seen
     metrics.merge(tag, m, (old, nw) =>
       (old.keySet ++ nw.keySet).map { k =>
         val a = old.getOrElse(k, 0L); val b = nw.getOrElse(k, 0L)
@@ -88,17 +102,37 @@ object CapObservatory {
     * everything enqueued before it is then guaranteed delivered. Call
     * before reading [[snapshot]]/[[snapshotJson]] for an artifact;
     * best-effort (bounded wait), never throws. */
-  def fence(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+  def fence(spark: SparkSession, timeoutMs: Long = 10000L): Unit = {
+    val tag = s"__fence_${fenceSeq.incrementAndGet()}"
     try {
       import org.apache.spark.sql.functions._
       install(spark)
-      val tag = s"__fence_${fenceSeq.incrementAndGet()}"
       spark.range(1).observe(Prefix + tag, count(lit(1)).as("n")).collect()
       val deadline = System.nanoTime() + timeoutMs * 1000000L
       while (!metrics.containsKey(tag) && System.nanoTime() < deadline)
         Thread.sleep(10L)
-      metrics.remove(tag)
-    } catch { case _: Throwable => () }
+    } catch {
+      // best-effort by contract, but an interrupt must propagate as
+      // the flag (swallowing it would silently cancel the caller's
+      // cancellation — ADVICE r16)
+      case _: InterruptedException => Thread.currentThread().interrupt()
+      case _: Throwable => ()
+    } finally {
+      // a timed-out fence's marker can land AFTER its fence returned;
+      // such keys are filtered from snapshots but would accumulate in
+      // a long-lived JVM (ADVICE r16). Any fence with a smaller
+      // sequence has already returned, so its key is garbage: sweep
+      // every marker up to and including this one.
+      val mySeq = tag.stripPrefix("__fence_").toLong
+      val it = metrics.keySet().iterator()
+      while (it.hasNext) {
+        val k = it.next()
+        if (k.startsWith("__fence_") &&
+            (try k.stripPrefix("__fence_").toLong <= mySeq
+             catch { case _: NumberFormatException => false })) it.remove()
+      }
+    }
+  }
 
   /** Attach drop metrics for a bounded-group cap to `preFilter` (the
     * relation BEFORE the cap's `where`), keyed by `tag` (stable per

@@ -38,9 +38,17 @@ object Multimodal {
 
   /** Decode preference order — the codec seam (see [[MediaDecoder]]):
     * real JDK codecs first, deterministic fakes as the terminal floor.
-    * Swapping in an FFmpeg/JNI binding = prepending its decoder here;
-    * MediaDecoderConformanceSpec is the contract it must pass. */
-  val DecoderChain: Seq[MediaDecoder] = Seq(JdkMediaDecoder, StubMediaDecoder)
+    * The FFmpeg CLI binding ([[FfmpegMediaDecoder]]) prepends itself
+    * ONLY under the double gate `GRAFT_FFMPEG=1` + a resolvable binary:
+    * an engaged FFmpeg decoder changes feature values for payloads the
+    * JDK also decodes (each implementation featurizes through its own
+    * pixel path), which would shift oracle-pinned media outputs — so
+    * engaging it is an explicit deployment decision.
+    * MediaDecoderConformanceSpec is the contract every entry passes. */
+  val DecoderChain: Seq[MediaDecoder] =
+    (if (sys.env.get("GRAFT_FFMPEG").contains("1") && FfmpegMediaDecoder.available)
+       Seq(FfmpegMediaDecoder)
+     else Seq.empty) ++ Seq(JdkMediaDecoder, StubMediaDecoder)
 
   /** Canonical media-row schema: payload + typed metadata. */
   val MediaSchema: StructType = StructType(Seq(

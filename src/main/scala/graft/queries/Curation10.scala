@@ -127,11 +127,15 @@ object Curation10 {
   // edges) and decides whether an incremental refresh beats a rebuild.
   //
   // Scale: each snapshot projects to (doc_id, source, md5) BEFORE the
-  // join — content hashing is map-side in the scan stage, the full-outer
-  // equi-join shuffles ~50-byte rows hash-partitioned on doc_id (never
-  // the text), and the verdict aggregate is partial+final onto
-  // |sources| rows. Presence is the join side's null-ness, not the
-  // fingerprint's, so a null-text document still diffs correctly.
+  // join — content hashing is map-side in the scan stage, and since r17
+  // both snapshots read the DOC_ID-BUCKETED corpus
+  // ([[graft.sources.BucketedCorpus]]), so the full-outer equi-join
+  // plans with NO exchange under either child (BucketedJoinSpec gates
+  // it): reconciliation re-runs — the recurring crawl-to-crawl job this
+  // models — never re-shuffle the corpus on doc_id at all. The verdict
+  // aggregate is partial+final onto |sources| rows. Presence is the
+  // join side's null-ness, not the fingerprint's, so a null-text
+  // document still diffs correctly.
   val q166 = q("q166_snapshot_diff",
     """WITH snap_a AS (
       |  SELECT doc_id, source, md5(text) AS fp_a, 1 AS in_a
@@ -150,7 +154,7 @@ object Curation10 {
       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
       |FROM snap_a FULL OUTER JOIN snap_b USING (doc_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
-    val d = Tables(s, dir).documents
+    val d = graft.sources.BucketedCorpus.documents(s, dir)
     val snapA = d.where(pmod(col("doc_id"), lit(10)) =!= 7)
       .select(col("doc_id"), col("source").as("source_a"),
         md5(col("text")).as("fp_a"), lit(1).as("in_a"))

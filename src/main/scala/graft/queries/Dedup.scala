@@ -72,19 +72,26 @@ object Dedup {
         hashedShingles(k).as("shh"))
   }
 
-  /** Skew guard for LSH bucket joins: a degenerate bucket of n docs
+  /** Skew guard for LSH bucket joins: a degenerate bucket of n entries
     * yields n² candidate pairs on one reducer — at corpus scale a
     * single hot bucket (e.g. boilerplate-dominated shingle sets) can
     * stall the stage. Buckets above `maxBucket` are dropped before the
-    * pair join (documented recall trade-off; such buckets are almost
-    * always templated/boilerplate content that exact dedup catches
-    * first). No effect at test scales (buckets ≪ cap) — and the drop
-    * is OBSERVABLE, not silent (r15 VERDICT #2): an `observe` node on
-    * the pre-filter relation ships dropped-row/dropped-bucket counts
-    * and the max bucket size into
-    * [[graft.metrics.CapObservatory]], which Bench/StressMain surface
-    * in their artifacts, so a boilerplate-dominated band bucket at
-    * corpus scale announces its recall loss instead of hiding it. */
+    * pair join (documented recall trade-off). The drop is OBSERVABLE,
+    * not silent (r15 VERDICT #2): an `observe` node on the pre-filter
+    * relation ships dropped-row/dropped-bucket counts and the max
+    * bucket size into [[graft.metrics.CapObservatory]], which
+    * Bench/StressMain surface in their artifacts.
+    *
+    * The banded relations this guards hold DISTINCT fingerprints, one
+    * representative per identical-fingerprint group (r16 VERDICT #1):
+    * before that collapse, exact text copies — identical fingerprints,
+    * the dominant real-world dup class — piled into one bucket and hit
+    * the cap on the engine's first 10× stress engagement
+    * (dropped_rows=17450), shedding recall exactly where a dedup pass
+    * matters most. With only distinct fingerprints banded, a hot
+    * bucket now requires ≥ maxBucket DIFFERENT near-colliding
+    * fingerprints — the true pathological tail (adversarial or
+    * boilerplate-templated content) the cap was always meant for. */
   private[graft] def capBuckets(banded: DataFrame, maxBucket: Int,
       tag: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy("pos", "band")
@@ -92,6 +99,47 @@ object Dedup {
     graft.metrics.CapObservatory.observeCap(withN, tag, col("bucket_n"), maxBucket)
       .where(col("bucket_n") <= maxBucket)
       .drop("bucket_n")
+  }
+
+  /** All unordered within-group doc pairs of `members` (columns:
+    * `keyCol`, `doc_id`) — the expansion of a collapsed
+    * identical-fingerprint group back to doc pairs (r16 VERDICT #1).
+    * Output-proportional by construction: a group of g exact copies
+    * HAS g·(g−1)/2 qualifying pairs, so this work is the answer's own
+    * size, not wasted candidate generation. The self-join is salted S
+    * ways (the [[ngramPairs]] pattern: A pinned to one sub-key, B
+    * replicated across all S, each pair produced exactly once) so a
+    * mega-group of exact copies expands across S reducers instead of
+    * stalling one. */
+  private def intraGroupPairs(members: DataFrame, keyCol: String): DataFrame = {
+    val S = 8
+    val a = members.select(col(keyCol), col("doc_id").as("a_id"))
+      .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
+    val b = members.select(col(keyCol), col("doc_id").as("b_id"))
+      .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+    a.join(b, Seq(keyCol, "salt")).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Collapse a per-doc fingerprint relation to identical-fingerprint
+    * groups: one exchange on the fingerprint column(s) computes each
+    * doc's group representative (min doc_id) and group size. Returns
+    * the member map with `rep_id`/`n_members` appended — the
+    * representative rows are `doc_id === rep_id`.
+    *
+    * PERSISTED (the [[allPairsJaccardOn]] discipline): the member map
+    * is referenced ~5 times downstream (representatives into the band
+    * exchange, both sides of the rep-pair expansion, both sides of the
+    * intra-group expansion) — without the persist each reference
+    * re-scans the corpus and re-runs the fingerprint+window pipeline
+    * (plan census measured documents 2→6 leaves). One action computes
+    * it once; MEMORY_AND_DISK spills, never OOMs. */
+  private def withGroupReps(docs: DataFrame, fpCols: String*): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(fpCols.map(col): _*)
+    docs
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Exact Jaccard over hashed sorted shingle arrays — native merge-walk
@@ -300,11 +348,19 @@ object Dedup {
   /** Shared q29/q177 construction: per-doc sorted shingle hashes plus
     * K=32 minhash signatures, and the 8-band LSH candidate pair set.
     * Returns (docs = (doc_id, shc, sig), pairs = deduped (a_id, b_id)). */
-  private def minhashLshCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+  private def minhashLshCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    minhashLshCandidatesOn(Tables(s, dir).documents)
+
+  /** [[minhashLshCandidates]] over any (doc_id, text) frame — separated
+    * so CapMetricsSpec can flood it with exact copies and assert the
+    * cap never engages (r16 VERDICT #1 done-criterion). */
+  private[graft] def minhashLshCandidatesOn(docs: DataFrame,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
     import graft.QueryDsl.crossHash60
+    val s = docs.sparkSession
     val K = 32; val Bands = 8; val R = K / Bands
     // tokenize pre-exchange, shingle post-exchange (see docShingled)
-    val d = Tables(s, dir).documents
+    val d = docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"),
@@ -312,23 +368,47 @@ object Dedup {
     // permutations run as a codegen kernel with the exact arithmetic of
     // the SQL oracle below (an interpreted HOF was ~10× slower at 10×)
     val sig = graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), K)
-    // The band exchange ships only (doc_id, pos, band-slice) — never
-    // the shingle arrays. Candidate pairs are deduped (a pair can
-    // collide in several bands) while still narrow, and only surviving
-    // pairs join the arrays back for exact-Jaccard verification. The
-    // join key is the 4-value band slice itself (arrays are comparable
-    // join keys), exactly the oracle's band-equality predicate.
     val withSig = d.withColumn("sig", sig)
+    // Collapse identical signatures BEFORE banding (r16 VERDICT #1):
+    // exact copies share the full K-value signature, so only distinct
+    // signatures enter the band exchange — one window exchange on sig
+    // assigns each doc its group representative. A pair of docs
+    // collides in band b iff their signatures' b-slices are equal iff
+    // their representatives collide, so expanding representative pairs
+    // (plus the within-group pairs, which collide in EVERY band)
+    // reproduces the uncollapsed candidate set exactly.
+    // null signatures (null-text docs) are excluded BEFORE grouping:
+    // pre-collapse they exploded to zero band rows and never paired;
+    // grouped, they would all share the null key and intra-pair
+    val members = withGroupReps(
+      withSig.select(col("sig"), col("doc_id")).where(col("sig").isNotNull), "sig")
+    val reps = members.where(col("doc_id") === col("rep_id"))
+      .select(col("sig"), col("rep_id"))
+    // The band exchange ships only (rep_id, pos, band-slice) — never
+    // the shingle arrays. Representative pairs are deduped (a pair can
+    // collide in several bands) while still narrow. The join key is
+    // the R-value band slice itself (arrays are comparable join keys),
+    // exactly the oracle's band-equality predicate.
     val bandsArr = array((0 until Bands).map(b => slice(col("sig"), b * R + 1, R)): _*)
     val banded = capBuckets(
-      withSig.select(col("doc_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
-      maxBucket = 1000, tag = "minhash_lsh_bucket")
-    val pairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_id"))
-      .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_id")), Seq("pos", "band"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+      reps.select(col("rep_id").as("doc_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
+      maxBucket = maxBucket, tag = "minhash_lsh_bucket")
+    val repPairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_rep"))
+      .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_rep")), Seq("pos", "band"))
+      .where(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"))
       .distinct()
-    (withSig, pairs)
+    val mm = members.select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
+      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"))
+    val intra = intraGroupPairs(
+      members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
+    // cross (different sigs) and intra (same sig) are disjoint, and
+    // each produces every pair at most once — no final distinct needed
+    (withSig, cross.unionByName(intra))
   }
 
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
@@ -372,27 +452,53 @@ object Dedup {
   // the bucket join has FULL recall for the radius — which is what
   // makes the banded Spark plan provably equal to the oracle's
   // brute-force O(n²) hamming scan.
-  val q30 = GraftQuery("q30_dedup_simhash", (s, dir) => {
+  /** q30's computation over any (doc_id, text) frame — separated so
+    * CapMetricsSpec can flood it with exact copies and assert the
+    * banding cap never engages (r16 VERDICT #1 done-criterion).
+    * Identical fingerprints collapse to one representative before the
+    * band exchange (see [[capBuckets]]); within-group pairs are
+    * hamming 0 by definition and expand via [[intraGroupPairs]]. */
+  private[graft] def simhashPairsOn(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     import graft.QueryDsl.crossHash60
+    val s = docs.sparkSession
     val Bands = 4; val Bits = 60
     val fp = graft.functions.expr.DedupExpressions.simHashFromHashes(
       transform(split(col("text"), " "), w => crossHash60(w)), Bits)
-    val d = capBuckets(Tables(s, dir).documents
+    // null fingerprints excluded before grouping (see the q29 note: a
+    // null fp exploded to zero band rows pre-collapse, so those docs
+    // must not intra-pair under the shared null key)
+    val members = withGroupReps(docs
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), fp.as("fp"))
-      .select(col("doc_id"), col("fp"),
+      .where(col("fp").isNotNull), "fp")
+    val reps = members.where(col("doc_id") === col("rep_id"))
+      .select(col("fp"), col("rep_id"))
+    val banded = capBuckets(
+      reps.select(col("rep_id"), col("fp"),
         posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, Bits / Bands)).as(Seq("pos", "band"))),
-      maxBucket = 1000, tag = "simhash_band_bucket")
-    val a = d.select(col("pos"), col("band"), col("doc_id").as("a_id"), col("fp").as("a_fp"))
-    val b = d.select(col("pos"), col("band"), col("doc_id").as("b_id"), col("fp").as("b_fp"))
-    a.join(b, Seq("pos", "band"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+      maxBucket = maxBucket, tag = "simhash_band_bucket")
+    val a = banded.select(col("pos"), col("band"), col("rep_id").as("a_rep"), col("fp").as("a_fp"))
+    val b = banded.select(col("pos"), col("band"), col("rep_id").as("b_rep"), col("fp").as("b_fp"))
+    val repPairs = a.join(b, Seq("pos", "band"))
+      .where(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"),
         DedupFunctions.hamming64(col("a_fp"), col("b_fp")).cast("int").as("hamming"))
-      .distinct()
       .where(col("hamming") <= 3)
-      .orderBy("a_id", "b_id")
-  }, Some(
+      .distinct()
+    val mm = members.select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
+      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
+    val intra = intraGroupPairs(
+      members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
+      .withColumn("hamming", lit(0).cast("int"))
+    cross.unionByName(intra)
+  }
+
+  val q30 = GraftQuery("q30_dedup_simhash", (s, dir) =>
+    simhashPairsOn(Tables(s, dir).documents).orderBy("a_id", "b_id"), Some(
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h
       |       FROM (SELECT doc_id, unnest(t) AS w FROM d)),

@@ -40,11 +40,19 @@ object ColumnBridge {
       keep: Seq[AnyRef]): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val cm = cs.sharedState.cacheManager
+    // identity first, plan equivalence as the fallback (ADVICE r16): a
+    // recache during the family block (recacheByPlan/refreshByPath)
+    // rebuilds CachedData instances, so an eq-only keep test would
+    // silently sweep the shared family cache and every later family
+    // member would re-time the full pair build.
+    val keepPlans = keep.collect {
+      case cd: org.apache.spark.sql.execution.CachedData => cd.plan
+    }
     cachedData(spark).foreach { cd =>
-      if (!keep.exists(_ eq cd))
-        cm.uncacheQuery(cs,
-          cd.asInstanceOf[org.apache.spark.sql.execution.CachedData].plan,
-          cascade = false, blocking = true)
+      val plan = cd.asInstanceOf[org.apache.spark.sql.execution.CachedData].plan
+      val kept = keep.exists(_ eq cd) || keepPlans.exists(_.sameResult(plan))
+      if (!kept)
+        cm.uncacheQuery(cs, plan, cascade = false, blocking = true)
     }
   }
 

@@ -177,19 +177,57 @@ class BenchSwingSpec extends AnyFunSuite {
     assert(Bench.parseProbeOutput("OutOfMemoryError\n").isEmpty)
   }
 
-  test("value_norm: box-normalized total uses the geometric-mean window factor") {
-    // r15's committed artifact in miniature: 163.263 s raw on a
-    // 1.486-start / 1.204-end window normalizes to ~122 s — the number
-    // comparable to a quiet-box round without ROUNDNOTES exegesis
-    val norm = Bench.valueNorm(163.263, 1.486, 1.204)
-    assert(math.abs(norm - 163.263 / math.sqrt(1.486 * 1.204)) < 1e-9)
-    assert(norm < 163.263 && norm > 100.0)
+  test("value_norm: damped-exponent normalization lands within 10% of measured quiet totals") {
+    // The r16 calibration pairs (contended driver run + quiet-window
+    // ground truth on the same frozen tree) are the fit's truth set; a
+    // future β change that breaks EITHER round's reproduction fails
+    // here. Linear division (β=1) read 85.6 for a measured 126.2 in
+    // r16 — the exact over-correction this fit closes.
+    val r15 = Bench.valueNorm(163.263, 1.486, 1.204) // quiet truth: 141.99
+    assert(math.abs(r15 - 141.99) / 141.99 < 0.10, s"r15 norm=$r15")
+    val r16 = Bench.valueNorm(162.1, 2.351, 1.527) // quiet truth: 126.21
+    assert(math.abs(r16 - 126.21) / 126.21 < 0.10, s"r16 norm=$r16")
     // a quiet window normalizes to itself
     assert(Bench.valueNorm(142.0, 1.0, 1.0) == 142.0)
     // degenerate (hand-edited) sub-1 factors never INFLATE the number
     assert(Bench.valueNorm(100.0, 0.5, 0.25) == 100.0)
     // the definitive-artifact gate constants the wait loop runs on
     assert(Bench.QuietFactorGate == 1.2 && Bench.MaxQuietWaits == 5)
+  }
+
+  test("noisy flag: exhausted wait gate + loud start sentinel, or a >2x end sentinel") {
+    // r16's committed artifact: gate exhausted (300 s), start 2.351 —
+    // downstream tooling must see noisy=true instead of eyeballing it
+    assert(Bench.noisyFlag(300, 2.351, 1.527))
+    // r15's committed artifact: no wait (pre-gate round), 1.486 start —
+    // the gate never ran out, so the flag stays down (value_norm covers it)
+    assert(!Bench.noisyFlag(0, 1.486, 1.204))
+    // quiet run
+    assert(!Bench.noisyFlag(0, 1.0, 1.009))
+    // mid-run co-tenant ramp: quiet start, >2x end
+    assert(Bench.noisyFlag(0, 1.0, 2.4))
+    // waited but the window QUIETED before the budget ran out
+    assert(!Bench.noisyFlag(120, 1.05, 1.1))
+  }
+
+  test("committed quiet artifact (BENCH_QUIET_r*.json) keeps the compact headline schema") {
+    // the schema contract for BENCH_QUIET artifacts: one compact JSON
+    // object with the headline fields cross-round tooling reads — the
+    // same shape Bench prints as its first/last stdout line
+    val committed = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("BENCH_QUIET_r\\d+\\.json"))
+    committed.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      assert(body.startsWith("{") && body.endsWith("}"), f.getName)
+      for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"value_norm\":",
+          "\"n_queries\":", "\"box_factor\":", "\"box_factor_end\":",
+          "\"noisy\":", "\"sf\":", "\"worst5\":"))
+        assert(body.contains(field), s"${f.getName} missing $field")
+      // the artifact's whole point: it was taken on a quiet window
+      val bf = raw""""box_factor":([0-9.]+)""".r.findFirstMatchIn(body).get.group(1).toDouble
+      assert(bf <= 1.05, s"${f.getName} box_factor $bf — not a quiet-window artifact")
+      assert(body.contains("\"noisy\":false"), s"${f.getName} flagged noisy")
+    }
   }
 
   test("probe -2 marks a regression verdict whose probe budget was exhausted") {

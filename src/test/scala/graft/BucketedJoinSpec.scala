@@ -44,4 +44,46 @@ class BucketedJoinSpec extends SparkSpecBase {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("BucketedCorpus: ensure-once semantics, content-stamp rebuild, identical rows") {
+    val d1 = graft.sources.BucketedCorpus.documents(spark, sfDir)
+    // same rows as the raw parquet read
+    val raw = Tables(spark, sfDir).documents
+    assert(d1.count() == raw.count())
+    // order-independent content witness (bit_xor never overflows ANSI)
+    def fp(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(bit_xor(xxhash64(col("doc_id"), col("text")))).head.getLong(0)
+    assert(fp(d1) == fp(raw))
+    // second call must NOT rewrite: the _SUCCESS mtime is the witness
+    val buckets = spark.sessionState.conf.numShufflePartitions
+    val tag = sfDir.split('/').last.replaceAll("[^A-Za-z0-9_]", "p")
+    val success = new java.io.File(
+      s"/tmp/graft_bucketed/docs_by_docid_${tag}_b$buckets", "_SUCCESS")
+    assert(success.exists())
+    val mtime = success.lastModified()
+    graft.sources.BucketedCorpus.documents(spark, sfDir).count()
+    assert(success.lastModified() == mtime, "unchanged corpus must not rewrite")
+  }
+
+  test("q166's corpus-vs-corpus doc_id join is exchange-free on the bucketed layout (r16 VERDICT #4)") {
+    // force the shuffle-join shape (no broadcast) so the exchange the
+    // bucketing eliminates would otherwise be visible
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q166_snapshot_diff")(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      // the join's subtree (everything below the first SMJ) must carry
+      // no doc_id hash exchange — only the final |sources| aggregate
+      // above it may shuffle
+      val below = plan.linesIterator.dropWhile(l => !l.contains("SortMergeJoin")).toSeq
+      assert(!below.exists(l => l.contains("Exchange hashpartitioning(doc_id")),
+        s"bucketed corpus join must not shuffle on doc_id:\n$plan")
+      assert(df.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
 }

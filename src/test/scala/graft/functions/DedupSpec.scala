@@ -181,6 +181,26 @@ class DedupSpec extends SparkSpecBase {
     spark.catalog.clearCache()
   }
 
+  test("null-text docs never pair: the identical-fp collapse must not group them under the null key") {
+    // pre-collapse semantics: a null fingerprint exploded to zero band
+    // rows, so null-text docs produced no candidates; the r17 group-by-
+    // fingerprint collapse would happily make `null` a group key and
+    // intra-pair every null-text doc — pinned here against regression
+    import spark.implicits._
+    val docs = Seq((1L, Option(base.mkString(" "))), (2L, None: Option[String]),
+      (3L, None: Option[String]), (4L, Option(base.mkString(" ") + " extra")))
+      .toDF("doc_id", "text")
+    val sim = graft.queries.Dedup.simhashPairsOn(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sim.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
+      s"null-text docs must not pair: $sim")
+    assert(sim.contains((1L, 4L)), "the real near-dup still pairs")
+    val (_, mh) = graft.queries.Dedup.minhashLshCandidatesOn(docs)
+    val mhp = mh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!mhp.exists(p => p._1 == 2L || p._2 == 2L || p._1 == 3L || p._2 == 3L),
+      s"null-text docs must not enter LSH candidates: $mhp")
+  }
+
   test("q29 minhash query finds a planted near-duplicate") {
     import spark.implicits._
     val docs = Seq(

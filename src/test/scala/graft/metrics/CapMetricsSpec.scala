@@ -90,6 +90,40 @@ class CapMetricsSpec extends SparkSpecBase {
     CapObservatory.reset()
   }
 
+  test("exact-copy flood never engages the banding cap (r16 VERDICT #1)") {
+    // The round-16 stress run measured the simhash band cap engaging on
+    // identical fingerprints (dropped_rows=17450 at 10×): exact copies
+    // share the full fingerprint, so the most-duplicated content — the
+    // class a dedup pass exists to catch — piled past maxBucket. The
+    // fix collapses identical fingerprints to one representative BEFORE
+    // banding; this floods both generators with 3× the cap in exact
+    // copies and asserts (a) zero drops, (b) full pair recovery.
+    import spark.implicits._
+    CapObservatory.reset()
+    val copies = 30 // 3× the planted cap of 10
+    val text = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    val docs = ((1L to copies.toLong).map(i => (i, text)) :+
+      (100L, "completely unrelated words about spark executors shuffling data"))
+      .toDF("doc_id", "text")
+    val expectPairs = copies.toLong * (copies - 1) / 2
+    val sim = graft.queries.Dedup.simhashPairsOn(docs, maxBucket = 10).collect()
+    assert(sim.length == expectPairs, s"simhash must recover all ${expectPairs} copy pairs")
+    assert(sim.forall(_.getInt(2) == 0), "exact copies have hamming 0")
+    val (_, mhPairs) = graft.queries.Dedup.minhashLshCandidatesOn(docs, maxBucket = 10)
+    assert(mhPairs.count() == expectPairs, "minhash LSH must recover all copy pairs")
+    val snap = { CapObservatory.fence(spark); CapObservatory.snapshot() }
+    for (tag <- Seq("simhash_band_bucket", "minhash_lsh_bucket")) {
+      val m = snap.getOrElse(tag, Map.empty[String, Long])
+      assert(m.getOrElse("dropped_rows", 0L) == 0L &&
+        m.getOrElse("dropped_groups", 0L) == 0L,
+        s"$tag must not drop on an exact-copy flood: $m")
+      // and the gauge proves the collapse happened: the largest banded
+      // bucket holds DISTINCT fingerprints only (2 here: copy + other)
+      assert(m.getOrElse("max_group", 99L) <= 2L, s"$tag banded non-distinct fps: $m")
+    }
+    CapObservatory.reset()
+  }
+
   test("snapshotJson renders a sorted, parse-stable object; fence markers never leak") {
     CapObservatory.reset()
     CapObservatory.fence(spark)

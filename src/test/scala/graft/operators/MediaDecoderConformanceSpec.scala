@@ -18,7 +18,11 @@ import org.scalatest.funsuite.AnyFunSuite
 class MediaDecoderConformanceSpec extends AnyFunSuite {
 
   private val impls: Seq[(MediaDecoder, Boolean)] = // (decoder, terminal)
-    Seq(JdkMediaDecoder -> false, StubMediaDecoder -> true)
+    Seq(JdkMediaDecoder -> false, StubMediaDecoder -> true) ++
+      // third implementation when an ffmpeg binary is present (r16
+      // VERDICT #7): the CLI binding runs the SAME contract suite; on
+      // a binary-less box its tests cancel cleanly via the assume below
+      (if (FfmpegMediaDecoder.available) Seq(FfmpegMediaDecoder -> false) else Seq.empty)
 
   private val Dim = 64
   private val Frames = 4
@@ -83,6 +87,21 @@ class MediaDecoderConformanceSpec extends AnyFunSuite {
         }
         assert(dec.audioFeatures(corrupt, Dim) == null)
       }
+  }
+
+  test("ffmpeg binding: absent binary means every decode defers (no throw, no fabrication)") {
+    if (!FfmpegMediaDecoder.available) {
+      // the env-gated path on a binary-less box: pure defer
+      assert(FfmpegMediaDecoder.imageFeatures(png, Dim) == null)
+      assert(FfmpegMediaDecoder.audioFeatures(wav, Dim) == null)
+      assert(FfmpegMediaDecoder.videoFrames(avi, Frames, Dim) == null)
+      info("ffmpeg binary not present — CLI-binding contract section skipped")
+    } else {
+      // with a binary, the real decode paths must produce features for
+      // the healthy fixtures (the full contract runs via `impls` above)
+      assert(FfmpegMediaDecoder.imageFeatures(png, Dim) != null)
+      assert(FfmpegMediaDecoder.audioFeatures(wav, Dim) != null)
+    }
   }
 
   test("the JDK decoder actually decodes: real pixels, PCM, and demuxed frames") {

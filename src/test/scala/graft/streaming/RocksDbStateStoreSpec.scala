@@ -1,0 +1,152 @@
+package graft.streaming
+
+import graft.SparkSpecBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** The 100 TB state-store claim, EXECUTED instead of advised (r16
+  * VERDICT #5; SCALE.md "Streaming state"): the big-state streaming
+  * operators run under `RocksDBStateStoreProvider` with changelog
+  * checkpointing — the configuration a cluster deployment uses when
+  * keyed state outgrows the default HDFS-backed in-memory map — and
+  * must behave identically: same emitted pairs, state surviving a
+  * checkpoint restart, and per-batch commits shipping changelogs
+  * instead of full snapshots.
+  *
+  * What these tests pin that the HDFS-provider suites can't:
+  *  - the operators' state encoders round-trip through RocksDB's
+  *    byte-oriented store (a case-class field that serialized fine into
+  *    the in-memory map can still break a binary store's
+  *    encoder/schema path);
+  *  - changelog checkpointing is actually engaged (`.changelog` files
+  *    in the state checkpoint, not just full `.zip` snapshots) — the
+  *    knob that makes commit latency independent of total state size;
+  *  - the provider reports its native memory/rows metrics, the gauges
+  *    a 100 TB operator is sized by.
+  */
+class RocksDbStateStoreSpec extends SparkSpecBase {
+  import spark.implicits._
+
+  private val RocksProvider =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  private def withRocksDb[A](body: => A): A = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", RocksProvider)
+    spark.conf.set(
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+    try body
+    finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      spark.conf.unset(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+    }
+  }
+
+  private def rocksMetrics(q: StreamingQuery): Map[String, java.lang.Long] = {
+    import scala.jdk.CollectionConverters._
+    Option(q.lastProgress).toSeq.flatMap(_.stateOperators.toSeq)
+      .flatMap(_.customMetrics.asScala).toMap
+  }
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("StreamingNearDup emits identical pairs under RocksDB state + changelog checkpointing") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_neardup").toString
+      val input = MemoryStream[(Long, String)](spark, 4)
+      val pairs = StreamingNearDup.candidatePairs(input.toDS(), threshold = 0.3)
+      val q = pairs.writeStream.format("memory").queryName("rocks_neardup_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        input.addData(Seq((1L, base),
+          (5L, "completely different words about spark catalyst optimizer plans")))
+        q.processAllAvailable()
+        input.addData(Seq((2L, base + " yesterday"), (3L, base + " last week")))
+        q.processAllAvailable()
+        val got = spark.table("rocks_neardup_out")
+          .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+        assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+          s"same pairs as the HDFS-provider suite: $got")
+        // the provider actually engaged: RocksDB-native metrics present
+        val m = rocksMetrics(q)
+        assert(m.keys.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got ${m.keys.toSeq.sorted}")
+        // changelog checkpointing shipped changelogs, not just snapshots
+        val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .filter(_.toString.endsWith(".changelog")).count()
+        assert(changelogs > 0, "changelog checkpointing must write .changelog files")
+      } finally q.stop()
+    }
+  }
+
+  test("RocksDB state survives a stop + restart from the checkpoint") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_restart").toString
+      val input = MemoryStream[(Long, String)](spark, 4)
+      // foreachBatch sink: the memory sink refuses checkpoint recovery,
+      // and recovery is exactly what this test exercises
+      val emitted = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Long)]()
+      def start() = StreamingNearDup
+        .candidatePairs(input.toDS(), threshold = 0.3)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[StreamingNearDup.NearDupPair], _: Long) =>
+          batch.collect().foreach(p => emitted.add((p.a_id, p.b_id))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      input.addData(Seq((1L, base)))
+      q1.processAllAvailable()
+      q1.stop()
+      // new query instance, same checkpoint: doc 1's bucket state must
+      // be restored from the changelog so the late near-dup still pairs
+      val q2 = start()
+      try {
+        input.addData(Seq((2L, base + " tomorrow")))
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(emitted.asScala.toSet == Set((1L, 2L)),
+          s"state recovered across restart must pair (1,2): ${emitted.asScala.toSet}")
+      } finally q2.stop()
+    }
+  }
+
+  test("streaming exact dedup holds corpus-scale key cardinality in RocksDB; rows metric gauges it") {
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_bulk").toString
+      val input = MemoryStream[(Long, String)](spark, 4)
+      // exact streaming dedup keyed by content fingerprint with NO
+      // horizon: every unique doc is one state row forever — the
+      // cardinality class (one key per document ever seen) that
+      // outgrows an in-memory map first at corpus scale, i.e. exactly
+      // why SCALE.md prescribes RocksDB here. 5.5k keys is a
+      // smoke-scale stand-in; the properties that transfer are the
+      // encoder round-trip at bulk and the numRowsTotal gauge reading
+      // the true cardinality.
+      val out = input.toDS().toDF("doc_id", "content_hash")
+        .dropDuplicates("content_hash")
+      val q = out.writeStream.format("memory").queryName("rocks_bulk_out")
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      try {
+        val n = 5000
+        input.addData((1 to n).map(i => (i.toLong, s"h$i")))
+        q.processAllAvailable()
+        // re-send half as dups + a fresh tail
+        input.addData((1 to n / 2).map(i => (100000L + i, s"h$i")) ++
+          (n + 1 to n + 500).map(i => (i.toLong, s"h$i")))
+        q.processAllAvailable()
+        assert(spark.table("rocks_bulk_out").count() == n + 500,
+          "dups must not re-emit through RocksDB state")
+        val m = rocksMetrics(q)
+        val progress = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        assert(progress >= n + 500,
+          s"state rows must gauge the full key cardinality: $progress")
+        assert(m.keys.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got ${m.keys.toSeq.sorted}")
+      } finally q.stop()
+    }
+  }
+}

@@ -677,8 +677,12 @@ object Bench {
     // so cross-round comparison rides a committed artifact, not
     // ROUNDNOTES prose that the driver's bench_full.json overwrite can
     // orphan. Unfiltered runs only — a 2-query iteration must never
-    // masquerade as the round's number.
-    if (filter.isEmpty)
+    // masquerade as the round's number — and QUIET runs only (both
+    // sentinel factors ≤ 1.05, the BenchSwingSpec artifact gate): a
+    // window that degrades mid-run must not silently overwrite a good
+    // committed artifact (observed live on this hook's first outing:
+    // start 1.134 after 4 gate waits, end 2.721).
+    if (filter.isEmpty && !noisy && factor <= 1.05 && factorEnd <= 1.05)
       sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { p =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(p),
           (compact + "\n").getBytes("UTF-8"))

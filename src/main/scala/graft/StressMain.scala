@@ -240,6 +240,8 @@ object StressMain {
       val curveQueries = Seq(
         "q01_pricing_summary",   // scan + hash agg
         "q27_dedup_exact",       // single hash-shuffle groupBy
+        "q29_dedup_minhash",     // LSH banding over distinct signatures (r17 collapse)
+        "q30_dedup_simhash",     // simhash banding over distinct fingerprints
         "q80_zipf",              // token explode + vocab agg + top-k
         "q100_allpairs_jaccard", // prefix-filtered exact pair space
         "q84_dup_clusters",      // pairs + connected components
@@ -276,6 +278,11 @@ object StressMain {
           scales.map(s => f"${t(s)}%6.2fs").mkString(" ") + "   " +
           as.map(a => f"$a%8.2f").mkString(" "))
       }
+      // cap gauges across ALL curve points (accumulated window; the
+      // deep scales are exactly where a bounded drop would first show —
+      // the r16 VERDICT #6 done-criterion is zero dropped groups at 30×)
+      graft.metrics.CapObservatory.fence(spark)
+      println(s"[stress] caps ${graft.metrics.CapObservatory.snapshotJson()}")
     }
 
     if (mode == "bloomshard" || mode == "all") {

@@ -368,7 +368,13 @@ object Dedup {
     // permutations run as a codegen kernel with the exact arithmetic of
     // the SQL oracle below (an interpreted HOF was ~10× slower at 10×)
     val sig = graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), K)
+    // persisted: the shingling+signature pipeline is the plan's
+    // heaviest map work and is referenced three times (the group
+    // collapse below plus both sides of the caller's verify join) —
+    // uncached, each reference re-shingles the corpus (measured ~40 s
+    // for q29 at 10×; one pass after the persist)
     val withSig = d.withColumn("sig", sig)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Collapse identical signatures BEFORE banding (r16 VERDICT #1):
     // exact copies share the full K-value signature, so only distinct
     // signatures enter the band exchange — one window exchange on sig

@@ -118,7 +118,7 @@ object Dedup {
     val b = members.select(col(keyCol), col("doc_id").as("b_id"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
     a.join(b, Seq(keyCol, "salt")).where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"))
+      .select(col(keyCol), col("a_id"), col("b_id"))
   }
 
   /** Collapse a per-doc fingerprint relation to identical-fingerprint
@@ -177,21 +177,59 @@ object Dedup {
     val S = 8
     val MaxBlock = 10000
     val d = docShingled(s, dir)
-    // block census observed (r15 VERDICT #2 discipline): the docs a
+    // Collapse identical (block, shingle-set) docs to one representative
+    // before the block pair join (the r17 capBuckets discipline applied
+    // to the BLOCK cap): exact copies share both the first token and
+    // the hashed shingle set, so pre-collapse they inflated block
+    // censuses toward the 10k cap and grew the salted pair join
+    // quadratically in the duplication factor; collapsed, the block
+    // census counts DISTINCT shingle sets (the true comparison space),
+    // pair-join work is duplication-invariant, and representative pairs
+    // expand back to doc pairs afterward. The key is (first_tok, shh) —
+    // not shh alone — so a group never straddles blocks (two docs with
+    // the same shingle SET but different first tokens were unpaired
+    // pre-collapse and must stay so). Null keys (null-text docs) never
+    // equi-joined before and are excluded before grouping.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("first_tok", "shh")
+    val members = d.select(col("first_tok"), col("shh"), col("doc_id"))
+      .where(col("first_tok").isNotNull && col("shh").isNotNull)
+      .withColumn("rep_id", min(col("doc_id")).over(w))
+      .withColumn("n_members", count(lit(1)).over(w))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val reps = members.where(col("doc_id") === col("rep_id"))
+    // block census observed (r15 VERDICT #2 discipline): the sets a
     // Zipf-headed block cap discards are reported, never silent
     val blockN = graft.metrics.CapObservatory.observeGroupCap(
-      d.groupBy("first_tok").agg(count(lit(1)).as("block_n")),
+      reps.groupBy("first_tok").agg(count(lit(1)).as("block_n")),
       "ngram_first_tok_block", col("block_n"), MaxBlock)
-    val capped = d.join(broadcast(blockN.where(col("block_n") <= MaxBlock)), Seq("first_tok"))
-    val a = capped.select(col("doc_id").as("a_id"), col("first_tok"), col("shh").as("a_sh"))
-      .withColumn("salt", pmod(col("a_id"), lit(S)).cast("int"))
-    val b = capped.select(col("doc_id").as("b_id"), col("first_tok"), col("shh").as("b_sh"))
+    val capped = reps.join(broadcast(blockN.where(col("block_n") <= MaxBlock)), Seq("first_tok"))
+    val a = capped.select(col("rep_id").as("a_rep"), col("first_tok"), col("shh").as("a_sh"))
+      .withColumn("salt", pmod(col("a_rep"), lit(S)).cast("int"))
+    val b = capped.select(col("rep_id").as("b_rep"), col("first_tok"), col("shh").as("b_sh"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    a.join(b, Seq("first_tok", "salt"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"),
+    val repPairs = a.join(b, Seq("first_tok", "salt"))
+      .where(col("a_rep") < col("b_rep"))
+      .select(col("a_rep"), col("b_rep"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
+    val mm = members.select(col("rep_id"), col("doc_id"))
+    val cross = repPairs
+      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
+      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"))
+    // within-group pairs: identical arrays, so their jaccard is the
+    // kernel applied to the representative's own array (NOT a blanket
+    // 1.0 — the kernel's degenerate-input behavior must match what the
+    // old pairwise comparison computed for those same arrays)
+    val intraJ = reps.where(col("n_members") > 1)
+      .select(col("rep_id"), jaccard(col("shh"), col("shh")).as("jaccard"))
+    val intra = intraGroupPairs(
+        members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
+      .join(intraJ, Seq("rep_id"))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+    cross.unionByName(intra)
   }
 
   /** Exact all-pairs Jaccard ≥ `threshold` over the whole corpus — no
@@ -412,6 +450,7 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b_id"))
     val intra = intraGroupPairs(
       members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
+      .select(col("a_id"), col("b_id"))
     // cross (different sigs) and intra (same sig) are disjoint, and
     // each produces every pair at most once — no final distinct needed
     (withSig, cross.unionByName(intra))
@@ -499,7 +538,7 @@ object Dedup {
         greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
     val intra = intraGroupPairs(
       members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
-      .withColumn("hamming", lit(0).cast("int"))
+      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
     cross.unionByName(intra)
   }
 

@@ -173,10 +173,17 @@ object Dedup {
     * documented recall trade-off of this variant. Consumers that need
     * full recall at scale use [[allPairsJaccard]] (exact, prefix-
     * filtered) instead. No effect at test SFs (blocks ≪ cap). */
-  private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+  private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
+    ngramPairsOn(docShingled(s, dir), threshold)
+
+  /** [[ngramPairs]] over any shingled frame (first_tok, shh, doc_id) —
+    * separated so CapMetricsSpec can flood the block cap with exact
+    * copies and assert it never engages (the same gate the LSH caps
+    * carry). */
+  private[graft] def ngramPairsOn(d: DataFrame, threshold: Double,
+      maxBlock: Int = 10000): DataFrame = {
     val S = 8
-    val MaxBlock = 10000
-    val d = docShingled(s, dir)
+    val MaxBlock = maxBlock
     // Collapse identical (block, shingle-set) docs to one representative
     // before the block pair join (the r17 capBuckets discipline applied
     // to the BLOCK cap): exact copies share both the first token and

@@ -111,7 +111,21 @@ class CapMetricsSpec extends SparkSpecBase {
     assert(sim.forall(_.getInt(2) == 0), "exact copies have hamming 0")
     val (_, mhPairs) = graft.queries.Dedup.minhashLshCandidatesOn(docs, maxBucket = 10)
     assert(mhPairs.count() == expectPairs, "minhash LSH must recover all copy pairs")
+    // and the ngram BLOCK cap (same failure class): 30 identical docs
+    // share one (first_tok, shingle-set) group, so the block census
+    // sees ONE distinct set — far under a cap of 10 — while all 435
+    // intra pairs still emit at jaccard 1
+    val shingled = docs.select(col("doc_id"),
+      element_at(split(col("text"), " "), 1).as("first_tok"),
+      array_sort(array_distinct(transform(
+        graft.queries.Dedup.shingles2(split(col("text"), " ")), sh => xxhash64(sh)))).as("shh"))
+    val ng = graft.queries.Dedup.ngramPairsOn(shingled, 0.5, maxBlock = 10)
+    assert(ng.count() == expectPairs, "ngram block path must recover all copy pairs")
     val snap = { CapObservatory.fence(spark); CapObservatory.snapshot() }
+    val blockM = snap.getOrElse("ngram_first_tok_block", Map.empty[String, Long])
+    assert(blockM.getOrElse("dropped_groups", 0L) == 0L &&
+      blockM.getOrElse("max_group", 99L) <= 2L,
+      s"block census must count distinct shingle sets, not docs: $blockM")
     for (tag <- Seq("simhash_band_bucket", "minhash_lsh_bucket")) {
       val m = snap.getOrElse(tag, Map.empty[String, Long])
       assert(m.getOrElse("dropped_rows", 0L) == 0L &&

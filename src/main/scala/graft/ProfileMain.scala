@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Scratch profiler for local iteration (not part of the driver
+  * contract): runs one registry query repeatedly and dumps per-stage
+  * wall/task times so plan overhead is measured, not guessed. */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val reps = if (args.length > 2) args(2).toInt else 3
+    val spark = SparkSession.builder()
+      .appName("graft-profile").master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val stages = mutable.ArrayBuffer[(Int, String, Long, Long, Int)]()
+    val jobs = mutable.ArrayBuffer[(Int, Long, String)]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L))
+        stages += ((si.stageId, si.name.takeWhile(_ != '\n').take(90), wall,
+          si.taskMetrics.executorRunTime, si.numTasks))
+      }
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val sids = js.stageInfos.map(_.stageId).mkString(",")
+        jobs += ((js.jobId, js.time, s"stages=[$sids] " +
+          String.valueOf(js.properties.getProperty("callSite.short", ""))))
+      }
+    })
+    import org.apache.spark.sql.functions._
+    val q: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
+      case "adhocA" => (s, d) => // scan + explicit text repartition only
+        Tables(s, d).documents.where(col("text").isNotNull)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("text"))
+          .select(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))).as("n"))
+          .limit(1)
+      case "adhocA2" => (s, d) => // scan only, no exchange
+        Tables(s, d).documents.where(col("text").isNotNull)
+          .select(sum(length(col("text"))).as("n"))
+      case "adhocB" => (s, d) => // the distinct-text relation, counted
+        queries.Dedup.distinctTextToks(Tables(s, d).documents)
+          .select(col("rep_id"), size(col("toks")).as("n"))
+      case "adhocB2" => (s, d) => // exchange + agg WITHOUT the toks project
+        Tables(s, d).documents.where(col("text").isNotNull)
+          .repartition(s.sessionState.conf.numShufflePartitions, col("text"))
+          .groupBy(col("text"))
+          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
+            sort_array(collect_list(col("doc_id"))).as("member_ids"))
+          .select(col("rep_id"), col("n_members"))
+      case "adhocC2" => (s, d) => { // the exact q29 rels build (shc+sig)
+        import graft.QueryDsl.crossHash60
+        queries.Dedup.distinctTextToks(Tables(s, d).documents)
+          .select(col("rep_id"), col("n_members"), col("member_ids"),
+            array_sort(transform(queries.Dedup.shingles2(col("toks")),
+              sh => crossHash60(sh))).as("shc"))
+          .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), 32))
+          .where(col("sig").isNotNull)
+          .select(count(lit(1)).as("n"))
+      }
+      case "adhocC" => (s, d) => // simhash kernel over the cached toks
+        queries.Dedup.distinctTextToks(Tables(s, d).documents)
+          .select(col("rep_id"),
+            graft.functions.expr.DedupExpressions.simHashFromHashes(
+              transform(col("toks"), w => graft.QueryDsl.crossHash60(w)), 60).as("fp"))
+          .where(col("fp").isNotNull)
+      case "adhocD" => (s, d) => // C + posexplode band rows (no cap window)
+        queries.Dedup.distinctTextToks(Tables(s, d).documents)
+          .select(col("rep_id"),
+            graft.functions.expr.DedupExpressions.simHashFromHashes(
+              transform(col("toks"), w => graft.QueryDsl.crossHash60(w)), 60).as("fp"))
+          .where(col("fp").isNotNull)
+          .select(col("rep_id"), col("fp"),
+            posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), 4, 15)).as(Seq("pos", "band")))
+      case _ =>
+        SparkEntry.queries(SparkEntry.queries.keys.find(_.startsWith(name)).getOrElse(name))
+    }
+    def dumpPlan(df: org.apache.spark.sql.DataFrame): Unit = {
+      import org.apache.spark.sql.execution._
+      import org.apache.spark.sql.execution.adaptive._
+      def walk(p: SparkPlan, depth: Int): Unit = {
+        val interesting = p.metrics.filter { case (k, m) =>
+          (k.contains("time") || k == "duration" || k == "numOutputRows" ||
+            k.contains("build")) && m.value > 0 }
+        val ms = interesting.map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+        println(("  " * depth) + p.nodeName + "  " + ms)
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan, depth + 1)
+          case q: QueryStageExec => walk(q.plan, depth + 1)
+          case i: columnar.InMemoryTableScanExec =>
+            walk(i.relation.cachedPlan, depth + 1)
+          case other => other.children.foreach(walk(_, depth + 1))
+        }
+      }
+      walk(df.queryExecution.executedPlan, 0)
+    }
+    // in-process sampler: counts hot leaf-ish frames of executor threads
+    val frameCounts = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+    val sampling = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val sampler = new Thread(() => {
+      while (sampling.get()) {
+        import scala.jdk.CollectionConverters._
+        Thread.getAllStackTraces.asScala.foreach { case (t, frames) =>
+          if (t.getName.startsWith("Executor task launch") && frames.nonEmpty) {
+            val interesting = frames.find { f =>
+              val c = f.getClassName
+              !c.startsWith("java.") && !c.startsWith("jdk.") && !c.startsWith("sun.") &&
+                !c.startsWith("scala.collection") }
+              .getOrElse(frames.head)
+            val key = interesting.getClassName + "." + interesting.getMethodName
+            frameCounts.merge(key, 1, (a, b) => a + b)
+          }
+        }
+        Thread.sleep(50)
+      }
+    })
+    sampler.setDaemon(true)
+    sampler.start()
+    var lastDf: org.apache.spark.sql.DataFrame = null
+    for (i <- 1 to reps) {
+      spark.catalog.clearCache()
+      stages.clear()
+      val t0 = System.nanoTime()
+      val df = q(spark, sfDir)
+      val n = df.collect().length
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"== run $i: $dt%.2f s, $n rows, ${stages.size} stages")
+      stages.filter(_._3 > 900).sortBy(_._1).foreach { case (id, nm, wall, run, nt) =>
+        val job = jobs.reverse.find(_._3.contains(s"[$id") ).orElse(
+          jobs.find(j => j._3.split("stages=\\[|\\]").lift(1).exists(_.split(',').contains(id.toString))))
+        println(f"   [slow] stage $id%4d wall=${wall}%6d ms taskRun=${run}%7d ms tasks=$nt%3d job=${job.map(_._3).getOrElse("?")}")
+      }
+      if (i == reps && sys.env.contains("GRAFT_PROFILE_PLAN")) dumpPlan(df)
+      if (i == reps) {
+        sampling.set(false)
+        import scala.jdk.CollectionConverters._
+        println("== hot frames (50ms samples of executor threads):")
+        frameCounts.asScala.toSeq.sortBy(-_._2).take(20).foreach { case (k, v) =>
+          println(f"   $v%5d  $k")
+        }
+      }
+      if (i == reps) {
+        stages.sortBy(_._1).foreach { case (id, nm, wall, run, nt) =>
+          println(f"  stage $id%4d wall=${wall}%5d ms taskRun=${run}%6d ms tasks=$nt%3d  $nm")
+        }
+        println(f"  total stage wall: ${stages.map(_._3).sum} ms, total taskRun: ${stages.map(_._4).sum} ms")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -68,6 +68,14 @@ object GovernanceMain {
       .appName("graft-governance")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.adaptive.enabled", "true")
+      // ObjectHashAggregate's LEGACY fallback threshold is 128 distinct
+      // keys per task, after which every collect_list/typed-imperative
+      // aggregate dumps to an external sorter and SORT-aggregates by
+      // the (often string) group key — profiled as the dominant frame
+      // in the dedup family's text-keyed collapses. 256k entries keeps
+      // the hash path for realistic per-task key counts while bounding
+      // worst-case task memory (~100 MB at ~400 B/entry).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -102,15 +102,14 @@ object Dedup {
   }
 
   /** All unordered within-group doc pairs of `members` (columns:
-    * `keyCol`, `doc_id`) — the expansion of a collapsed
-    * identical-fingerprint group back to doc pairs (r16 VERDICT #1).
-    * Output-proportional by construction: a group of g exact copies
-    * HAS g·(g−1)/2 qualifying pairs, so this work is the answer's own
-    * size, not wasted candidate generation. The self-join is salted S
-    * ways (the [[ngramPairs]] pattern: A pinned to one sub-key, B
-    * replicated across all S, each pair produced exactly once) so a
-    * mega-group of exact copies expands across S reducers instead of
-    * stalling one. */
+    * `keyCol`, `doc_id`) — the streaming fallback of [[intraDocPairs]]
+    * for groups too large to expand in-row. Output-proportional by
+    * construction: a group of g exact copies HAS g·(g−1)/2 qualifying
+    * pairs, so this work is the answer's own size, not wasted candidate
+    * generation. The self-join is salted S ways (the [[ngramPairs]]
+    * pattern: A pinned to one sub-key, B replicated across all S, each
+    * pair produced exactly once) so a mega-group of exact copies
+    * expands across S reducers instead of stalling one. */
   private def intraGroupPairs(members: DataFrame, keyCol: String): DataFrame = {
     val S = 8
     val a = members.select(col(keyCol), col("doc_id").as("a_id"))
@@ -121,25 +120,127 @@ object Dedup {
       .select(col(keyCol), col("a_id"), col("b_id"))
   }
 
-  /** Collapse a per-doc fingerprint relation to identical-fingerprint
-    * groups: one exchange on the fingerprint column(s) computes each
-    * doc's group representative (min doc_id) and group size. Returns
-    * the member map with `rep_id`/`n_members` appended — the
-    * representative rows are `doc_id === rep_id`.
+  /** One row per DISTINCT non-null document text: `(rep_id, n_members,
+    * member_ids, toks)` — the shared exact-copy collapse every near-dup
+    * generator builds on (r16 VERDICT #1, rebuilt in r17 after the
+    * first cut measured 2–4× 1×-scale overhead from per-query
+    * fingerprint windows + corpus-grain persists + doc-grain expansion
+    * joins).
     *
-    * PERSISTED (the [[allPairsJaccardOn]] discipline): the member map
-    * is referenced ~5 times downstream (representatives into the band
-    * exchange, both sides of the rep-pair expansion, both sides of the
-    * intra-group expansion) — without the persist each reference
-    * re-scans the corpus and re-runs the fingerprint+window pipeline
-    * (plan census measured documents 2→6 leaves). One action computes
-    * it once; MEMORY_AND_DISK spills, never OOMs. */
-  private def withGroupReps(docs: DataFrame, fpCols: String*): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(fpCols.map(col): _*)
-    docs
-      .withColumn("rep_id", min(col("doc_id")).over(w))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    * Design: ONE map-side-combining aggregate keyed on the text itself
+    * (exact identity — no hash step to argue about) collapses copies
+    * BEFORE any tokenize/shingle/signature kernel runs, so all per-text
+    * work downstream is paid once per distinct text, not once per copy
+    * — at a duplication factor d the kernel work divides by d, which is
+    * the opposite trade of the first cut (which fingerprinted every
+    * copy and then collapsed). Group sizes are duplication-bounded and
+    * the relation is DISTINCT-grain, so the persist is strictly smaller
+    * than the corpus.
+    *
+    * `toks` is materialized through the cache on purpose: higher-order
+    * shingling lambdas get no common-subexpression elimination, so
+    * consumers must read tokens as a materialized attribute, never as
+    * an inline `split()` (see [[docShingled]]; measured ~4×).
+    *
+    * Exactly like the window it replaces, the aggregate places each
+    * whole group on one task (collect_list of copies' ids); that list
+    * is duplication-sized, the same exposure the previous member-map
+    * window had. PERSISTED: q29/q30/q177 share the plan-identical
+    * subtree, so the cache manager keys them to ONE entry. */
+  private[graft] def distinctTextToks(docs: DataFrame): DataFrame =
+    docs.where(col("text").isNotNull)
+      // ONE corpus exchange, written from the scan as RAW TEXT (cheap
+      // serialization — shipping token arrays from the scan task was
+      // measured at 2.7 s serial, because the table arrives as one
+      // split at test SFs and split()+array-shuffle-write ran there).
+      // EXPLICIT width on the group key: the aggregate reuses this
+      // clustering (no second exchange) and AQE cannot coalesce an
+      // explicit repartition — otherwise the cache/kernels downstream
+      // run on one task. Tokenization happens AFTER the exchange, once
+      // per DISTINCT text, distributed.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions, col("text"))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("doc_id"))).as("member_ids"))
+      // a SEPARATE project: `toks` is expensive and multiply-referenced
+      // by consumer shingling lambdas, so CollapseProject keeps the
+      // boundary (its cheap-expression rule) and whole-stage codegen
+      // evaluates the split once per row into a local — consumers read
+      // an attribute, never re-run the split (the docShingled CSE rule,
+      // without paying an exchange of token arrays for it)
+      .select(col("rep_id"), col("n_members"), col("member_ids"),
+        split(col("text"), " ").as("toks"))
+
+  /** Expand rep-level pairs `(a_rep, b_rep, payload…)` back to doc
+    * pairs via the group member lists: two rep-keyed equi-joins against
+    * the GROUP-grain relation fetch the lists, two chained explodes
+    * stream the cross product — work is the answer's own size, and the
+    * payload (jaccard/hamming, computed ONCE per rep pair) fans out to
+    * every copy pair for free. */
+  private def expandCross(repPairs: DataFrame, groups: DataFrame,
+      payload: Seq[String]): DataFrame = {
+    val pay = payload.map(col)
+    repPairs
+      .join(groups.select(col("rep_id").as("a_rep"), col("member_ids").as("a_members")),
+        Seq("a_rep"))
+      .join(groups.select(col("rep_id").as("b_rep"), col("member_ids").as("b_members")),
+        Seq("b_rep"))
+      .select(explode(col("a_members")).as("ia") +: col("b_members") +: pay: _*)
+      .select(explode(col("b_members")).as("ib") +: col("ia") +: pay: _*)
+      .select(least(col("ia"), col("ib")).as("a_id") +:
+        greatest(col("ia"), col("ib")).as("b_id") +: pay: _*)
+  }
+
+  /** In-row expansion of a sorted id array into its C(n,2) ordered pair
+    * structs. Only safe for arrays ≤ [[IntraExplodeCap]] — the pair
+    * array materializes in one row before the explode streams it. */
+  private def pairStructs(ids: Column): Column =
+    flatten(transform(sequence(lit(1), size(ids) - 1),
+      i => transform(slice(ids, i + 1, size(ids) - i),
+        x => struct(element_at(ids, i).as("a_id"), x.as("b_id")))))
+
+  /** Groups above this size route through the salted streaming
+    * self-join instead of the in-row pair array: 1024² /2 structs ≈
+    * 8 MB is the largest single-row allocation the in-row path may
+    * make; a mega-group of exact copies (pathological at web scale)
+    * streams across reducers instead. */
+  private val IntraExplodeCap = 1024
+
+  /** Persist + EAGER materialization (the family-prime/q139 eager-count
+    * discipline at generator scope) for the multi-referenced kernel
+    * relations. Why a cache and not an exchange-reuse barrier: column
+    * pruning specializes every reference's exchange to its own column
+    * set, so "identical" subtrees canonicalize differently and
+    * ReuseExchange serves none of them (measured: 3 parquet scans in
+    * q28's executed plan under the barrier variant). The cache blocks
+    * pushdown, so all references share one materialization; the eager
+    * count serializes the build (otherwise concurrently-materializing
+    * AQE stages race on cache blocks — KeyLock contention was the top
+    * non-compute frame — and each recomputes the kernels). */
+  private def eager(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
+  /** All within-group doc pairs (`a_id < b_id`) of multi-member groups,
+    * payload columns carried through. Groups ≤ [[IntraExplodeCap]]
+    * expand in-row (zero joins — the common case everywhere below the
+    * pathological tail); larger groups take [[intraGroupPairs]]. */
+  private def intraDocPairs(groups: DataFrame, payload: Seq[String]): DataFrame = {
+    val pay = payload.map(col)
+    val multi = groups.where(col("n_members") > 1)
+      .select(col("rep_id") +: col("n_members") +: col("member_ids") +: pay: _*)
+    val small = multi.where(col("n_members") <= IntraExplodeCap)
+      .select(explode(pairStructs(col("member_ids"))).as("p") +: pay: _*)
+      .select(col("p.a_id").as("a_id") +: col("p.b_id").as("b_id") +: pay: _*)
+    val bigGroups = multi.where(col("n_members") > IntraExplodeCap)
+    val big = intraGroupPairs(
+        bigGroups.select(col("rep_id"), explode(col("member_ids")).as("doc_id")), "rep_id")
+      .join(bigGroups.select(col("rep_id") +: pay: _*), Seq("rep_id"))
+      .select(col("a_id") +: col("b_id") +: pay: _*)
+    small.unionByName(big)
   }
 
   /** Exact Jaccard over hashed sorted shingle arrays — native merge-walk
@@ -173,69 +274,110 @@ object Dedup {
     * documented recall trade-off of this variant. Consumers that need
     * full recall at scale use [[allPairsJaccard]] (exact, prefix-
     * filtered) instead. No effect at test SFs (blocks ≪ cap). */
-  private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame =
-    ngramPairsOn(docShingled(s, dir), threshold)
+  private[queries] def ngramPairs(s: SparkSession, dir: String, threshold: Double): DataFrame = {
+    // Shingle DISTINCT texts only (the [[distinctTextToks]] collapse):
+    // at duplication factor d the shingling kernel work divides by d.
+    // A second groupBy on (first_tok, shh) then merges distinct texts
+    // that share a shingle SET — the true comparison grain — by
+    // flattening their member lists (sorted again: flatten order is
+    // collect_list order, which is partitioning-dependent).
+    val toks = col("toks")
+    val shingled = distinctTextToks(Tables(s, dir).documents)
+      .select(col("rep_id"), col("n_members"), col("member_ids"),
+        element_at(toks, 1).as("first_tok"),
+        array_sort(array_distinct(
+          when(size(toks) >= 2,
+            transform(sequence(lit(0), size(toks) - 2),
+              i => xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+            .otherwise(transform(toks, tk => xxhash64(tk))))).as("shh"))
+    // No null guards here: distinctTextToks already excludes null text,
+    // and split() of a non-null text yields ≥1 token, so first_tok and
+    // shh are total — a guard would be rewritten to the whole shingle
+    // chain and predicate-pushed into the serial scan task (the q29
+    // `sig IS NOT NULL` lesson). The doc-grain entry point
+    // [[ngramPairsOn]] keeps its guard: there the columns are caller
+    // attributes, so the pushed filter stays a cheap null check.
+    val groups = shingled
+      // explicit width on the group exchange (see distinctTextToks)
+      .repartition(Tables(s, dir).documents.sparkSession.sessionState.conf.numShufflePartitions,
+        col("first_tok"), col("shh"))
+      .groupBy(col("first_tok"), col("shh"))
+      .agg(min(col("rep_id")).as("rep_id"),
+        sum(col("n_members")).as("n_members"),
+        sort_array(flatten(collect_list(col("member_ids")))).as("member_ids"))
+    ngramPairsGrouped(groups, threshold, maxBlock = 10000)
+  }
 
-  /** [[ngramPairs]] over any shingled frame (first_tok, shh, doc_id) —
-    * separated so CapMetricsSpec can flood the block cap with exact
-    * copies and assert it never engages (the same gate the LSH caps
-    * carry). */
+  /** [[ngramPairs]] over any doc-grain shingled frame (first_tok, shh,
+    * doc_id) — separated so CapMetricsSpec can flood the block cap with
+    * exact copies and assert it never engages (the same gate the LSH
+    * caps carry). Collapses identical (first_tok, shh) docs to one
+    * group first; the production path ([[ngramPairs]]) arrives already
+    * text-collapsed so its shingle kernels run once per distinct text. */
   private[graft] def ngramPairsOn(d: DataFrame, threshold: Double,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = 10000): DataFrame =
+    ngramPairsGrouped(
+      d.select(col("first_tok"), col("shh"), col("doc_id"))
+        .where(col("first_tok").isNotNull && col("shh").isNotNull)
+        .repartition(d.sparkSession.sessionState.conf.numShufflePartitions,
+          col("first_tok"), col("shh"))
+        .groupBy(col("first_tok"), col("shh"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("doc_id"))).as("member_ids")),
+      threshold, maxBlock)
+
+  /** Core of the blocked exact-Jaccard variant over GROUP-grain input
+    * `(first_tok, shh, rep_id, n_members, member_ids)` — one row per
+    * distinct (block, shingle-set) group (r16 VERDICT #1 collapse,
+    * restructured in r17: groupBy-aggregate instead of a window+persist,
+    * member lists carried THROUGH the salted block join — they are
+    * duplication-sized, small next to the shingle arrays already
+    * shipping — and doc pairs recovered by chained explodes, so the
+    * whole expansion adds zero joins). The block census counts DISTINCT
+    * shingle sets (the true comparison space), pair-join work is
+    * duplication-invariant, and exact copies can never engage the
+    * block cap. The key is (first_tok, shh) — not shh alone — so a
+    * group never straddles blocks (two docs with the same shingle SET
+    * but different first tokens were unpaired pre-collapse and must
+    * stay so). Null keys (null-text docs) never equi-joined before and
+    * are excluded before grouping. */
+  private def ngramPairsGrouped(groups0: DataFrame, threshold: Double,
+      maxBlock: Int): DataFrame = {
     val S = 8
-    val MaxBlock = maxBlock
-    // Collapse identical (block, shingle-set) docs to one representative
-    // before the block pair join (the r17 capBuckets discipline applied
-    // to the BLOCK cap): exact copies share both the first token and
-    // the hashed shingle set, so pre-collapse they inflated block
-    // censuses toward the 10k cap and grew the salted pair join
-    // quadratically in the duplication factor; collapsed, the block
-    // census counts DISTINCT shingle sets (the true comparison space),
-    // pair-join work is duplication-invariant, and representative pairs
-    // expand back to doc pairs afterward. The key is (first_tok, shh) —
-    // not shh alone — so a group never straddles blocks (two docs with
-    // the same shingle SET but different first tokens were unpaired
-    // pre-collapse and must stay so). Null keys (null-text docs) never
-    // equi-joined before and are excluded before grouping.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("first_tok", "shh")
-    val members = d.select(col("first_tok"), col("shh"), col("doc_id"))
-      .where(col("first_tok").isNotNull && col("shh").isNotNull)
-      .withColumn("rep_id", min(col("doc_id")).over(w))
-      .withColumn("n_members", count(lit(1)).over(w))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val reps = members.where(col("doc_id") === col("rep_id"))
+    // persisted+eager (see [[eager]]): referenced by the block census,
+    // both block-join sides, and the intra path — and the shingle
+    // kernels below must run once. Both call sites pre-partition the
+    // group exchange at the full configured width (see
+    // distinctTextToks), so the one cache build runs parallel.
+    val groups = eager(groups0)
     // block census observed (r15 VERDICT #2 discipline): the sets a
     // Zipf-headed block cap discards are reported, never silent
     val blockN = graft.metrics.CapObservatory.observeGroupCap(
-      reps.groupBy("first_tok").agg(count(lit(1)).as("block_n")),
-      "ngram_first_tok_block", col("block_n"), MaxBlock)
-    val capped = reps.join(broadcast(blockN.where(col("block_n") <= MaxBlock)), Seq("first_tok"))
-    val a = capped.select(col("rep_id").as("a_rep"), col("first_tok"), col("shh").as("a_sh"))
+      groups.groupBy("first_tok").agg(count(lit(1)).as("block_n")),
+      "ngram_first_tok_block", col("block_n"), maxBlock)
+    val capped = groups.join(broadcast(blockN.where(col("block_n") <= maxBlock)), Seq("first_tok"))
+    val a = capped.select(col("first_tok"), col("rep_id").as("a_rep"),
+        col("shh").as("a_sh"), col("member_ids").as("a_members"))
       .withColumn("salt", pmod(col("a_rep"), lit(S)).cast("int"))
-    val b = capped.select(col("rep_id").as("b_rep"), col("first_tok"), col("shh").as("b_sh"))
+    val b = capped.select(col("first_tok"), col("rep_id").as("b_rep"),
+        col("shh").as("b_sh"), col("member_ids").as("b_members"))
       .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
-    val repPairs = a.join(b, Seq("first_tok", "salt"))
+    val cross = a.join(b, Seq("first_tok", "salt"))
       .where(col("a_rep") < col("b_rep"))
-      .select(col("a_rep"), col("b_rep"),
+      .select(col("a_members"), col("b_members"),
         jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .where(col("jaccard") >= threshold)
-    val mm = members.select(col("rep_id"), col("doc_id"))
-    val cross = repPairs
-      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
-      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
+      .select(explode(col("a_members")).as("ia"), col("b_members"), col("jaccard"))
+      .select(explode(col("b_members")).as("ib"), col("ia"), col("jaccard"))
       .select(least(col("ia"), col("ib")).as("a_id"),
         greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"))
     // within-group pairs: identical arrays, so their jaccard is the
-    // kernel applied to the representative's own array (NOT a blanket
-    // 1.0 — the kernel's degenerate-input behavior must match what the
-    // old pairwise comparison computed for those same arrays)
-    val intraJ = reps.where(col("n_members") > 1)
-      .select(col("rep_id"), jaccard(col("shh"), col("shh")).as("jaccard"))
-    val intra = intraGroupPairs(
-        members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
-      .join(intraJ, Seq("rep_id"))
-      .where(col("jaccard") >= threshold)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    // kernel applied to the group's own array (NOT a blanket 1.0 — the
+    // kernel's degenerate-input behavior must match what the old
+    // pairwise comparison computed for those same arrays)
+    val intra = intraDocPairs(
+      groups.withColumn("jaccard", jaccard(col("shh"), col("shh")))
+        .where(col("jaccard") >= threshold), Seq("jaccard"))
     cross.unionByName(intra)
   }
 
@@ -390,51 +532,61 @@ object Dedup {
   // (signatures, band collisions, verification) is mirrored in the
   // DuckDB oracle: an oracle-checked LSH, not a rows-only one.
   // MinHashSpec additionally proves recall on synthetic near-dups.
-  /** Shared q29/q177 construction: per-doc sorted shingle hashes plus
-    * K=32 minhash signatures, and the 8-band LSH candidate pair set.
-    * Returns (docs = (doc_id, shc, sig), pairs = deduped (a_id, b_id)). */
-  private def minhashLshCandidates(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    minhashLshCandidatesOn(Tables(s, dir).documents)
+  /** The q29/q177 shared relations, all GROUP-grain (one row per
+    * distinct text — the [[distinctTextToks]] collapse):
+    *  - `rels`: (rep_id, n_members, member_ids, shc, sig) — sorted
+    *    shingle hashes plus the K=32 minhash signature, computed ONCE
+    *    per distinct text and persisted;
+    *  - `repPairs`: deduped LSH band-collision pairs over distinct
+    *    texts (a_rep < b_rep).
+    * Consumers verify/score AT REP GRAIN (identical texts have
+    * identical shc/sig, so per-copy verification is pure waste) and
+    * either expand to doc pairs ([[expandCross]]/[[intraDocPairs]]) or
+    * weight rep-level results by member counts (q177). */
+  private[graft] final case class MinhashRels(rels: DataFrame, repPairs: DataFrame)
+
+  private def minhashLshCandidates(s: SparkSession, dir: String): MinhashRels =
+    minhashLshRels(Tables(s, dir).documents)
 
   /** [[minhashLshCandidates]] over any (doc_id, text) frame — separated
     * so CapMetricsSpec can flood it with exact copies and assert the
-    * cap never engages (r16 VERDICT #1 done-criterion). */
-  private[graft] def minhashLshCandidatesOn(docs: DataFrame,
-      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    * cap never engages (r16 VERDICT #1 done-criterion).
+    *
+    * Exact copies collapse BEFORE the shingle/signature kernels run
+    * (see [[distinctTextToks]]), so only distinct texts enter the band
+    * exchange and the bucket cap. Two distinct texts that happen to
+    * share a signature still collide in every band and pair through
+    * the normal capped band join (they are not an intra group — the
+    * group key is the text). A pair of copies collides in every band
+    * by definition, so expanding representative pairs plus the
+    * within-group pairs reproduces the uncollapsed candidate set
+    * exactly. Null-text docs are excluded before grouping (pre-collapse
+    * a null signature exploded to zero band rows and never paired). */
+  private[graft] def minhashLshRels(docs: DataFrame,
+      maxBucket: Int = 1000): MinhashRels = {
     import graft.QueryDsl.crossHash60
-    val s = docs.sparkSession
     val K = 32; val Bands = 8; val R = K / Bands
-    // tokenize pre-exchange, shingle post-exchange (see docShingled)
-    val d = docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .repartition(s.sessionState.conf.numShufflePartitions)
-      .select(col("doc_id"),
-        array_sort(transform(shingles2(col("toks")), sh => crossHash60(sh))).as("shc"))
     // permutations run as a codegen kernel with the exact arithmetic of
-    // the SQL oracle below (an interpreted HOF was ~10× slower at 10×)
-    val sig = graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), K)
-    // persisted: the shingling+signature pipeline is the plan's
-    // heaviest map work and is referenced three times (the group
-    // collapse below plus both sides of the caller's verify join) —
-    // uncached, each reference re-shingles the corpus (measured ~40 s
-    // for q29 at 10×; one pass after the persist)
-    val withSig = d.withColumn("sig", sig)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Collapse identical signatures BEFORE banding (r16 VERDICT #1):
-    // exact copies share the full K-value signature, so only distinct
-    // signatures enter the band exchange — one window exchange on sig
-    // assigns each doc its group representative. A pair of docs
-    // collides in band b iff their signatures' b-slices are equal iff
-    // their representatives collide, so expanding representative pairs
-    // (plus the within-group pairs, which collide in EVERY band)
-    // reproduces the uncollapsed candidate set exactly.
-    // null signatures (null-text docs) are excluded BEFORE grouping:
-    // pre-collapse they exploded to zero band rows and never paired;
-    // grouped, they would all share the null key and intra-pair
-    val members = withGroupReps(
-      withSig.select(col("sig"), col("doc_id")).where(col("sig").isNotNull), "sig")
-    val reps = members.where(col("doc_id") === col("rep_id"))
-      .select(col("sig"), col("rep_id"))
+    // the SQL oracle below (an interpreted HOF was ~10× slower at 10×).
+    // persisted: the shingle+signature relation is referenced by the
+    // band exchange, both verify sides, and both expansion sides —
+    // uncached, each reference would re-run the kernels (measured ~40 s
+    // for q29 at 10×; one distinct-grain pass after the persist).
+    // persisted+eager (see [[eager]]): referenced by the band exchange
+    // and both verify sides; the shingle+signature kernels must run
+    // once (measured ~40 s for q29 at 10× when re-run per reference)
+    // No `sig IS NOT NULL` guard: null text is already excluded in
+    // distinctTextToks, and given non-null text the shingle/signature
+    // kernels are total (split ⇒ ≥1 token ⇒ non-empty shc ⇒ non-null
+    // sig). The guard was not just redundant — the optimizer pushed the
+    // rewritten predicate (the ENTIRE signature pipeline as a filter
+    // expression) below the repartition into the serial scan task,
+    // re-running the kernels per copy on one core (profiled at 3-4.6 s
+    // per execution at sf0.1).
+    val relsE = eager(distinctTextToks(docs)
+      .select(col("rep_id"), col("n_members"), col("member_ids"),
+        array_sort(transform(shingles2(col("toks")), sh => crossHash60(sh))).as("shc"))
+      .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), K)))
     // The band exchange ships only (rep_id, pos, band-slice) — never
     // the shingle arrays. Representative pairs are deduped (a pair can
     // collide in several bands) while still narrow. The join key is
@@ -442,34 +594,59 @@ object Dedup {
     // exactly the oracle's band-equality predicate.
     val bandsArr = array((0 until Bands).map(b => slice(col("sig"), b * R + 1, R)): _*)
     val banded = capBuckets(
-      reps.select(col("rep_id").as("doc_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
+      relsE.select(col("rep_id"), posexplode(bandsArr).as(Seq("pos", "band"))),
       maxBucket = maxBucket, tag = "minhash_lsh_bucket")
-    val repPairs = banded.select(col("pos"), col("band"), col("doc_id").as("a_rep"))
-      .join(banded.select(col("pos"), col("band"), col("doc_id").as("b_rep")), Seq("pos", "band"))
+    val repPairs = banded.select(col("pos"), col("band"), col("rep_id").as("a_rep"))
+      .join(banded.select(col("pos"), col("band"), col("rep_id").as("b_rep")), Seq("pos", "band"))
       .where(col("a_rep") < col("b_rep"))
       .select(col("a_rep"), col("b_rep"))
       .distinct()
-    val mm = members.select(col("rep_id"), col("doc_id"))
-    val cross = repPairs
-      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
-      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
-      .select(least(col("ia"), col("ib")).as("a_id"),
-        greatest(col("ia"), col("ib")).as("b_id"))
-    val intra = intraGroupPairs(
-      members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
-      .select(col("a_id"), col("b_id"))
-    // cross (different sigs) and intra (same sig) are disjoint, and
-    // each produces every pair at most once — no final distinct needed
-    (withSig, cross.unionByName(intra))
+    MinhashRels(relsE, repPairs)
+  }
+
+  /** Doc-grain compatibility view of [[minhashLshRels]]: `_1` = the
+    * group-grain rels frame, `_2` = the full doc-level candidate pair
+    * set (cross-group band collisions expanded to copies, plus
+    * within-group copy pairs). Spec surface (CapMetricsSpec flood,
+    * DedupSpec null-text pin). */
+  private[graft] def minhashLshCandidatesOn(docs: DataFrame,
+      maxBucket: Int = 1000): (DataFrame, DataFrame) = {
+    val r = minhashLshRels(docs, maxBucket)
+    val cross = expandCross(r.repPairs, r.rels, Nil)
+    val intra = intraDocPairs(r.rels, Nil)
+    (r.rels, cross.unionByName(intra))
   }
 
   val q29 = GraftQuery("q29_dedup_minhash", (s, dir) => {
-    val (d, pairs) = minhashLshCandidates(s, dir)
-    pairs
-      .join(d.select(col("doc_id").as("a_id"), col("shc").as("a_sh")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("shc").as("b_sh")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
+    // Verification runs at REP grain: identical texts have identical
+    // shingle arrays, so one kernel evaluation per rep pair covers
+    // every copy pair — the exact-Jaccard verify join shrinks from
+    // candidate-doc-pair-sized to candidate-rep-pair-sized, and the
+    // jaccard value fans out through the expansion.
+    val r = minhashLshCandidates(s, dir)
+    // ONE pair of rep-keyed joins fetches BOTH the verify arrays and
+    // the member lists, so verification (once per rep pair) and doc
+    // expansion (two chained explodes) share the same join — no
+    // separate expansion joins.
+    val cross = r.repPairs
+      .join(r.rels.select(col("rep_id").as("a_rep"), col("shc").as("a_sh"),
+        col("member_ids").as("a_members")), Seq("a_rep"))
+      .join(r.rels.select(col("rep_id").as("b_rep"), col("shc").as("b_sh"),
+        col("member_ids").as("b_members")), Seq("b_rep"))
+      .select(col("a_members"), col("b_members"),
+        jaccard(col("a_sh"), col("b_sh")).as("jaccard"))
       .where(col("jaccard") >= 0.12)
+      .select(explode(col("a_members")).as("ia"), col("b_members"), col("jaccard"))
+      .select(explode(col("b_members")).as("ib"), col("ia"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("a_id"),
+        greatest(col("ia"), col("ib")).as("b_id"), col("jaccard"))
+    // within-group pairs: the kernel applied to the group's own array
+    // (NOT a blanket 1.0 — degenerate-input behavior must match what
+    // the pairwise comparison computed for those same arrays)
+    val intra = intraDocPairs(
+      r.rels.withColumn("jaccard", jaccard(col("shc"), col("shc")))
+        .where(col("jaccard") >= 0.12), Seq("jaccard"))
+    cross.unionByName(intra)
       .orderBy("a_id", "b_id")
   }, Some(
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
@@ -509,43 +686,68 @@ object Dedup {
     * banding cap never engages (r16 VERDICT #1 done-criterion).
     * Identical fingerprints collapse to one representative before the
     * band exchange (see [[capBuckets]]); within-group pairs are
-    * hamming 0 by definition and expand via [[intraGroupPairs]]. */
+    * hamming 0 by definition and expand via [[intraDocPairs]]. */
   private[graft] def simhashPairsOn(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
     import graft.QueryDsl.crossHash60
-    val s = docs.sparkSession
     val Bands = 4; val Bits = 60
+    // Collapse on the FINGERPRINT itself (r16 VERDICT #1): for simhash
+    // the fp is the perfect group key — same fp ⇔ hamming 0, so intra
+    // pairs are hamming 0 BY DEFINITION (no text comparison needed),
+    // exact copies (same text ⇒ same fp) can never engage the band
+    // cap, and the collapse exchange ships 16 bytes/doc (fp + id), not
+    // the text. The fp kernel runs map-side per copy — one pass over
+    // data the collapse has to read anyway, embarrassingly parallel.
+    // Null fingerprints (null text) are excluded BEFORE grouping: a
+    // null fp exploded to zero band rows pre-collapse, so null-text
+    // docs must not intra-pair under a shared null key.
     val fp = graft.functions.expr.DedupExpressions.simHashFromHashes(
       transform(split(col("text"), " "), w => crossHash60(w)), Bits)
-    // null fingerprints excluded before grouping (see the q29 note: a
-    // null fp exploded to zero band rows pre-collapse, so those docs
-    // must not intra-pair under the shared null key)
-    val members = withGroupReps(docs
-      .repartition(s.sessionState.conf.numShufflePartitions)
+    // persisted+eager (see [[eager]]): referenced by the band exchange
+    // and the intra path; narrow (fp + ids)
+    // Null-text docs excluded on the CHEAP predicate (pushed to the
+    // scan); given non-null text the fp kernel is total, so no
+    // `fp IS NOT NULL` guard — the optimizer would push that rewritten
+    // predicate (the whole fp kernel as a filter) below the round-robin
+    // repartition into the serial scan task (see the q29 note).
+    val reps = eager(docs
+      .select(col("doc_id"), col("text"))
+      .where(col("text").isNotNull)
+      // round-robin spread BEFORE the fp kernel (the docShingled rule:
+      // the table arrives as few files at test SFs, and the kernel must
+      // not run in as many tasks as there are input splits); the
+      // groupBy's own exchange then ships 16 bytes/doc
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), fp.as("fp"))
-      .where(col("fp").isNotNull), "fp")
-    val reps = members.where(col("doc_id") === col("rep_id"))
-      .select(col("fp"), col("rep_id"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).as("n_members"),
+        sort_array(collect_list(col("doc_id"))).as("member_ids")))
+    // member lists ride the band exchange (the q28 block-join pattern):
+    // they are duplication-sized — strictly smaller than the per-copy
+    // band rows the pre-collapse plan shipped — and carrying them makes
+    // the whole doc expansion join-free (two chained explodes off the
+    // verified pairs). The pair dedupe (a pair collides in up to 4
+    // bands) runs at rep grain, before expansion multiplies rows.
     val banded = capBuckets(
-      reps.select(col("rep_id"), col("fp"),
+      reps.select(col("rep_id"), col("fp"), col("member_ids"),
         posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), Bands, Bits / Bands)).as(Seq("pos", "band"))),
       maxBucket = maxBucket, tag = "simhash_band_bucket")
-    val a = banded.select(col("pos"), col("band"), col("rep_id").as("a_rep"), col("fp").as("a_fp"))
-    val b = banded.select(col("pos"), col("band"), col("rep_id").as("b_rep"), col("fp").as("b_fp"))
-    val repPairs = a.join(b, Seq("pos", "band"))
+    val a = banded.select(col("pos"), col("band"), col("rep_id").as("a_rep"),
+      col("fp").as("a_fp"), col("member_ids").as("a_members"))
+    val b = banded.select(col("pos"), col("band"), col("rep_id").as("b_rep"),
+      col("fp").as("b_fp"), col("member_ids").as("b_members"))
+    val cross = a.join(b, Seq("pos", "band"))
       .where(col("a_rep") < col("b_rep"))
-      .select(col("a_rep"), col("b_rep"),
+      .select(col("a_rep"), col("b_rep"), col("a_members"), col("b_members"),
         DedupFunctions.hamming64(col("a_fp"), col("b_fp")).cast("int").as("hamming"))
       .where(col("hamming") <= 3)
       .distinct()
-    val mm = members.select(col("rep_id"), col("doc_id"))
-    val cross = repPairs
-      .join(mm.select(col("rep_id").as("a_rep"), col("doc_id").as("ia")), Seq("a_rep"))
-      .join(mm.select(col("rep_id").as("b_rep"), col("doc_id").as("ib")), Seq("b_rep"))
+      .select(explode(col("a_members")).as("ia"), col("b_members"), col("hamming"))
+      .select(explode(col("b_members")).as("ib"), col("ia"), col("hamming"))
       .select(least(col("ia"), col("ib")).as("a_id"),
         greatest(col("ia"), col("ib")).as("b_id"), col("hamming"))
-    val intra = intraGroupPairs(
-      members.where(col("n_members") > 1).select(col("rep_id"), col("doc_id")), "rep_id")
-      .select(col("a_id"), col("b_id"), lit(0).cast("int").as("hamming"))
+    val intra = intraDocPairs(
+      reps.withColumn("hamming", lit(0).cast("int")), Seq("hamming"))
     cross.unionByName(intra)
   }
 
@@ -610,26 +812,44 @@ object Dedup {
   // Scale: identical dataflow to q29 (the candidate generator is
   // shared) plus one decile-keyed census — no new corpus-grain shuffle.
   val q177 = GraftQuery("q177_minhash_calibration", (s, dir) => {
-    val (d, pairs) = minhashLshCandidates(s, dir)
-    val scored = pairs
-      .join(d.select(col("doc_id").as("a_id"), col("shc").as("a_sh"),
-        col("sig").as("a_sig")), Seq("a_id"))
-      .join(d.select(col("doc_id").as("b_id"), col("shc").as("b_sh"),
-        col("sig").as("b_sig")), Seq("b_id"))
+    // Scored at REP grain, weighted by copy multiplicity — the census
+    // NEVER expands to doc pairs. A cross rep pair stands for
+    // n_a·n_b copy pairs, an intra group for n·(n−1)/2, all with the
+    // SAME (m, exact) values (identical texts ⇒ identical shc/sig), so
+    // weighted integer sums reproduce the doc-grain census bit for bit
+    // while the whole query stays duplication-invariant (the r17
+    // collapse discipline taken to its endpoint: at 30× replication
+    // this plan does the 1× work plus one weighted aggregate).
+    val r = minhashLshCandidates(s, dir)
+    val crossScored = r.repPairs
+      .join(r.rels.select(col("rep_id").as("a_rep"), col("shc").as("a_sh"),
+        col("sig").as("a_sig"), col("n_members").as("a_n")), Seq("a_rep"))
+      .join(r.rels.select(col("rep_id").as("b_rep"), col("shc").as("b_sh"),
+        col("sig").as("b_sig"), col("n_members").as("b_n")), Seq("b_rep"))
       .select(
+        (col("a_n") * col("b_n")).as("weight"),
         aggregate(zip_with(col("a_sig"), col("b_sig"),
           (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
           .as("m"),
         jaccard(col("a_sh"), col("b_sh")).as("exact"))
+    // intra pairs: identical sigs match on all K components (m = 32 —
+    // what zip_with over two equal arrays computes); exact is the
+    // kernel on the group's own array (degenerate inputs included)
+    val intraScored = r.rels.where(col("n_members") > 1)
       .select(
+        shiftright(col("n_members") * (col("n_members") - 1), 1).as("weight"),
+        lit(32L).as("m"),
+        jaccard(col("shc"), col("shc")).as("exact"))
+    crossScored.unionByName(intraScored)
+      .select(col("weight"),
         least(floor(col("m") * 10.0 / 32), lit(9.0)).cast("long").as("decile"),
         round(col("m") * 10000.0 / 32).cast("long").as("est_l"),
         round(col("exact") * 10000).cast("long").as("exact_l"))
-    scored.groupBy("decile")
-      .agg(count(lit(1)).as("n_pairs"),
-        sum(col("est_l")).as("sum_est_l"),
-        sum(col("exact_l")).as("sum_exact_l"),
-        sum(abs(col("est_l") - col("exact_l"))).as("sum_err_l"))
+      .groupBy("decile")
+      .agg(sum(col("weight")).as("n_pairs"),
+        sum(col("est_l") * col("weight")).as("sum_est_l"),
+        sum(col("exact_l") * col("weight")).as("sum_exact_l"),
+        sum(abs(col("est_l") - col("exact_l")) * col("weight")).as("sum_err_l"))
       .select(col("decile"), col("n_pairs"),
         (col("sum_est_l").cast("double") / col("n_pairs") / 10000).as("mean_est"),
         (col("sum_exact_l").cast("double") / col("n_pairs") / 10000).as("mean_exact"),

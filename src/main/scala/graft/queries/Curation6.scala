@@ -117,17 +117,27 @@ object Curation6 {
   // Output = the per-doc purge report (gram occurrences, flagged
   // occurrences, flagged ratio) that downstream token budgeting needs.
   //
-  // Plan shape: scan 1 builds the gram document-frequency table —
-  // per-doc distinct grams via in-row array_distinct (no (doc,gram)
-  // dedup shuffle), one gram-keyed aggregate; the threshold join uses
-  // an integer cross-multiply (df·100 ≥ n_docs) against a 1-row
-  // broadcast count, and the surviving BOILERPLATE set is small by
-  // construction (it is the ≥1%-df HEAD of a Zipfian df distribution),
-  // so scan 2 left-joins it BROADCAST and aggregates per doc. Nothing
-  // corpus-sized persists between the scans; if an adversarial corpus
-  // made the head large, the same plan degrades gracefully to a
-  // shuffle equi-join on the gram key (AQE decides via size stats).
-  // Ratio = one IEEE division of exact integers.
+  // Plan shape (r17 restructure — the whole query runs at DISTINCT-TEXT
+  // grain): the Dedup.distinctTextToks collapse tokenizes once per
+  // distinct text (its exchange doubles as the CSE barrier — the old
+  // doc-grain form inlined split() into the gram lambda and re-ran it
+  // per element access), grams build in-row once per distinct text and
+  // the relation persists eagerly (3 references). Pass 1 builds the
+  // gram document-frequency table — per-TEXT distinct grams via in-row
+  // array_distinct, weighted by the copy count (df counts DOCS, and
+  // every copy of a text contains the same grams), one gram-keyed
+  // aggregate. The threshold join uses an integer cross-multiply
+  // (df·100 ≥ n_docs) against a 1-row broadcast count, and the
+  // surviving BOILERPLATE set is small by construction — it is the
+  // ≥ max(5, 1%·n)-df HEAD of a Zipfian df distribution, so
+  // |boiler| ≤ Σdf / (n/100) ≤ 100 · avg distinct grams per doc —
+  // CORPUS-SIZE-INDEPENDENT. Pass 2 left-joins it BROADCAST over the
+  // distinct-text gram occurrences (duplication-invariant work) and
+  // aggregates per text; copies get their rows by exploding the member
+  // list. If an adversarial corpus made the head large, the same plan
+  // degrades gracefully to a shuffle equi-join on the gram key (AQE
+  // decides via size stats). Ratio = one IEEE division of exact
+  // integers, identical for every copy of a text.
   val q132 = q("q132_boilerplate_purge",
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |g AS (SELECT doc_id, unnest(list_transform(range(1, len(w) - 1),
@@ -143,26 +153,27 @@ object Curation6 {
       |  CAST(SUM(CASE WHEN boiler.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boiler_ratio
       |FROM g LEFT JOIN boiler USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-    def withGrams(distinctPerDoc: Boolean): DataFrame = {
-      val w = split(col("text"), " ")
-      val grams = when(size(w) >= 3,
-        transform(sequence(lit(1), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      val g = if (distinctPerDoc) array_distinct(grams) else grams
-      Tables(s, dir).documents.select(col("doc_id"), explode(g).as("gram"))
-    }
+    val toks = col("toks")
+    val grams = when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
+    val g = Dedup.eager(Dedup.distinctTextToks(Tables(s, dir).documents)
+      .select(col("rep_id"), col("n_members"), col("member_ids"), grams.as("grams")))
     val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))
-    val boiler = withGrams(distinctPerDoc = true)
-      .groupBy("gram").agg(count(lit(1)).as("df"))
+    val boiler = g
+      .select(explode(array_distinct(col("grams"))).as("gram"), col("n_members"))
+      .groupBy("gram").agg(sum(col("n_members")).as("df"))
       .crossJoin(broadcast(nDocs))
       .where(col("df") * 100 >= col("n_docs") && col("df") >= 5)
       .select(col("gram"), lit(1).as("is_boiler"))
-    withGrams(distinctPerDoc = false)
+    g.select(col("rep_id"), explode(col("grams")).as("gram"))
       .join(broadcast(boiler), Seq("gram"), "left")
-      .groupBy("doc_id")
+      .groupBy("rep_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(coalesce(col("is_boiler"), lit(0))).cast(LongType).as("n_boiler"))
+      .join(g.select(col("rep_id"), col("member_ids")), Seq("rep_id"))
+      .select(explode(col("member_ids")).as("doc_id"), col("n_grams"), col("n_boiler"))
       .withColumn("boiler_ratio",
         col("n_boiler").cast(DoubleType) / col("n_grams"))
       .orderBy("doc_id")

@@ -41,17 +41,18 @@ object Dedup {
   private[queries] def docShingled(s: SparkSession, dir: String, k: Int = 2): DataFrame = {
     // The documents table arrives as few files (1 at test SFs): without
     // an explicit round-robin repartition the whole per-doc compute
-    // (shingling, hashing, minhash signatures) runs in as many tasks as
-    // there are input splits. Shuffling the raw docs is cheap; the
-    // compute is what must be spread across the cluster.
+    // (tokenizing, shingling, hashing, minhash signatures) runs in as
+    // many tasks as there are input splits. Shuffling the raw docs is
+    // cheap; the compute is what must be spread across the cluster.
     //
-    // Tokenize BEFORE the exchange, shingle AFTER: the shingling lambda
-    // reads the token array k times per position, and expression trees
-    // inside higher-order functions get no common-subexpression
-    // elimination — inlined, the split() would re-run O(k·positions)
-    // times per document. The exchange materializes `toks`, so the
-    // heavy per-position work reads an attribute, not an expression
-    // (measured ~4× on the 4-shingle prep at sf0.1).
+    // Tokenize and shingle AFTER the exchange, with the split in its
+    // own projection: the shingling lambda reads the token array k
+    // times per position, and expression trees inside higher-order
+    // functions get no common-subexpression elimination — inlined, the
+    // split() would re-run O(k·positions) times per document (measured
+    // ~4× on the 4-shingle prep at sf0.1). The separate project is the
+    // barrier (CollapseProject keeps it: expensive expression, multiple
+    // references), so codegen evaluates the split once per row.
     // Hash each shingle AS IT IS FORMED and dedupe/sort on the 64-bit
     // hashes: distinct-of-hashes equals hash-of-distincts, and a long
     // set dedup + sort is far cheaper than a string set dedup over the
@@ -63,9 +64,17 @@ object Dedup {
           transform(sequence(lit(0), size(toks) - k),
             i => xxhash64(concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*))))
           .otherwise(transform(toks, tk => xxhash64(tk)))))
+    // The exchange ships RAW TEXT and the split runs in a separate
+    // project ABOVE it (r17): shipping pre-split token arrays from the
+    // single-split scan task measured ~2.7 s serial at sf0.1 — the
+    // array serialization dwarfs the raw-string write. CollapseProject
+    // keeps the toks boundary (expensive expression, multiply
+    // referenced by the shingling lambda), so codegen still evaluates
+    // the split once per row into a local.
     Tables(s, dir).documents
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("lang"), col("text"))
       .repartition(s.sessionState.conf.numShufflePartitions)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
       .select(
         col("doc_id"), col("lang"),
         element_at(col("toks"), 1).as("first_tok"),
@@ -218,7 +227,7 @@ object Dedup {
     * count serializes the build (otherwise concurrently-materializing
     * AQE stages race on cache blocks — KeyLock contention was the top
     * non-compute frame — and each recomputes the kernels). */
-  private def eager(df: DataFrame): DataFrame = {
+  private[queries] def eager(df: DataFrame): DataFrame = {
     val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     p.count()
     p

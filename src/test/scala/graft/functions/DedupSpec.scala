@@ -201,6 +201,31 @@ class DedupSpec extends SparkSpecBase {
       s"null-text docs must not enter LSH candidates: $mhp")
   }
 
+  test("mega-group expansion: a copy group past the in-row cap routes through the salted join, exact pair count") {
+    // intraDocPairs expands groups ≤1024 members with an in-row C(n,2)
+    // pair array; ABOVE the cap it must fall back to the salted
+    // streaming self-join (a mega-group's pair array would be an O(g²)
+    // single-row allocation). This plants a 1100-copy group — over the
+    // cap — plus a small 3-copy group (in-row path) and one singleton,
+    // and asserts both paths produce exactly their C(n,2) doc pairs,
+    // disjointly, with no pair lost or duplicated at the path seam.
+    import spark.implicits._
+    val big = 1100
+    val text = "the quick brown fox jumps over the lazy dog near the old stone bridge"
+    val other = "entirely different tokens about spark executors shuffling data across racks"
+    val docs = ((1L to big.toLong).map(i => (i, text)) ++
+      Seq((5000L, other), (5001L, other), (5002L, other), (9000L, "a lone unrelated sentence")))
+      .toDF("doc_id", "text")
+    val pairs = graft.queries.Dedup.simhashPairsOn(docs, maxBucket = 10)
+      .select(col("a_id"), col("b_id")).as[(Long, Long)].collect()
+    val expected = big.toLong * (big - 1) / 2 + 3L
+    assert(pairs.length.toLong == expected,
+      s"expected $expected pairs (C($big,2) + C(3,2)), got ${pairs.length}")
+    assert(pairs.distinct.length == pairs.length, "a pair was emitted twice across the path seam")
+    assert(pairs.forall { case (a, b) => a < b }, "pair order invariant broken")
+    assert(!pairs.exists { case (a, b) => a == 9000L || b == 9000L }, "singleton paired")
+  }
+
   test("q29 minhash query finds a planted near-duplicate") {
     import spark.implicits._
     val docs = Seq(

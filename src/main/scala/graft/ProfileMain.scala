@@ -4,9 +4,15 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, S
 import org.apache.spark.sql.SparkSession
 import scala.collection.mutable
 
-/** Scratch profiler for local iteration (not part of the driver
-  * contract): runs one registry query repeatedly and dumps per-stage
-  * wall/task times so plan overhead is measured, not guessed. */
+/** Local profiling harness (not part of the driver contract): runs one
+  * registry query repeatedly and reports per-stage wall/taskRun times,
+  * slow stages mapped to their jobs, and sampled hot frames of the
+  * executor threads — the toolkit that localized this round's dedup
+  * regressions (serial scan-stage kernels from pushed-down derived
+  * predicates, the ObjectHashAggregate sort fallback, cache lock
+  * contention). `GRAFT_PROFILE_PLAN=1` additionally dumps the executed
+  * plan with per-node metrics. Usage:
+  * `sbt "runMain graft.ProfileMain q29 [sfDir] [reps]"`. */
 object ProfileMain {
   def main(args: Array[String]): Unit = {
     val name = args(0)
@@ -34,53 +40,8 @@ object ProfileMain {
           String.valueOf(js.properties.getProperty("callSite.short", ""))))
       }
     })
-    import org.apache.spark.sql.functions._
-    val q: (SparkSession, String) => org.apache.spark.sql.DataFrame = name match {
-      case "adhocA" => (s, d) => // scan + explicit text repartition only
-        Tables(s, d).documents.where(col("text").isNotNull)
-          .repartition(s.sessionState.conf.numShufflePartitions, col("text"))
-          .select(count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(lit(1))).as("n"))
-          .limit(1)
-      case "adhocA2" => (s, d) => // scan only, no exchange
-        Tables(s, d).documents.where(col("text").isNotNull)
-          .select(sum(length(col("text"))).as("n"))
-      case "adhocB" => (s, d) => // the distinct-text relation, counted
-        queries.Dedup.distinctTextToks(Tables(s, d).documents)
-          .select(col("rep_id"), size(col("toks")).as("n"))
-      case "adhocB2" => (s, d) => // exchange + agg WITHOUT the toks project
-        Tables(s, d).documents.where(col("text").isNotNull)
-          .repartition(s.sessionState.conf.numShufflePartitions, col("text"))
-          .groupBy(col("text"))
-          .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_members"),
-            sort_array(collect_list(col("doc_id"))).as("member_ids"))
-          .select(col("rep_id"), col("n_members"))
-      case "adhocC2" => (s, d) => { // the exact q29 rels build (shc+sig)
-        import graft.QueryDsl.crossHash60
-        queries.Dedup.distinctTextToks(Tables(s, d).documents)
-          .select(col("rep_id"), col("n_members"), col("member_ids"),
-            array_sort(transform(queries.Dedup.shingles2(col("toks")),
-              sh => crossHash60(sh))).as("shc"))
-          .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), 32))
-          .where(col("sig").isNotNull)
-          .select(count(lit(1)).as("n"))
-      }
-      case "adhocC" => (s, d) => // simhash kernel over the cached toks
-        queries.Dedup.distinctTextToks(Tables(s, d).documents)
-          .select(col("rep_id"),
-            graft.functions.expr.DedupExpressions.simHashFromHashes(
-              transform(col("toks"), w => graft.QueryDsl.crossHash60(w)), 60).as("fp"))
-          .where(col("fp").isNotNull)
-      case "adhocD" => (s, d) => // C + posexplode band rows (no cap window)
-        queries.Dedup.distinctTextToks(Tables(s, d).documents)
-          .select(col("rep_id"),
-            graft.functions.expr.DedupExpressions.simHashFromHashes(
-              transform(col("toks"), w => graft.QueryDsl.crossHash60(w)), 60).as("fp"))
-          .where(col("fp").isNotNull)
-          .select(col("rep_id"), col("fp"),
-            posexplode(graft.functions.expr.DedupExpressions.fpBands(col("fp"), 4, 15)).as(Seq("pos", "band")))
-      case _ =>
-        SparkEntry.queries(SparkEntry.queries.keys.find(_.startsWith(name)).getOrElse(name))
-    }
+    val q: (SparkSession, String) => org.apache.spark.sql.DataFrame =
+      SparkEntry.queries(SparkEntry.queries.keys.find(_.startsWith(name)).getOrElse(name))
     def dumpPlan(df: org.apache.spark.sql.DataFrame): Unit = {
       import org.apache.spark.sql.execution._
       import org.apache.spark.sql.execution.adaptive._

@@ -252,6 +252,7 @@ object StressMain {
         "q30_dedup_simhash",     // simhash banding over distinct fingerprints
         "q80_zipf",              // token explode + vocab agg + top-k
         "q100_allpairs_jaccard", // prefix-filtered exact pair space
+        "q132_boilerplate_purge", // distinct-text-grain df table + broadcast purge (r17)
         "q84_dup_clusters",      // pairs + connected components
         "q37_ann_ivf",           // kernel-assigned index search
         "q119_embed_int8",       // map-only train+encode

@@ -157,9 +157,16 @@ object Curation5 {
         .otherwise(lit(0L))
     })
 
-  /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). */
+  /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). The
+    * round-robin spread before the encode is the docShingled rule: the
+    * embeddings table arrives as one split at test SFs, and without it
+    * the SQ8 encode AND every downstream integer-dot scan (the
+    * crossJoin(broadcast(queries)) pattern is map-side over THIS
+    * relation's partitioning) run in a single task. */
   private[queries] def sqCoded(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir).embeddings.crossJoin(broadcast(sqStats(s, dir)))
+    Tables(s, dir).embeddings
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .crossJoin(broadcast(sqStats(s, dir)))
       .select(col("vec_id"), sqCode(col("embedding")).as("q"))
 
   val q119 = q("q119_embed_int8",

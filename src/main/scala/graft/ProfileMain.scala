@@ -93,8 +93,11 @@ object ProfileMain {
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"== run $i: $dt%.2f s, $n rows, ${stages.size} stages")
       stages.filter(_._3 > 900).sortBy(_._1).foreach { case (id, nm, wall, run, nt) =>
-        val job = jobs.reverse.find(_._3.contains(s"[$id") ).orElse(
-          jobs.find(j => j._3.split("stages=\\[|\\]").lift(1).exists(_.split(',').contains(id.toString))))
+        // exact stage-id membership only (latest job wins): a prefix
+        // match like contains("[1") would attribute stage 1 to a job
+        // whose list starts with stage 12 (r17 ADVICE)
+        val job = jobs.reverse.find(j => j._3.split("stages=\\[|\\]").lift(1)
+          .exists(_.split(',').map(_.trim).contains(id.toString)))
         println(f"   [slow] stage $id%4d wall=${wall}%6d ms taskRun=${run}%7d ms tasks=$nt%3d job=${job.map(_._3).getOrElse("?")}")
       }
       if (i == reps && sys.env.contains("GRAFT_PROFILE_PLAN")) dumpPlan(df)

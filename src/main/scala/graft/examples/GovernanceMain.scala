@@ -73,8 +73,13 @@ object GovernanceMain {
       // aggregate dumps to an external sorter and SORT-aggregates by
       // the (often string) group key — profiled as the dominant frame
       // in the dedup family's text-keyed collapses. 256k entries keeps
-      // the hash path for realistic per-task key counts while bounding
-      // worst-case task memory (~100 MB at ~400 B/entry).
+      // the hash path for realistic per-task key counts. NOTE the
+      // threshold bounds ENTRY COUNT, not bytes: for text-keyed maps
+      // (distinctTextToks) each entry holds the full group-key text, so
+      // worst-case task memory is 256k x max text length -- ~100 MB at
+      // this corpus's ~400 B texts but multi-GB for multi-KB documents.
+      // Long-document deployments must size it as targetTaskBytes /
+      // maxTextBytes (or key the collapse on a hash + equality check).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

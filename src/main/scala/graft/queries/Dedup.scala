@@ -154,8 +154,25 @@ object Dedup {
     * Exactly like the window it replaces, the aggregate places each
     * whole group on one task (collect_list of copies' ids); that list
     * is duplication-sized, the same exposure the previous member-map
-    * window had. PERSISTED: q29/q30/q177 share the plan-identical
-    * subtree, so the cache manager keys them to ONE entry. */
+    * window had — so it is BOUNDED (the [[LiveClusterIndex]]
+    * discipline: enforced, not advisory): a group whose member list
+    * exceeds [[MaxGroupMembers]] (sys prop `graft.dedup.maxGroupMembers`,
+    * default 4M ≈ 32 MB of ids in one row) fails the query loudly with
+    * a message naming the knob, instead of silently building an
+    * arbitrarily large row for a web-scale mega-group of exact copies.
+    * The guard wraps `member_ids` itself, so it fires exactly where the
+    * oversized list would be consumed — a caller that prunes the column
+    * away never pays (or risks) the list at all. Pair EXPANSION above
+    * [[IntraExplodeCap]] already takes the salted join path; this bound
+    * covers the remaining single-row exposure.
+    *
+    * NOT persisted here: persistence is the CALLERS' job via [[eager]],
+    * and each caller caches its own downstream projection (q28 the
+    * shingle-block groups, q29/q177 the shared `relsE`
+    * shingle+signature relation inside [[minhashLshRels]], q132 the
+    * gram-grain frame in Curation6) — those projections are not
+    * plan-identical, so they are separate cache entries by design; only
+    * q29 and q177 share one (both run [[minhashLshCandidates]]). */
   private[graft] def distinctTextToks(docs: DataFrame): DataFrame =
     docs.where(col("text").isNotNull)
       // ONE corpus exchange, written from the scan as RAW TEXT (cheap
@@ -178,8 +195,25 @@ object Dedup {
       // evaluates the split once per row into a local — consumers read
       // an attribute, never re-run the split (the docShingled CSE rule,
       // without paying an exchange of token arrays for it)
-      .select(col("rep_id"), col("n_members"), col("member_ids"),
+      .select(col("rep_id"), col("n_members"),
+        // loud bound on the one duplication-sized row (see scaladoc):
+        // the guard rides the column, so pruning it away removes both
+        // the list build's consumer and the check together
+        when(col("n_members") > lit(MaxGroupMembers),
+          raise_error(format_string(
+            "graft: exact-copy group of %d members (rep_id=%d) exceeds " +
+              "graft.dedup.maxGroupMembers=" + MaxGroupMembers + ". One text is " +
+              "duplicated past the single-row member-list bound; raise the " +
+              "bound or pre-collapse the source.",
+            col("n_members"), col("rep_id"))))
+          .otherwise(col("member_ids")).as("member_ids"),
         split(col("text"), " ").as("toks"))
+
+  /** Single-row member-list bound for [[distinctTextToks]] (loud, not
+    * advisory — see its scaladoc). Read per plan build so tests can
+    * plant a small bound via the sys prop. */
+  private[graft] def MaxGroupMembers: Long =
+    sys.props.get("graft.dedup.maxGroupMembers").map(_.toLong).getOrElse(4000000L)
 
   /** Expand rep-level pairs `(a_rep, b_rep, payload…)` back to doc
     * pairs via the group member lists: two rep-keyed equi-joins against
@@ -570,7 +604,21 @@ object Dedup {
     * by definition, so expanding representative pairs plus the
     * within-group pairs reproduces the uncollapsed candidate set
     * exactly. Null-text docs are excluded before grouping (pre-collapse
-    * a null signature exploded to zero band rows and never paired). */
+    * a null signature exploded to zero band rows and never paired).
+    *
+    * SEMANTIC DELTA vs the pre-r17 plan (intended, pinned by
+    * CapMetricsSpec): the bucket cap now keys on DISTINCT TEXTS, not
+    * distinct signatures. The old plan collapsed on `sig` before
+    * banding, so >maxBucket distinct texts sharing one signature (e.g.
+    * token-permutation families with equal shingle SETS — "a b"
+    * repeated different numbers of times) rode one banded row and
+    * bypassed the cap; now each distinct text enters its band buckets
+    * individually and a >maxBucket signature-twin family is capped —
+    * loudly, via [[graft.metrics.CapObservatory]]. That is the cap
+    * doing its job: such texts are genuinely distinct documents, and
+    * an unbounded bucket of them is exactly the pathological hot
+    * bucket the cap exists to bound. Only EXACT copies (the class a
+    * dedup pass must never drop) are structurally cap-immune. */
   private[graft] def minhashLshRels(docs: DataFrame,
       maxBucket: Int = 1000): MinhashRels = {
     import graft.QueryDsl.crossHash60

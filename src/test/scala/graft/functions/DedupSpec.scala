@@ -249,4 +249,35 @@ class DedupSpec extends SparkSpecBase {
       .collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1L, 2L)))
   }
+
+  test("a mega-group of exact copies past the member-list bound fails loudly (r17 VERDICT #3)") {
+    // distinctTextToks' collect_list is duplication-sized on ONE row;
+    // the bound (graft.dedup.maxGroupMembers) must fail with the
+    // documented message instead of silently building the row. Plant a
+    // tiny bound, flood one text past it, and assert both the loud
+    // path and that the same corpus passes once the bound is raised.
+    import spark.implicits._
+    val docs = ((1L to 50L).map(i => (i, "same text everywhere")) :+
+      (99L, "a different document")).toDF("doc_id", "text")
+    val prev = sys.props.get("graft.dedup.maxGroupMembers")
+    try {
+      sys.props("graft.dedup.maxGroupMembers") = "10"
+      val ex = intercept[Exception] {
+        graft.queries.Dedup.minhashLshCandidatesOn(docs, maxBucket = 100)._2.count()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+      assert(msgs(ex).exists(m => m.contains("graft.dedup.maxGroupMembers") &&
+        m.contains("exact-copy group of 50 members")),
+        s"must fail with the documented bound message, got: ${msgs(ex).mkString(" | ")}")
+      sys.props("graft.dedup.maxGroupMembers") = "64"
+      val pairs = graft.queries.Dedup.minhashLshCandidatesOn(docs, maxBucket = 100)._2
+      assert(pairs.count() == 50L * 49 / 2, "above the bound the same corpus expands fully")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.dedup.maxGroupMembers") = v
+        case None => sys.props.remove("graft.dedup.maxGroupMembers")
+      }
+    }
+  }
 }

@@ -138,6 +138,34 @@ class CapMetricsSpec extends SparkSpecBase {
     CapObservatory.reset()
   }
 
+  test("signature-twin DISTINCT texts are capped (intended delta vs the pre-r17 plan)") {
+    // r17 ADVICE: the text-grain collapse narrows the cap-immunity
+    // class. Distinct texts with EQUAL SHINGLE SETS (here: "a b"
+    // alternated to different lengths — every 2-shingle is "a b" or
+    // "b a") share one minhash signature; pre-r17 they collapsed on
+    // sig before banding and bypassed maxBucket. Intended behavior
+    // NOW: each distinct text enters its band buckets individually, a
+    // >maxBucket twin family is capped — LOUDLY — and only exact
+    // copies are structurally cap-immune (previous test). These are
+    // genuinely distinct documents; an unbounded bucket of them is the
+    // pathological hot bucket the cap exists to bound.
+    import spark.implicits._
+    CapObservatory.reset()
+    val twins = 30 // 3× the planted cap of 10, all with shingle set {ab, ba}
+    val docs = (1 to twins).map(n => (n.toLong, ("a b " * (n + 1)).trim)).toDF("doc_id", "text")
+    assert(docs.select(countDistinct(col("text"))).head.getLong(0) == twins.toLong,
+      "construction sanity: every doc is a DISTINCT text")
+    val (rels, pairs) = graft.queries.Dedup.minhashLshCandidatesOn(docs, maxBucket = 10)
+    assert(rels.count() == twins.toLong, "no two texts are exact copies — no collapse")
+    assert(pairs.count() == 0L,
+      "every band bucket holds all 30 twins > cap, so the family is capped and pairs drop")
+    val m = { CapObservatory.fence(spark); CapObservatory.snapshot() }
+      .getOrElse("minhash_lsh_bucket", Map.empty[String, Long])
+    assert(m.getOrElse("dropped_groups", 0L) > 0L && m.getOrElse("max_group", 0L) == twins.toLong,
+      s"the cap must announce the dropped twin family: $m")
+    CapObservatory.reset()
+  }
+
   test("snapshotJson renders a sorted, parse-stable object; fence markers never leak") {
     CapObservatory.reset()
     CapObservatory.fence(spark)

@@ -341,8 +341,14 @@ object Bench {
       .foreach(df => df.limit(1).count())
     SparkEntry.queries.get("q01_pricing_summary").foreach(f => f(spark, sfDir).count())
     // ensure the bucketed corpus layout UNTIMED: its one-time write (or
-    // per-JVM re-register) is campaign setup, not q166's per-pass cost
-    try graft.sources.BucketedCorpus.documents(spark, sfDir)
+    // per-JVM re-register) is campaign setup, not q166's per-pass cost.
+    // Touch the scan too — the SAME limit(1) treatment every plain
+    // table gets above: per-file footer reads + FileStatusCache fill
+    // are session warmup, and leaving ONLY the bucketed table cold
+    // skewed q166's t1 ~3x vs its steady state (r17 adjudication).
+    // count() instead of limit(1): limit touches ONE bucket file, a
+    // metadata-only count touches all 32 footers.
+    try graft.sources.BucketedCorpus.documents(spark, sfDir).count()
     catch { case _: Throwable => () }
 
     // Input sanity gate (the r7 q18=0.034s lesson): a physical-type or
@@ -695,10 +701,18 @@ object Bench {
     // window that degrades mid-run must not silently overwrite a good
     // committed artifact (observed live on this hook's first outing:
     // start 1.134 after 4 gate waits, end 2.721).
+    // The quiet FILE additionally carries the full per-query map
+    // (r17 VERDICT #7: worst5 alone made q166's cross-round
+    // adjudication impossible) — full query names, seconds, same
+    // shape as the driver tail's `queries` object. Only stdout stays
+    // compact; a file has no capture-size limit.
+    val quietLine = compact.dropRight(1) +
+      ",\"queries\":" + results.map { case (k, (dt, _, _)) =>
+        "\"" + k + "\":" + f3(dt) }.mkString("{", ",", "}") + "}"
     if (filter.isEmpty && !noisy && factor <= 1.05 && factorEnd <= 1.05)
       sys.env.get("SPARK_GRAFT_QUIET_OUT").foreach { p =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (compact + "\n").getBytes("UTF-8"))
+          (quietLine + "\n").getBytes("UTF-8"))
         catch { case _: Throwable => () }
       }
     println(compact)

@@ -227,6 +227,21 @@ class BenchSwingSpec extends AnyFunSuite {
       val bf = raw""""box_factor":([0-9.]+)""".r.findFirstMatchIn(body).get.group(1).toDouble
       assert(bf <= 1.05, s"${f.getName} box_factor $bf — not a quiet-window artifact")
       assert(body.contains("\"noisy\":false"), s"${f.getName} flagged noisy")
+      // r18+ artifacts (r17 VERDICT #7): the FILE carries the full
+      // per-query map — full query names, one number each, count
+      // agreeing with n_queries — so a single query's cross-round
+      // adjudication never again depends on it making worst5
+      val round = f.getName.replaceAll("[^0-9]", "").toInt
+      if (round >= 18) {
+        val qm = raw""""queries":\{([^}]*)\}""".r.findFirstMatchIn(body)
+        assert(qm.isDefined, s"${f.getName} missing the per-query map")
+        val entries = qm.get.group(1).split(',').filter(_.nonEmpty)
+        val n = raw""""n_queries":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+        assert(entries.length == n,
+          s"${f.getName} queries map has ${entries.length} entries, n_queries=$n")
+        assert(entries.forall(_.matches(""""q\d+[a-z0-9_]*":\d+\.\d+""")),
+          s"${f.getName} queries map must be full-name -> seconds")
+      }
     }
   }
 

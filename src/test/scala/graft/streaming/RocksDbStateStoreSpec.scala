@@ -149,4 +149,91 @@ class RocksDbStateStoreSpec extends SparkSpecBase {
       } finally q.stop()
     }
   }
+
+  test("StreamingSubstringGate's gram-keyed state recovers across restart under RocksDB") {
+    // r17 VERDICT #6: the LARGEST keyed-state surface in the engine
+    // (one entry per distinct L-gram ever seen — the state class
+    // SCALE.md sizes RocksDB for) run under the provider + changelog
+    // checkpointing, with the recovery that matters pinned: a gram
+    // first seen BEFORE the restart must still trigger the first
+    // occurrence's correction when its duplicate arrives AFTER.
+    import StreamingSubstringGate.{DocArrival, SubstringHit}
+    withRocksDb {
+      StreamingSubstringGate.resetResidentGrams()
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_gate").toString
+      val input = MemoryStream[DocArrival](spark, 4)
+      val hits = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, Int, Boolean)]()
+      def start() = StreamingSubstringGate.hits(input.toDS(), L = 3)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[SubstringHit], _: Long) =>
+          b.collect().foreach(h => hits.add((h.docId, h.pos, h.corrected))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      input.addData(Seq(DocArrival(1L, "web", "x1 x2 x3 x4", 1L)))
+      q1.processAllAvailable()
+      q1.stop()
+      assert(hits.isEmpty, "no gram is duplicated before the restart")
+      val q2 = start()
+      try {
+        // "x1 x2 x3" (doc 1 pos 0, pre-restart) recurs at doc 2 pos 1:
+        // recovered state must emit doc 1's correction + doc 2's direct
+        // hit, and nothing for the fresh grams
+        input.addData(Seq(DocArrival(2L, "news", "z0 x1 x2 x3", 2L)))
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(hits.asScala.toSet == Set((1L, 0, true), (2L, 1, false)),
+          s"gram state recovered across restart must flag both sides: ${hits.asScala.toSet}")
+        val m = rocksMetrics(q2)
+        assert(m.keys.exists(_.toLowerCase.contains("rocksdb")),
+          s"expected rocksdb custom metrics, got ${m.keys.toSeq.sorted}")
+        val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .filter(_.toString.endsWith(".changelog")).count()
+        assert(changelogs > 0, "changelog checkpointing must write .changelog files")
+      } finally q2.stop()
+    }
+  }
+
+  test("StreamingChurn's doc snapshot state recovers across restart under RocksDB") {
+    // the living-snapshot state class (one entry per live doc +
+    // fenced tombstones): after a restart the recovered fingerprint
+    // must drive 'changed' (not 'added'), the recovered seq high-water
+    // mark must fence a stale redelivery, and a tombstone must read
+    // the recovered fp to verdict 'removed' (not 'unchanged').
+    import StreamingChurn.{ChurnVerdict, CrawlRecord}
+    withRocksDb {
+      val ckpt = java.nio.file.Files.createTempDirectory("rocks_churn").toString
+      val input = MemoryStream[CrawlRecord](spark)
+      val verdicts = java.util.concurrent.ConcurrentHashMap.newKeySet[(Long, String, Long)]()
+      def start() = StreamingChurn.verdicts(input.toDS())
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[ChurnVerdict], _: Long) =>
+          b.collect().foreach(v => verdicts.add((v.doc_id, v.status, v.seq))); ()
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      val q1 = start()
+      input.addData(Seq(CrawlRecord(1L, "s", Some("aa"), 1L),
+        CrawlRecord(2L, "s", Some("bb"), 1L)))
+      q1.processAllAvailable()
+      q1.stop()
+      val q2 = start()
+      try {
+        input.addData(Seq(
+          CrawlRecord(1L, "s", Some("cc"), 2L),  // changed vs RECOVERED aa
+          CrawlRecord(2L, "s", Some("bb"), 1L),  // stale redelivery: fenced by recovered seq
+          CrawlRecord(2L, "s", None, 2L)))       // removed vs RECOVERED bb
+        q2.processAllAvailable()
+        import scala.jdk.CollectionConverters._
+        assert(verdicts.asScala.toSet == Set(
+          (1L, "added", 1L), (2L, "added", 1L),
+          (1L, "changed", 2L), (2L, "removed", 2L)),
+          s"recovered state must drive changed/removed/fence: ${verdicts.asScala.toSet}")
+        val changelogs = java.nio.file.Files.walk(java.nio.file.Paths.get(ckpt))
+          .filter(_.toString.endsWith(".changelog")).count()
+        assert(changelogs > 0, "changelog checkpointing must write .changelog files")
+      } finally q2.stop()
+    }
+  }
 }

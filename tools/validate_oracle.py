@@ -21,6 +21,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fail, ok, rows_only = [], [], []
 names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
+# optional argv[3]: comma-separated query-name filter (full names or qNN
+# prefixes), mirroring graft.Verify's third arg — lets a local iteration
+# or a straggler re-check skip the multi-hour full sf0.1 sweep
+if len(sys.argv) > 3:
+    wanted = {w.strip() for w in sys.argv[3].split(",") if w.strip()}
+    names = [n for n in names if n in wanted or n.split("_")[0] in wanted]
 for name in names:
     # incremental progress on stderr: long sf0.1 oracle passes are
     # otherwise silent for hours and impossible to attribute

@@ -205,4 +205,64 @@ object ConnectedComponents {
     und.unpersist()
     labels
   }
+
+  /** Incremental connected-components update — the deployment split of
+    * q158 as a first-class operator (SCALE.md round-18: a recomputed
+    * base clustering was ~68% of the benchmarked leg; a real ingest
+    * loop READS it as stored state and pays only what follows).
+    *
+    * Given the STORED base clustering (`baseLabels`: first two columns
+    * node → comp, where comp is the min node id of the base component —
+    * exactly [[minLabelPropagation]]'s output) and a cohort's new
+    * candidate edges (`deltaEdges`: two node columns; endpoints may be
+    * base nodes, new nodes, or both), produces the clustering of the
+    * UNION graph without touching base edges:
+    *
+    *  1. CONTRACT: map each delta endpoint through its stored label
+    *     (unlabeled nodes pass through as themselves) — two broadcast-
+    *     or hash-equi-joins at DELTA grain; self-loops and duplicate
+    *     contracted edges drop before the solve.
+    *  2. SOLVE: CC on the contracted graph, whose size is (affected
+    *     base clusters + new nodes), never the corpus — measured at 30×
+    *     stress: 449k contracted edges / 30k nodes from a 2.4M-pair
+    *     relation, small enough for the driver union-find fallback.
+    *  3. COMPOSE: every node maps node → stored label (or itself) →
+    *     contracted component.
+    *
+    * Output: `(node, base_comp, comp)` for every node in `baseLabels`
+    * or `deltaEdges` — `base_comp` is null for new nodes (kept so merge
+    * censuses like q158's base-cluster count need no extra join), and
+    * `comp` equals what [[minLabelPropagation]] would return on the
+    * full edge union (exact, not approximate: a base label IS the min
+    * id of its base component, so the contracted min-label is the
+    * global min of the merged component — IncrementalCcSpec proves
+    * equality against full recomputes on randomized graphs). Work is
+    * O(|delta|) plus two equi-joins against the label table; the base
+    * EDGE set is never read, which is the entire point at 100 TB. */
+  def incrementalUpdate(baseLabels: DataFrame, deltaEdges: DataFrame,
+      maxIter: Int = 20, driverFallbackEdges: Long = 1000000L): DataFrame = {
+    val Seq(ea, eb) = deltaEdges.columns.toSeq.take(2)
+    val Seq(bn, bc) = baseLabels.columns.toSeq.take(2)
+    val bl = baseLabels.select(col(bn).as("node"), col(bc).as("base_comp"))
+    val contracted = deltaEdges
+      .join(bl.select(col("node").as(ea), col("base_comp").as("la")), Seq(ea), "left")
+      .join(bl.select(col("node").as(eb), col("base_comp").as("lb")), Seq(eb), "left")
+      .select(coalesce(col("la"), col(ea)).as("ca"),
+        coalesce(col("lb"), col(eb)).as("cb"))
+      .where(col("ca") =!= col("cb"))
+      .distinct()
+    val delta2 = minLabelPropagation(contracted, maxIter, driverFallbackEdges)
+      .select(col("node").as("cid"), col("comp").as("l2"))
+    val allNodes = bl.select("node")
+      .unionAll(deltaEdges.select(col(ea).as("node")))
+      .unionAll(deltaEdges.select(col(eb).as("node")))
+      .distinct()
+    allNodes
+      .join(bl, Seq("node"), "left")
+      .select(col("node"), col("base_comp"),
+        coalesce(col("base_comp"), col("node")).as("cid"))
+      .join(delta2, Seq("cid"), "left")
+      .select(col("node"), col("base_comp"),
+        coalesce(col("l2"), col("cid")).as("comp"))
+  }
 }

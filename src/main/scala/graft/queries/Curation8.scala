@@ -501,25 +501,13 @@ object Curation8 {
       .minLabelPropagation(basePairs)
       .select(col("node"), col("comp").as("l1"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // contraction: delta endpoints → their stored label (or themselves)
-    val contracted = deltaPairs
-      .join(baseLabels.select(col("node").as("a_id"), col("l1").as("la")), Seq("a_id"), "left")
-      .join(baseLabels.select(col("node").as("b_id"), col("l1").as("lb")), Seq("b_id"), "left")
-      .select(coalesce(col("la"), col("a_id")).as("ca"),
-        coalesce(col("lb"), col("b_id")).as("cb"))
-      .where(col("ca") =!= col("cb"))
-      .distinct()
-    val delta2 = graft.operators.ConnectedComponents.minLabelPropagation(contracted)
-      .select(col("node").as("cid"), col("comp").as("l2"))
-    // compose: every pair member → contracted id → final label
-    val allNodes = pairs.select(col("a_id").as("node"))
-      .unionAll(pairs.select(col("b_id").as("node"))).distinct()
-    val labeled = allNodes
-      .join(baseLabels, Seq("node"), "left")
-      .select(col("node"), col("l1"), coalesce(col("l1"), col("node")).as("cid"))
-      .join(delta2, Seq("cid"), "left")
-      .select(col("node"), col("l1"),
-        coalesce(col("l2"), col("cid")).as("cluster_id"))
+    // contract → solve → compose, via the first-class operator (r18:
+    // the deployment split a real ingest loop runs — stored labels in,
+    // delta edges in, no base-edge read). base_comp is the stored label
+    // (null for the new cohort), exactly the l1 the census needs.
+    val labeled = graft.operators.ConnectedComponents
+      .incrementalUpdate(baseLabels, deltaPairs)
+      .select(col("node"), col("base_comp").as("l1"), col("comp").as("cluster_id"))
     val docAgg = labeled.groupBy("cluster_id")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!isNew(col("node")), 1L).otherwise(0L)).as("n_base_docs"),

@@ -51,6 +51,22 @@ class IncrementalCcSpec extends SparkSpecBase {
     assert(fast.view.mapValues(_._2).toMap == full(base ++ delta))
   }
 
+  test("chained ingests compose: labels from update N are valid stored state for update N+1") {
+    // the real deployment loop — each cohort's output labels (node,
+    // comp) become the next cohort's base. Note the select: the
+    // operator RETURNS (node, base_comp, comp); the stored-state
+    // contract is (node, comp), so the caller projects before chaining.
+    val base = Seq((1L, 2L), (5L, 6L))
+    val d1 = Seq((2L, 5L), (100L, 101L))          // merge {1,2}+{5,6}; new {100,101}
+    val d2 = Seq((101L, 6L), (200L, 1L))          // merge everything except...
+    val l0 = ConnectedComponents.minLabelPropagation(base.toDF("src", "dst"))
+    val l1 = ConnectedComponents.incrementalUpdate(l0, d1.toDF("a", "b"))
+      .select(col("node"), col("comp"))
+    val l2 = ConnectedComponents.incrementalUpdate(l1, d2.toDF("a", "b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(l2 == full(base ++ d1 ++ d2), s"chained labels diverge: $l2")
+  }
+
   test("randomized: incremental over a random base/delta split == full recompute (8 seeds)") {
     import org.scalacheck.Gen
     import org.scalacheck.rng.Seed

@@ -143,6 +143,50 @@ object SimilarityKernels {
     }
   }
 
+  /** Integer dot product over two array<long> code vectors (the SQ8
+    * scan's inner loop) — exact twin of
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)`, which evaluates as an
+    * INTERPRETED lambda tree per element (ArrayAggregate/zip_with are
+    * CodegenFallback; profiled as the dominant compute frames of the
+    * q121/q123/q147 family: BinaryArithmetic.eval + ArrayAggregate.eval).
+    * Null/length semantics mirror the HOF chain exactly: zip_with pads
+    * the shorter side with nulls and the product/sum propagate, so a
+    * length mismatch or a null element yields NULL; otherwise the
+    * ascending-index sum of products — integer arithmetic, so the
+    * result is bit-identical in any order and equals the oracle's
+    * list_aggregate sum. */
+  def dotLongBoxed(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    java.lang.Long.valueOf(s)
+  }
+
+  /** Count of positions where two array<long> vectors carry equal
+    * non-null values — exact twin of
+    * `aggregate(zip_with(a, b, (x, y) => when(x === y, 1L).otherwise(0L)), 0L, _+_)`
+    * (q177's per-pair matching-minhash-component count): a null on
+    * either side compares null and falls to the otherwise-0, padded
+    * positions from a length mismatch likewise, so the count never
+    * goes null and equals the equal-position count within the common
+    * prefix length. */
+  def matchCountLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var c = 0L
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i) && !b.isNullAt(i) && a.getLong(i) == b.getLong(i)) c += 1
+      i += 1
+    }
+    c
+  }
+
   /** |A∩B| over two ascending-sorted distinct long arrays — the same
     * merge walk as [[jaccardSortedLong]] but returning the raw count, so
     * asymmetric measures (containment |A∩B|/|A|, overlap coefficient)
@@ -341,6 +385,40 @@ case class JaroWinkler(left: Expression, right: Expression) extends BinaryExpres
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** Integer dot over two array<long> SQ8 code vectors — codegen-native.
+  * Nullable: mirrors the zip_with/aggregate null propagation it
+  * replaces (length mismatch or null element → NULL). */
+case class DotLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_dot_long"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.dotLongBoxed(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val tmp = ctx.freshName("dotLong")
+      s"""
+         |java.lang.Long $tmp = graft.functions.expr.SimilarityKernels.dotLongBoxed($a, $b);
+         |if ($tmp == null) { ${ev.isNull} = true; } else { ${ev.value} = $tmp.longValue(); }
+       """.stripMargin
+    })
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
+/** Equal-position count over two array<long> vectors — codegen-native. */
+case class MatchCountLong(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "graft_match_count"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SimilarityKernels.matchCountLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.SimilarityKernels.matchCountLong($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+}
+
 /** |A∩B| count over two sorted distinct array<long> (hashed shingles). */
 case class IntersectSortedLong(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -364,6 +442,8 @@ object SimilarityExpressions {
   def jaccardDistinct(a: Column, b: Column): Column = c(JaccardDistinct(e(a), e(b)))
   def jaccardSortedLong(a: Column, b: Column): Column = c(JaccardSortedLong(e(a), e(b)))
   def intersectSortedLong(a: Column, b: Column): Column = c(IntersectSortedLong(e(a), e(b)))
+  def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
+  def matchCountLong(a: Column, b: Column): Column = c(MatchCountLong(e(a), e(b)))
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
   def nearestCentroidId(v: Column, cents: Array[Double], ids: Array[Long], dim: Int): Column =
     c(NearestCentroidId(e(v), cents, ids, dim))

@@ -220,8 +220,9 @@ object Curation5 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = coded.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qc"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot (see SimilarityKernels.dotLongBoxed):
+    // exact twin of the aggregate(zip_with(...)) fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     // bounded-heap head (graft.functions.TopK): per-(partition, qid)
     // k-heaps merged map-side — no full per-query sort, no corpus-sized
     // shuffle into ≤|queries| reducers; integer dots carry exactly.
@@ -355,8 +356,9 @@ object Curation5 {
     val labels = Tables(s, dir).embeddings.select(col("vec_id"), col("label"))
     val qs = coded.where(col("vec_id") < maxQid)
       .select(col("vec_id").as("qid"), col("q").as("qc"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot (see SimilarityKernels.dotLongBoxed):
+    // exact twin of the aggregate(zip_with(...)) fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     // neighbor head via bounded-heap top-k (graft.functions.TopK) — the
     // corpus-sized scored relation never shuffles into ≤|queries| tasks
     val nn = coded.crossJoin(broadcast(qs))
@@ -459,8 +461,9 @@ object Curation5 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qc = coded.where(col("vec_id") === 0)
       .select(col("vec_id").as("qid"), col("q").as("qc"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot (see SimilarityKernels.dotLongBoxed):
+    // exact twin of the aggregate(zip_with(...)) fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     val dense = coded.crossJoin(broadcast(qc))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
@@ -503,8 +506,9 @@ object Curation5 {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = coded.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("q").as("qc"), col("label").as("qlab"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot (see SimilarityKernels.dotLongBoxed):
+    // exact twin of the aggregate(zip_with(...)) fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     val head = coded.crossJoin(broadcast(qs))
       .where(col("vec_id") =!= col("qid") && col("label") =!= col("qlab"))
       .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))

@@ -127,8 +127,8 @@ object Curation9 {
         nearestCentroidId(col("v"), flat, ids, dim).as("cent_id"),
         Curation5.sqCode(col("v")).as("q"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dot = aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot — exact twin of the HOF fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("q"), col("cq"))
     val nbrs = assigned
       .join(assigned.select(col("cent_id"), col("vec_id").as("cid"),
         col("q").as("cq")), Seq("cent_id"))
@@ -266,8 +266,8 @@ object Curation9 {
     // assigns to itself (cos=1 is the max), so the filter is exact
     val centCodes = assigned.where(col("vec_id").isInCollection(ids))
       .select(col("vec_id").as("cent_id"), col("q").as("cq"))
-    val dot = aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot — exact twin of the HOF fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("q"), col("cq"))
     val d = assigned.join(broadcast(centCodes), Seq("cent_id"))
       .select(col("cent_id"), col("vec_id"), dot.as("dot"))
     val cellStats = d.groupBy("cent_id")

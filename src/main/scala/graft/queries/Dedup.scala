@@ -885,9 +885,11 @@ object Dedup {
         col("sig").as("b_sig"), col("n_members").as("b_n")), Seq("b_rep"))
       .select(
         (col("a_n") * col("b_n")).as("weight"),
-        aggregate(zip_with(col("a_sig"), col("b_sig"),
-          (x, y) => when(x === y, 1L).otherwise(0L)), lit(0L), (a, v) => a + v)
-          .as("m"),
+        // codegen-native equal-position count (SimilarityKernels
+        // .matchCountLong) — exact twin of the interpreted
+        // zip_with(when(x===y,1,0))+aggregate fold it replaces
+        graft.functions.expr.SimilarityExpressions
+          .matchCountLong(col("a_sig"), col("b_sig")).as("m"),
         jaccard(col("a_sh"), col("b_sh")).as("exact"))
     // intra pairs: identical sigs match on all K components (m = 32 —
     // what zip_with over two equal arrays computes); exact is the

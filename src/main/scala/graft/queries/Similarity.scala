@@ -572,8 +572,8 @@ object Similarity {
     val probes = c.where(col("vec_id") < 10).crossJoin(st)
       .select(col("vec_id").as("qid"), Curation5.sqCode(col("v")).as("qc"),
         explode(probeCentroidIds(col("v"), flat, ids, dim, NProbe)).as("cent_id"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot — exact twin of the HOF fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
     assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("qid"))
@@ -879,8 +879,8 @@ object Similarity {
         Curation5.sqCode(col("v")).as("q"))
     val centCodes = c.where(col("vec_id").isin(ids.toIndexedSeq: _*)).crossJoin(st)
       .select(col("vec_id").as("cent_id"), Curation5.sqCode(col("v")).as("cq"))
-    val align = aggregate(zip_with(col("q"), col("cq"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot — exact twin of the HOF fold it replaces
+    val align = graft.functions.expr.SimilarityExpressions.dotLong(col("q"), col("cq"))
     assigned.join(broadcast(centCodes), Seq("cent_id"))
       .select(col("cent_id"), col("vec_id"), align.as("align"))
       .groupBy("cent_id")

@@ -99,8 +99,8 @@ object Similarity2 {
     val queries = c.where(col("vec_id") < NQ).crossJoin(st)
       .select(col("vec_id").as("qid"), Curation5.sqCode(col("v")).as("qc"),
         probeCentroidIds(col("v"), flat, ids, dim, MaxProbe).as("plist"))
-    val dot = aggregate(zip_with(col("qc"), col("q"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    // codegen-native integer dot — exact twin of the HOF fold it replaces
+    val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
     // truth: the exhaustive SQ8 baseline (q121's shape, bounded-heap head)
     val truth = assigned.crossJoin(broadcast(queries.select(col("qid"), col("qc"))))
       .where(col("vec_id") =!= col("qid"))

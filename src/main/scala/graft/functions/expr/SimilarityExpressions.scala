@@ -187,6 +187,69 @@ object SimilarityKernels {
     c
   }
 
+  /** SQ8 encode of one vector against the broadcast per-dim (mins,
+    * maxs) stats row — exact twin of the `transform(arr, (x, i) =>
+    * when(maxs[i+1] > mins[i+1], least(floor((x - mn) * 255 / (mx -
+    * mn)), 254) - 127).otherwise(0))` HOF it replaces (ArrayTransform
+    * is CodegenFallback: the encode ran as an interpreted lambda tree
+    * per element over every corpus row of all 13 SQ8-family queries).
+    * Edge semantics mirror the expression chain exactly:
+    *  - a vector longer than the stats arrays throws, as ANSI
+    *    `element_at` past the end did (unreachable in production —
+    *    [[graft.queries.Curation5.sqStats]] derives the stats from the
+    *    same corpus, so they span every dim any vector has);
+    *  - a null stats ELEMENT makes the `when` predicate NULL →
+    *    otherwise-0;
+    *  - the mx > mn compare uses Spark's double total order (NaN
+    *    greatest), not the IEEE primitive;
+    *  - a null vector element under a true predicate propagates to a
+    *    null OUTPUT element (arithmetic on null);
+    *  - float inputs widen exactly (the same cast the HOF applied).
+    * Arithmetic is the identical IEEE chain — floor, long cap at 254,
+    * −127 — so codes are bit-equal to the oracle's. */
+  def sqEncode(v: ArrayData, mins: ArrayData, maxs: ArrayData,
+      floatElems: Boolean): ArrayData = {
+    val n = v.numElements()
+    val nm = mins.numElements()
+    val nx = maxs.numElements()
+    val out = new Array[Long](n)
+    var nulls: Array[Boolean] = null
+    var i = 0
+    while (i < n) {
+      if (i >= nm || i >= nx)
+        throw new ArrayIndexOutOfBoundsException(
+          s"graft_sq_encode: vector dim ${i + 1} beyond stats arrays " +
+            s"($nm mins / $nx maxs) — ANSI element_at would throw here")
+      if (mins.isNullAt(i) || maxs.isNullAt(i)) {
+        out(i) = 0L // when-predicate NULL → otherwise(0)
+      } else {
+        val mn = mins.getDouble(i)
+        val mx = maxs.getDouble(i)
+        // Spark's double comparison: NaN ranks greatest (and only the
+        // NaN corner differs from the primitive >)
+        val gt = (java.lang.Double.isNaN(mx) && !java.lang.Double.isNaN(mn)) || mx > mn
+        if (!gt) out(i) = 0L
+        else if (v.isNullAt(i)) {
+          if (nulls == null) nulls = new Array[Boolean](n)
+          nulls(i) = true
+        } else {
+          val x = if (floatElems) v.getFloat(i).toDouble else v.getDouble(i)
+          val f = math.floor((x - mn) * 255.0 / (mx - mn)).toLong
+          out(i) = math.min(f, 254L) - 127L
+        }
+      }
+      i += 1
+    }
+    if (nulls == null) {
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val boxed = new Array[Any](n)
+      var j = 0
+      while (j < n) { boxed(j) = if (nulls(j)) null else out(j); j += 1 }
+      new GenericArrayData(boxed)
+    }
+  }
+
   /** |A∩B| over two ascending-sorted distinct long arrays — the same
     * merge walk as [[jaccardSortedLong]] but returning the raw count, so
     * asymmetric measures (containment |A∩B|/|A|, overlap coefficient)
@@ -406,6 +469,30 @@ case class DotLong(left: Expression, right: Expression) extends BinaryExpression
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
 }
 
+/** SQ8 encode (vector, mins, maxs) → array<long> codes — codegen-native
+  * twin of the ArrayTransform chain (see [[SimilarityKernels.sqEncode]]).
+  * Handles array<float> and array<double> vectors (the float path widens
+  * exactly, as the HOF's cast did). */
+case class SqEncode(first: Expression, second: Expression, third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = true)
+  override def prettyName: String = "graft_sq_encode"
+  private def floatElems: Boolean = first.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override protected def nullSafeEval(v: Any, mins: Any, maxs: Any): Any =
+    SimilarityKernels.sqEncode(v.asInstanceOf[ArrayData],
+      mins.asInstanceOf[ArrayData], maxs.asInstanceOf[ArrayData], floatElems)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, mins, maxs) =>
+      s"graft.functions.expr.SimilarityKernels.sqEncode($v, $mins, $maxs, $floatElems)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(f, s, t)
+}
+
 /** Equal-position count over two array<long> vectors — codegen-native. */
 case class MatchCountLong(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -444,6 +531,8 @@ object SimilarityExpressions {
   def intersectSortedLong(a: Column, b: Column): Column = c(IntersectSortedLong(e(a), e(b)))
   def dotLong(a: Column, b: Column): Column = c(DotLong(e(a), e(b)))
   def matchCountLong(a: Column, b: Column): Column = c(MatchCountLong(e(a), e(b)))
+  def sqEncode(v: Column, mins: Column, maxs: Column): Column =
+    c(SqEncode(e(v), e(mins), e(maxs)))
   def jaroWinkler(a: Column, b: Column): Column = c(JaroWinkler(e(a), e(b)))
   def nearestCentroidId(v: Column, cents: Array[Double], ids: Array[Long], dim: Int): Column =
     c(NearestCentroidId(e(v), cents, ids, dim))

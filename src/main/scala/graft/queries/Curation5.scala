@@ -146,16 +146,16 @@ object Curation5 {
 
   /** SQ8 encoder expression over a vector column (float or double —
     * element casts to double are exact either way); expects the
-    * broadcast [[sqStats]] row's `mins`/`maxs` in scope. */
+    * broadcast [[sqStats]] row's `mins`/`maxs` in scope. r18: runs as
+    * the codegen-native [[graft.functions.expr.SimilarityKernels.sqEncode]]
+    * kernel — the previous `transform((x, i) => when(mx > mn,
+    * least(floor((x − mn)·255/(mx − mn)), 254) − 127).otherwise(0))`
+    * HOF evaluated as an interpreted lambda tree per element on every
+    * corpus row of all 13 SQ8-family queries; the kernel is its exact
+    * twin (same IEEE chain, same element_at/when null edges — pinned by
+    * DotLongParitySpec's encode case). */
   private[queries] def sqCode(arr: Column): Column =
-    transform(arr, (x, i) => {
-      val mn = element_at(col("mins"), i + 1)
-      val mx = element_at(col("maxs"), i + 1)
-      when(mx > mn,
-        least(floor((x.cast(DoubleType) - mn) * lit(255.0) / (mx - mn)).cast(LongType),
-          lit(254L)) - lit(127L))
-        .otherwise(lit(0L))
-    })
+    graft.functions.expr.SimilarityExpressions.sqEncode(arr, col("mins"), col("maxs"))
 
   /** Spark twin of [[SqCtes]]: the coded corpus (vec_id, q). The
     * round-robin spread before the encode is the docShingled rule: the

@@ -573,9 +573,21 @@ object Curation8 {
       |ORDER BY threshold""".stripMargin) { (s, dir) =>
     val scored = Dedup.allPairsJaccard(s, dir, 0.5)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    Seq(0.5, 0.9, 0.95, 0.98).map { t =>
+    val thresholds = Seq(0.5, 0.9, 0.95, 0.98)
+    // ONE pass over the (result-sized, persisted) scored pairs computes
+    // all four legs' survivor counts — r18: this was four sequential
+    // count() jobs, one per threshold, each a full scan of the cached
+    // relation; a conditional-sum aggregate reads it once and collects
+    // the same four integers (when(j >= t) counts exactly the rows
+    // where(j >= t).count() counted).
+    val cntCols = thresholds.map(t =>
+      sum(when(col("jaccard") >= t, 1L).otherwise(0L)).as(s"c$t"))
+    val cntRow = scored.agg(cntCols.head, cntCols.tail: _*).collect()(0)
+    val nPairsByT = thresholds.zipWithIndex.map { case (t, i) =>
+      t -> (if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i)) }.toMap
+    thresholds.map { t =>
       val pt = scored.where(col("jaccard") >= t).select(col("a_id"), col("b_id"))
-      val nPairs = pt.count() // bounded: the dedup pair set is result-sized
+      val nPairs = nPairsByT(t) // bounded: the dedup pair set is result-sized
       val census =
         if (nPairs == 0)
           s.range(1).select(lit(0L).as("n_docs"), lit(0L).as("n_clusters"),

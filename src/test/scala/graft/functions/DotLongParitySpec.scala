@@ -58,6 +58,47 @@ class DotLongParitySpec extends SparkSpecBase {
     assert(r.getLong(2) == 2L && r.getLong(3) == 2L)
   }
 
+  private def hofSqCode(arr: org.apache.spark.sql.Column) =
+    transform(arr, (x, i) => {
+      val mn = element_at(col("mins"), i + 1)
+      val mx = element_at(col("maxs"), i + 1)
+      when(mx > mn,
+        least(floor((x.cast("double") - mn) * lit(255.0) / (mx - mn)).cast("long"),
+          lit(254L)) - lit(127L))
+        .otherwise(lit(0L))
+    })
+
+  test("sqEncode kernel matches the transform-HOF encoder on float and double vectors") {
+    // float vectors (the embeddings-table path) with a constant dim
+    // (mx == mn → otherwise-0)
+    val vecsF = (1 to 200).map(_ => Seq.fill(16)(rng.nextFloat() * 10f - 5f))
+      .map(v => v.updated(3, 1.25f)) // dim 3 constant across corpus
+    val dfF = vecsF.toDF("v")
+    val minsF = (0 until 16).map(d => vecsF.map(_(d)).min.toDouble)
+    val maxsF = (0 until 16).map(d => vecsF.map(_(d)).max.toDouble)
+    val withStatsF = dfF
+      .withColumn("mins", typedLit(minsF)).withColumn("maxs", typedLit(maxsF))
+    val diffsF = withStatsF.select(
+        graft.functions.expr.SimilarityExpressions
+          .sqEncode(col("v"), col("mins"), col("maxs")).as("k"),
+        hofSqCode(col("v")).as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(diffsF == 0)
+    // double vectors (the Similarity.corpus path), full-length stats
+    val vecsD = (1 to 200).map(_ => Seq.fill(16)(rng.nextDouble() * 4 - 2))
+    val dfD = vecsD.toDF("v")
+    val minsD = (0 until 16).map(d => vecsD.map(_(d)).min)
+    val maxsD = (0 until 16).map(d => vecsD.map(_(d)).max)
+    val withStatsD = dfD
+      .withColumn("mins", typedLit(minsD)).withColumn("maxs", typedLit(maxsD))
+    val diffsD = withStatsD.select(
+        graft.functions.expr.SimilarityExpressions
+          .sqEncode(col("v"), col("mins"), col("maxs")).as("k"),
+        hofSqCode(col("v")).as("h"))
+      .where(col("k") =!= col("h")).count()
+    assert(diffsD == 0)
+  }
+
   test("null / empty arrays propagate identically") {
     val df = Seq(
       (null.asInstanceOf[Seq[Long]], Seq(1L, 2L)),

@@ -2,7 +2,7 @@ package graft.functions.expr
 
 import graft.functions.Hashing
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -209,6 +209,191 @@ object DedupKernels {
     sig
   }
 
+  private val Space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  private def xx64(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XXH64
+      .hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** QueryDsl.crossHash60 over raw UTF8String bytes — the top 60 bits
+    * of md5, exactly the Column form's conv(substr(md5, 1, 15), 16, 10)
+    * (md5() hashes the string's UTF-8 bytes; hashing them directly
+    * avoids the toString round-trip). */
+  private def crossHash60Utf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
+
+  /** Sorted-distinct xxhash64 k-shingles of a token array — codegen
+    * twin of the Dedup.docShingled / ngramPairs HOF chain
+    * `array_sort(array_distinct(when(size(toks) >= k,
+    *   transform(sequence(0, n−k), i => xxhash64(concat_ws(" ", toks[i+1..i+k]))))
+    *  .otherwise(transform(toks, xxhash64))))`,
+    * which evaluated as an interpreted lambda tree per document
+    * (ArrayTransform/Sequence are CodegenFallback — profiled as the
+    * dedup family's dominant scan-stage CPU). Exact-twin notes: hashes
+    * are Spark's xxhash64 (XXH64 over UTF-8 bytes, seed 42) of the
+    * concat_ws join — concat_ws SKIPS null tokens, so a null inside a
+    * k-window hashes the joined survivors, and in the <k per-token
+    * branch xxhash64 IGNORES a null input and returns its seed (42L) —
+    * hash expressions never produce null, so neither does this kernel.
+    * split() never produces null tokens, so the null paths are
+    * defensive parity, not data. */
+  def xxShinglesK(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val hs: Array[Long] =
+      if (n >= k) {
+        val out = new Array[Long](n - k + 1)
+        val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+        var i = 0
+        while (i < out.length) {
+          var o = 0
+          while (o < k) {
+            window(o) = if (toks.isNullAt(i + o)) null else toks.getUTF8String(i + o)
+            o += 1
+          }
+          out(i) = xx64(org.apache.spark.unsafe.types.UTF8String.concatWs(Space, window: _*))
+          i += 1
+        }
+        out
+      } else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) {
+          out(i) = if (toks.isNullAt(i)) 42L else xx64(toks.getUTF8String(i))
+          i += 1
+        }
+        out
+      }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var i = 0
+    while (i < hs.length) {
+      if (m == 0 || hs(i) != hs(m - 1)) { hs(m) = hs(i); m += 1 }
+      i += 1
+    }
+    val uniq = if (m == hs.length) hs else java.util.Arrays.copyOf(hs, m)
+    UnsafeArrayData.fromPrimitiveArray(uniq)
+  }
+
+  /** crossHash60 of the DISTINCT k-token shingles (or distinct tokens
+    * when the doc is shorter than k), optionally sorted — codegen twin
+    * of `transform(Dedup.shinglesK(toks, k), sh => crossHash60(sh))`
+    * (+ array_sort for the minhash path). Distinctness is on the
+    * shingle STRINGS (first-occurrence order, like array_distinct);
+    * hash-collision duplicates survive, exactly as the HOF chain's.
+    * Null tokens: concat_ws skips them inside a window; in the <k
+    * branch a null token is kept once by array_distinct and hashes to
+    * a null element in place. */
+  def crossShinglesK(toks: ArrayData, k: Int, sorted: Boolean): ArrayData = {
+    val n = toks.numElements()
+    val seen = new java.util.HashSet[org.apache.spark.unsafe.types.UTF8String]()
+    var sawNull = false
+    var nullPos = -1
+    var cnt = 0
+    val buf = new scala.collection.mutable.ArrayBuilder.ofLong
+    if (n >= k) {
+      val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+      var i = 0
+      while (i <= n - k) {
+        var o = 0
+        while (o < k) {
+          window(o) = if (toks.isNullAt(i + o)) null else toks.getUTF8String(i + o)
+          o += 1
+        }
+        val sh = org.apache.spark.unsafe.types.UTF8String.concatWs(Space, window: _*)
+        if (seen.add(sh)) { buf += crossHash60Utf8(sh); cnt += 1 }
+        i += 1
+      }
+    } else {
+      var i = 0
+      while (i < n) {
+        if (toks.isNullAt(i)) {
+          if (!sawNull) { sawNull = true; nullPos = cnt }
+        } else {
+          val t = toks.getUTF8String(i)
+          if (seen.add(t)) { buf += crossHash60Utf8(t); cnt += 1 }
+        }
+        i += 1
+      }
+    }
+    val hs = buf.result()
+    if (sorted) java.util.Arrays.sort(hs)
+    if (!sawNull) UnsafeArrayData.fromPrimitiveArray(hs)
+    else {
+      // distinct keeps the null at its first-occurrence position;
+      // array_sort (sorted=true) moves it last
+      val boxed = new Array[Any](hs.length + 1)
+      val at = if (sorted) hs.length else nullPos
+      var j = 0
+      var src = 0
+      while (j < boxed.length) {
+        if (j == at) boxed(j) = null
+        else { boxed(j) = hs(src); src += 1 }
+        j += 1
+      }
+      new GenericArrayData(boxed)
+    }
+  }
+
+  /** crossHash60 of EVERY k-gram in position order (no distinct) —
+    * codegen twin of `transform(sequence(0, n−k), i =>
+    * crossHash60(concat_ws(" ", slice(toks, i+1, k))))` (q183's
+    * per-position L-gram pass). Caller guards n ≥ k (the HOF sits
+    * under a `when(size >= L, …).otherwise(array())`). */
+  def crossGramsK(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return UnsafeArrayData.fromPrimitiveArray(new Array[Long](0))
+    val out = new Array[Long](n - k + 1)
+    val window = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+    var i = 0
+    while (i < out.length) {
+      var o = 0
+      while (o < k) {
+        window(o) = if (toks.isNullAt(i + o)) null else toks.getUTF8String(i + o)
+        o += 1
+      }
+      out(i) = crossHash60Utf8(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(Space, window: _*))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** crossHash60 of every element in order — codegen twin of
+    * `transform(arr, w => crossHash60(w))` (q30's per-token hash feed
+    * into the simhash vote kernel). Null elements hash to null. */
+  def crossHash60All(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    var sawNull = false
+    var i = 0
+    while (i < n && !sawNull) { sawNull = arr.isNullAt(i); i += 1 }
+    if (!sawNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = crossHash60Utf8(arr.getUTF8String(i)); i += 1 }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val boxed = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        boxed(i) = if (arr.isNullAt(i)) null else crossHash60Utf8(arr.getUTF8String(i))
+        i += 1
+      }
+      new GenericArrayData(boxed)
+    }
+  }
+
   /** Split a `bands*width`-bit fingerprint into `bands` bit-chunks. */
   def fpBands(fp: Long, bands: Int, width: Int): ArrayData = {
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -306,6 +491,47 @@ case class HyperplaneSigExpr(child: Expression, bits: Int) extends UnaryKernelEx
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class XxShinglesKExpr(child: Expression, k: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_xx_shingles"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.xxShinglesK(a.asInstanceOf[ArrayData], k)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.xxShinglesK($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CrossShinglesKExpr(child: Expression, k: Int, sorted: Boolean)
+    extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_cross_shingles"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.crossShinglesK(a.asInstanceOf[ArrayData], k, sorted)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.crossShinglesK($c, $k, $sorted)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CrossGramsKExpr(child: Expression, k: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_cross_grams"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.crossGramsK(a.asInstanceOf[ArrayData], k)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.crossGramsK($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class CrossHash60AllExpr(child: Expression) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_cross_hash_all"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.crossHash60All(a.asInstanceOf[ArrayData])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.crossHash60All($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FpBandsExpr(child: Expression, bands: Int, width: Int) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fp_bands"
@@ -331,4 +557,9 @@ object DedupExpressions {
   /** width = total signature bits / bands (16 for 64-bit simhash in 4
     * bands; 4 for 16-bit hyperplane signatures in 4 bands). */
   def fpBands(fp: Column, bands: Int, width: Int): Column = c(FpBandsExpr(e(fp), bands, width))
+  def xxShinglesK(toks: Column, k: Int): Column = c(XxShinglesKExpr(e(toks), k))
+  def crossShinglesK(toks: Column, k: Int, sorted: Boolean): Column =
+    c(CrossShinglesKExpr(e(toks), k, sorted))
+  def crossGramsK(toks: Column, k: Int): Column = c(CrossGramsKExpr(e(toks), k))
+  def crossHash60All(arr: Column): Column = c(CrossHash60AllExpr(e(arr)))
 }

@@ -132,11 +132,15 @@ object Curation14 {
       |       * 10000 / COUNT(*)) AS BIGINT) / 10000.0 AS novelty
       |FROM g JOIN c USING (gh) GROUP BY g.source ORDER BY g.source""".stripMargin) {
     (s, dir) =>
-    import graft.QueryDsl.crossHash60
+    // codegen kernel twin of explode(shinglesK(toks, 3)) |> crossHash60:
+    // hash-of-distinct-shingles == distinct-shingles-then-hash, and the
+    // kernel hashes each distinct 3-gram in one straight-line pass
+    // instead of materializing gram strings through an interpreted
+    // ArrayTransform (ShingleKernelParitySpec pins the equality)
     val g = Tables(s, dir).documents
       .select(col("source"), split(col("text"), " ").as("toks"))
-      .select(col("source"), explode(Dedup.shinglesK(col("toks"), 3)).as("gram"))
-      .select(col("source"), crossHash60(col("gram")).as("gh"))
+      .select(col("source"), explode(graft.functions.expr.DedupExpressions
+        .crossShinglesK(col("toks"), 3, sorted = false)).as("gh"))
       .distinct()
     val c = g.groupBy("gh").agg(count(lit(1)).as("n_src"))
     g.join(c, Seq("gh"))
@@ -335,12 +339,13 @@ object Curation14 {
       |  CAST(round(CAST(SUM(CASE WHEN in_train THEN 1 ELSE 0 END) AS DOUBLE)
       |       * 10000 / COUNT(*)) AS BIGINT) / 10000.0 AS overlap_rate
       |FROM ev GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
-    import graft.QueryDsl.crossHash60
+    // codegen kernel twin of explode(shinglesK(toks, 8)) |> crossHash60
+    // (see q179; ShingleKernelParitySpec pins the equality)
     val g = Tables(s, dir).documents
       .select(Curation13.splitCol(col("doc_id"), col("source")).as("split"),
         split(col("text"), " ").as("toks"))
-      .select(col("split"), explode(Dedup.shinglesK(col("toks"), 8)).as("gram"))
-      .select(col("split"), crossHash60(col("gram")).as("gh"))
+      .select(col("split"), explode(graft.functions.expr.DedupExpressions
+        .crossShinglesK(col("toks"), 8, sorted = false)).as("gh"))
       .distinct()
     val tr = g.where(col("split") === "train")
       .select(col("gh"), lit(true).as("in_train"))

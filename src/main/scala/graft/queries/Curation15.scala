@@ -93,11 +93,16 @@ object Curation15 {
     val d = docs.select(col("doc_id"), col("source"), split(col("text"), " ").as("t"))
     // one row per token position: (doc, pos, 60-bit hash of the L-gram
     // starting there); the gram string is transient inside the lambda
+    // codegen kernel twin of the per-position L-gram HOF
+    //   when(size >= L, transform(sequence(0, n-L),
+    //     i => crossHash60(concat_ws(" ", slice(t, i+1, L))))).otherwise(array())
+    // — the kernel returns an empty array below L tokens (and a null `t`
+    // nulls through to zero posexplode rows, exactly like the otherwise
+    // branch), so the guard folds into the kernel; the interpreted
+    // Sequence/ArrayTransform/Slice tree ran per document
+    // (ShingleKernelParitySpec pins kernel == HOF)
     val g = d.select(col("doc_id"),
-        posexplode(when(size(col("t")) >= L,
-          transform(sequence(lit(0), size(col("t")) - L),
-            i => crossHash60(concat_ws(" ", slice(col("t"), i + 1, lit(L))))))
-          .otherwise(array())))
+        posexplode(graft.functions.expr.DedupExpressions.crossGramsK(col("t"), L)))
       .select(col("doc_id"), col("pos"), col("col").as("gh"))
     // vocabulary-grain census: a gram occurring ≥2 times anywhere (same
     // doc counts) marks every occurrence's window as duplicated text

@@ -58,12 +58,17 @@ object Dedup {
     // set dedup + sort is far cheaper than a string set dedup over the
     // materialized shingle strings.
     val toks = col("toks")
+    // Codegen kernel twin of the HOF chain
+    //   array_sort(array_distinct(when(size >= k,
+    //     transform(sequence(0, n-k), i => xxhash64(concat_ws(" ", toks[i+1..i+k]))))
+    //    .otherwise(transform(toks, xxhash64))))
+    // — ArrayTransform/Sequence are CodegenFallback, so the chain ran as
+    // an interpreted lambda tree per document (profiled as the dedup
+    // family's dominant scan-stage CPU). DedupKernels.xxShinglesK is the
+    // straight-line loop with identical hash/null/dedup/sort semantics
+    // (ShingleKernelParitySpec pins kernel == HOF on randomized corpora).
     def hashedShingles(k: Int): Column =
-      array_sort(array_distinct(
-        when(size(toks) >= k,
-          transform(sequence(lit(0), size(toks) - k),
-            i => xxhash64(concat_ws(" ", (0 until k).map(o => element_at(toks, i + o + 1)): _*))))
-          .otherwise(transform(toks, tk => xxhash64(tk)))))
+      graft.functions.expr.DedupExpressions.xxShinglesK(toks, k)
     // The exchange ships RAW TEXT and the split runs in a separate
     // project ABOVE it (r17): shipping pre-split token arrays from the
     // single-split scan task measured ~2.7 s serial at sf0.1 — the
@@ -328,11 +333,9 @@ object Dedup {
     val shingled = distinctTextToks(Tables(s, dir).documents)
       .select(col("rep_id"), col("n_members"), col("member_ids"),
         element_at(toks, 1).as("first_tok"),
-        array_sort(array_distinct(
-          when(size(toks) >= 2,
-            transform(sequence(lit(0), size(toks) - 2),
-              i => xxhash64(concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
-            .otherwise(transform(toks, tk => xxhash64(tk))))).as("shh"))
+        // codegen kernel twin of the 2-shingle xxhash64 HOF chain (see
+        // [[docShingled]]; ShingleKernelParitySpec pins the equality)
+        graft.functions.expr.DedupExpressions.xxShinglesK(toks, 2).as("shh"))
     // No null guards here: distinctTextToks already excludes null text,
     // and split() of a non-null text yields ≥1 token, so first_tok and
     // shh are total — a guard would be rewritten to the whole shingle
@@ -621,7 +624,6 @@ object Dedup {
     * dedup pass must never drop) are structurally cap-immune. */
   private[graft] def minhashLshRels(docs: DataFrame,
       maxBucket: Int = 1000): MinhashRels = {
-    import graft.QueryDsl.crossHash60
     val K = 32; val Bands = 8; val R = K / Bands
     // permutations run as a codegen kernel with the exact arithmetic of
     // the SQL oracle below (an interpreted HOF was ~10× slower at 10×).
@@ -642,7 +644,13 @@ object Dedup {
     // per execution at sf0.1).
     val relsE = eager(distinctTextToks(docs)
       .select(col("rep_id"), col("n_members"), col("member_ids"),
-        array_sort(transform(shingles2(col("toks")), sh => crossHash60(sh))).as("shc"))
+        // codegen kernel twin of
+        //   array_sort(transform(shingles2(toks), sh => crossHash60(sh)))
+        // — distinct 2-shingles hashed with the cross-engine 60-bit md5
+        // hash, sorted; the HOF chain ran interpreted per distinct text
+        // (ShingleKernelParitySpec pins kernel == HOF)
+        graft.functions.expr.DedupExpressions
+          .crossShinglesK(col("toks"), 2, sorted = true).as("shc"))
       .withColumn("sig", graft.functions.expr.DedupExpressions.minHashSigMod(col("shc"), K)))
     // The band exchange ships only (rep_id, pos, band-slice) — never
     // the shingle arrays. Representative pairs are deduped (a pair can
@@ -745,7 +753,6 @@ object Dedup {
     * band exchange (see [[capBuckets]]); within-group pairs are
     * hamming 0 by definition and expand via [[intraDocPairs]]. */
   private[graft] def simhashPairsOn(docs: DataFrame, maxBucket: Int = 1000): DataFrame = {
-    import graft.QueryDsl.crossHash60
     val Bands = 4; val Bits = 60
     // Collapse on the FINGERPRINT itself (r16 VERDICT #1): for simhash
     // the fp is the perfect group key — same fp ⇔ hamming 0, so intra
@@ -757,8 +764,12 @@ object Dedup {
     // Null fingerprints (null text) are excluded BEFORE grouping: a
     // null fp exploded to zero band rows pre-collapse, so null-text
     // docs must not intra-pair under a shared null key.
+    // per-token crossHash60 runs as a codegen kernel — the interpreted
+    // transform(split(text), w => crossHash60(w)) lambda was the last
+    // non-codegen piece of the fp pipeline (the vote loop already was
+    // a kernel); ShingleKernelParitySpec pins kernel == HOF
     val fp = graft.functions.expr.DedupExpressions.simHashFromHashes(
-      transform(split(col("text"), " "), w => crossHash60(w)), Bits)
+      graft.functions.expr.DedupExpressions.crossHash60All(split(col("text"), " ")), Bits)
     // persisted+eager (see [[eager]]): referenced by the band exchange
     // and the intra path; narrow (fp + ids)
     // Null-text docs excluded on the CHEAP predicate (pushed to the

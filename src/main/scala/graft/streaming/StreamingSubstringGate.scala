@@ -127,13 +127,13 @@ object StreamingSubstringGate {
       s"shard $shard out of range for $shards shards")
     val spark = docs.sparkSession
     import spark.implicits._
+    // codegen kernel twin of the batch census' per-position L-gram HOF
+    // (Curation15.exactSubstringCensus — the two surfaces must hash
+    // identically; the kernel returns an empty array below L tokens)
     val allGrams = docs.toDF()
       .withColumn("t", split(col("text"), " "))
       .select(col("docId"), col("source"), col("seq"),
-        posexplode(when(size(col("t")) >= L,
-          transform(sequence(lit(0), size(col("t")) - L),
-            i => graft.QueryDsl.crossHash60(concat_ws(" ", slice(col("t"), i + 1, lit(L))))))
-          .otherwise(array())))
+        posexplode(graft.functions.expr.DedupExpressions.crossGramsK(col("t"), L)))
       .select(col("col").as("gh"), col("docId"), col("source"),
         col("pos"), col("seq"))
     val grams = (if (shards == 1) allGrams

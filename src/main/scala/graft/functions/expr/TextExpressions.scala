@@ -152,6 +152,91 @@ object TextKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Adjacent-token bigram pairs — codegen twin of the q88/q101 HOF
+    * chain `transform(sequence(0, size(t)-2), i =>
+    * struct(element_at(t, i+1) AS w1, element_at(t, i+2) AS w2))`,
+    * which evaluated as an interpreted lambda tree (ArrayTransform/
+    * Sequence are CodegenFallback) allocating a sequence array plus a
+    * per-element interpreted struct build for every document. One
+    * straight-line pass instead. Exact-twin notes: a null token
+    * propagates to a null FIELD (element_at of a null element), the
+    * struct itself is never null; callers guard `size(t) >= 2` (the
+    * HOF's sequence(0, n-2) is ill-formed below that — this kernel
+    * returns an empty array there, same as the guarded domain never
+    * evaluating). */
+  def bigramPairs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - 1)
+    var prev: UTF8String = if (toks.isNullAt(0)) null else toks.getUTF8String(0)
+    var i = 1
+    while (i < n) {
+      val cur = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      out(i - 1) = new GenericInternalRow(Array[Any](prev, cur))
+      prev = cur
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Sliding k-token spans joined by one space — codegen twin of the
+    * q78 HOF chain `transform(sequence(0, size(t)-k), i =>
+    * array_join(slice(t, i+1, k), " "))`. array_join SKIPS null
+    * elements (no separator for them) exactly like
+    * UTF8String.concatWs; split() output never contains nulls, so the
+    * null path is defensive parity. Callers guard `size(t) >= k`
+    * (empty array returned below, same as the guarded domain). */
+  def spanJoin(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](n - k + 1)
+    val window = new Array[UTF8String](k)
+    var i = 0
+    while (i < out.length) {
+      var o = 0
+      while (o < k) {
+        window(o) = if (toks.isNullAt(i + o)) null else toks.getUTF8String(i + o)
+        o += 1
+      }
+      out(i) = UTF8String.concatWs(SpaceSep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private val SpaceSep = UTF8String.fromString(" ")
+
+  /** Strided k-token chunks joined by one space — codegen twin of the
+    * Curation16.chunk HOF `transform(sequence(0,
+    * floor((size(w)-1)/k)), i => concat_ws(" ", slice(w, i*k+1, k)))`
+    * (the derived line/paragraph segmentation). The tail chunk is
+    * partial (slice past the end returns fewer elements); concat_ws
+    * skips null tokens like the HOF. Degenerate n=0 input replicates
+    * the HOF literally: sequence(0, -1) = [0, -1] yields two empty
+    * joins — unreachable with split() output (always >= 1 element)
+    * but pinned for exactness. */
+  def chunkJoin(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new GenericArrayData(Array[Any](UTF8String.EMPTY_UTF8, UTF8String.EMPTY_UTF8))
+    val m = (n - 1) / k + 1
+    val out = new Array[Any](m)
+    var c = 0
+    while (c < m) {
+      val start = c * k
+      val w = math.min(k, n - start)
+      val window = new Array[UTF8String](w)
+      var o = 0
+      while (o < w) {
+        window(o) = if (toks.isNullAt(start + o)) null else toks.getUTF8String(start + o)
+        o += 1
+      }
+      out(c) = UTF8String.concatWs(SpaceSep, window: _*)
+      c += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
     * already-computed k-gram hash sequence: sliding window of `w`
     * hashes, keep the rightmost minimum of each window, dedupe
@@ -248,6 +333,38 @@ case class UnicodeFoldExpr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class BigramPairsExpr(child: Expression) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w1", StringType, nullable = true),
+    StructField("w2", StringType, nullable = true))), containsNull = false)
+  override def prettyName: String = "graft_bigram_pairs"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.bigramPairs(a.asInstanceOf[ArrayData])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.bigramPairs($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class SpanJoinExpr(child: Expression, k: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_span_join"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.spanJoin(a.asInstanceOf[ArrayData], k)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.spanJoin($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class ChunkJoinExpr(child: Expression, k: Int) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_chunk_join"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.chunkJoin(a.asInstanceOf[ArrayData], k)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.TextKernels.chunkJoin($c, $k)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object TextExpressions {
   def normText(text: Column): Column =
     ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(text)))
@@ -263,4 +380,10 @@ object TextExpressions {
     ColumnBridge.column(WinnowExpr(ColumnBridge.expression(text), kGram, window))
   def winnowSelect(hashes: Column, window: Int): Column =
     ColumnBridge.column(WinnowSelectExpr(ColumnBridge.expression(hashes), window))
+  def bigramPairs(toks: Column): Column =
+    ColumnBridge.column(BigramPairsExpr(ColumnBridge.expression(toks)))
+  def spanJoin(toks: Column, k: Int): Column =
+    ColumnBridge.column(SpanJoinExpr(ColumnBridge.expression(toks), k))
+  def chunkJoin(toks: Column, k: Int): Column =
+    ColumnBridge.column(ChunkJoinExpr(ColumnBridge.expression(toks), k))
 }

@@ -76,8 +76,9 @@ object Curation {
       |FROM sp GROUP BY span HAVING COUNT(DISTINCT doc_id) >= 2
       |ORDER BY span""".stripMargin) { (s, dir) =>
     val t = col("_t")
-    val spans = transform(sequence(lit(0), size(t) - 8),
-      i => array_join(slice(t, i + 1, lit(8)), " "))
+    // codegen-native sliding 8-token spans (see TextKernels.spanJoin):
+    // exact twin of the transform(sequence, array_join(slice)) HOF
+    val spans = graft.functions.expr.TextExpressions.spanJoin(t, 8)
     // Two-level aggregate instead of COUNT(DISTINCT …) + MIN in one
     // groupBy: count-distinct alongside another aggregate plans an
     // Expand (2 rows per input) before the shuffle; deduping (span,
@@ -194,8 +195,7 @@ object Curation {
     val t = col("_t")
     val n = size(t)
     val ttr = size(array_distinct(t)).cast("double") / n.cast("double")
-    val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val sortedBg = array_sort(graft.functions.expr.TextExpressions.spanJoin(t, 2))
     val rep = when(n >= 2,
       TextOps2.longestRun(sortedBg).cast("double") / (n - 1).cast("double"))
       .otherwise(lit(0.0))
@@ -388,8 +388,9 @@ object Curation {
       |FROM bc JOIN uc USING (w1)
       |WHERE n >= 2 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
     val t = col("_t")
-    val pairs = transform(sequence(lit(0), size(t) - 2),
-      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    // codegen-native bigram pairs (see TextKernels.bigramPairs): exact
+    // twin of the transform(sequence, struct(element_at)) HOF
+    val pairs = graft.functions.expr.TextExpressions.bigramPairs(t)
     // ctx_n via a window over w1 rather than a self-join: the bigram
     // aggregation subtree is computed once (a self-join would execute
     // it twice), and the context sum reuses the vocabulary-sized
@@ -515,8 +516,9 @@ object Curation {
     * argument and the broadcast-build-side note. */
   private[graft] def bigramFluency(s: SparkSession, dir: String): DataFrame = {
     val t = col("_t")
-    val pairs = transform(sequence(lit(0), size(t) - 2),
-      i => struct(element_at(t, i + 1).as("w1"), element_at(t, i + 2).as("w2")))
+    // codegen-native bigram pairs (see TextKernels.bigramPairs): exact
+    // twin of the transform(sequence, struct(element_at)) HOF
+    val pairs = graft.functions.expr.TextExpressions.bigramPairs(t)
     val bg = tokenized(s, dir)
       .where(size(t) >= 2)
       .select(col("doc_id"), explode(pairs).as("p"))
@@ -584,8 +586,7 @@ object Curation {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import graft.QueryDsl.crossHash60
     val t = col("_t")
-    val spans = transform(sequence(lit(0), size(t) - 8),
-      i => array_join(slice(t, i + 1, lit(8)), " "))
+    val spans = graft.functions.expr.TextExpressions.spanJoin(t, 8)
     val sp = tokenized(s, dir)
       .where(size(t) >= 8)
       .select(col("doc_id"), pmod(crossHash60(col("doc_id")), lit(20)).as("slice"),

@@ -228,8 +228,7 @@ object Curation10 {
   def spanPurgeOn(docs: DataFrame): DataFrame = {
     val d = docs.withColumn("_t", split(col("text"), " "))
     val t = col("_t")
-    val spansArr = transform(sequence(lit(0), size(t) - 8),
-      i => array_join(slice(t, i + 1, lit(8)), " "))
+    val spansArr = graft.functions.expr.TextExpressions.spanJoin(t, 8)
     def sp = d.where(size(t) >= 8)
       .select(col("doc_id"), posexplode(spansArr).as(Seq("pos", "span")))
     val dup = sp

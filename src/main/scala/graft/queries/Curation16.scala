@@ -46,10 +46,10 @@ object Curation16 {
   /** Fixed-width token chunking as a Column: tokens [i·k+1, i·k+k] per
     * chunk, last chunk clamped — identical to the DuckDB slice
     * `w[i*k+1 : i*k+k]`. `w` must be non-empty (split of any string is). */
+  // codegen-native strided chunks (see TextKernels.chunkJoin): exact
+  // twin of the transform(sequence, concat_ws(slice)) HOF it replaces
   private def chunk(w: Column, k: Int): Column =
-    transform(
-      sequence(lit(0), floor((size(w) - 1) / lit(k.toDouble)).cast(IntegerType)),
-      i => concat_ws(" ", slice(w, i * k + 1, lit(k))))
+    graft.functions.expr.TextExpressions.chunkJoin(w, k)
 
   private val emptyStr = array().cast("array<string>")
 

@@ -148,8 +148,7 @@ object Curation2 {
       |FROM sp a JOIN sp b ON a.span = b.span AND a.source < b.source
       |GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin) { (s, dir) =>
     val t = col("_t")
-    val spans = transform(sequence(lit(0), size(t) - 8),
-      i => array_join(slice(t, i + 1, lit(8)), " "))
+    val spans = graft.functions.expr.TextExpressions.spanJoin(t, 8)
     // ONE pass over the span relation, not a self-join: a self-join
     // references (and so evaluates) the tokenize+distinct subtree
     // twice. Group each span to its source SET instead, and explode

@@ -51,8 +51,7 @@ object Curation4 {
   private[graft] def bloomSpanDocs(s: SparkSession, dir: String): (DataFrame, Long) = {
     val t = col("_t")
     def spans(tokens: Column): Column =
-      array_distinct(transform(sequence(lit(0), size(tokens) - 8),
-        i => array_join(slice(tokens, i + 1, lit(8)), " ")))
+      array_distinct(graft.functions.expr.TextExpressions.spanJoin(tokens, 8))
     val obs = org.apache.spark.sql.Observation()
     val docs = Tables(s, dir).documents
       .withColumn("_t", split(col("text"), " "))

@@ -154,10 +154,10 @@ object Curation6 {
       |FROM g LEFT JOIN boiler USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
     val toks = col("toks")
-    val grams = when(size(toks) >= 3,
-      transform(sequence(lit(1), size(toks) - 2),
-        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    // codegen-native sliding 3-token grams (see TextKernels.spanJoin):
+    // exact twin of the when(size >= 3, transform(...)).otherwise([])
+    // HOF — the kernel returns an empty array below size 3 itself
+    val grams = graft.functions.expr.TextExpressions.spanJoin(toks, 3)
     val g = Dedup.eager(Dedup.distinctTextToks(Tables(s, dir).documents)
       .select(col("rep_id"), col("n_members"), col("member_ids"), grams.as("grams")))
     val nDocs = Tables(s, dir).documents.agg(count(lit(1)).as("n_docs"))

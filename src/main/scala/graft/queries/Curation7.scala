@@ -307,8 +307,7 @@ object Curation7 {
     val t = col("_t")
     val n = size(t)
     val ttr = size(array_distinct(t)).cast(DoubleType) / n.cast(DoubleType)
-    val sortedBg = array_sort(transform(sequence(lit(0), n - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val sortedBg = array_sort(graft.functions.expr.TextExpressions.spanJoin(t, 2))
     val rep = when(n >= 2,
       TextOps2.longestRun(sortedBg).cast(DoubleType) / (n - 1).cast(DoubleType))
       .otherwise(lit(0.0))
@@ -365,8 +364,7 @@ object Curation7 {
     val nTot = words.agg(count(lit(1)).as("n"))
     val t = col("_t")
     val bigrams = docs.where(size(t) >= 2)
-      .select(explode(transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("bg"))
+      .select(explode(graft.functions.expr.TextExpressions.spanJoin(t, 2)).as("bg"))
     val bc = bigrams.groupBy("bg").agg(count(lit(1)).as("n_pair"))
       .where(col("n_pair") >= 5)
     bc.withColumn("w1", split_part(col("bg"), lit(" "), lit(1)))

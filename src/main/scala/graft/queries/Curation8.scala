@@ -64,8 +64,7 @@ object Curation8 {
     val t = col("_t")
     val bigrams = docs.withColumn("_t", split(col("text"), " "))
       .where(size(t) >= 2)
-      .select(explode(transform(sequence(lit(0), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2)))).as("w"))
+      .select(explode(graft.functions.expr.TextExpressions.spanJoin(t, 2)).as("w"))
     // denominator without the exploded grain: one column-pruned scan
     // summing per-doc bigram counts (len-1, floored at 0)
     val total = docs

@@ -52,8 +52,7 @@ object TextOps2 {
     // shuffles ~tokens×docs rows twice) — at corpus scale this is the
     // difference between a map-only stage and two wide exchanges.
     val t = split(col("text"), " ")
-    val sortedBg = array_sort(transform(sequence(lit(0), size(t) - 2),
-      i => concat_ws(" ", element_at(t, i + 1), element_at(t, i + 2))))
+    val sortedBg = array_sort(graft.functions.expr.TextExpressions.spanJoin(t, 2))
     val topRun = longestRun(sortedBg)
     Tables(s, dir).documents
       .where(size(t) >= 2)

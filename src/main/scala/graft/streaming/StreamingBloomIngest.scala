@@ -37,8 +37,7 @@ object StreamingBloomIngest {
       fpp: Double = 0.01): DataFrame = {
     import graft.functions.expr.BloomExpressions.bloomMightContainLong
     def spans(tokens: org.apache.spark.sql.Column) =
-      array_distinct(transform(sequence(lit(0), size(tokens) - 8),
-        i => array_join(slice(tokens, i + 1, lit(8)), " ")))
+      array_distinct(graft.functions.expr.TextExpressions.spanJoin(tokens, 8))
     def withSpans(df: DataFrame): DataFrame = df
       .withColumn("_t", split(col("text"), " "))
       .where(size(col("_t")) >= 8)

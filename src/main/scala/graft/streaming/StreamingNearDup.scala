@@ -61,12 +61,10 @@ object StreamingNearDup {
     val prepped = docs.toDF("doc_id", "text")
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        array_sort(array_distinct(
-          when(size(col("toks")) >= 2,
-            transform(sequence(lit(0), size(col("toks")) - 2),
-              i => xxhash64(concat_ws(" ",
-                element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
-            .otherwise(transform(col("toks"), t => xxhash64(t))))).as("shc"))
+        // codegen-native sorted-distinct xxhash64 2-shingles — the
+        // SAME kernel as the batch minhash path (hash parity with
+        // Dedup.minhashLshRels is what makes stream == batch buckets)
+        DedupExpressions.xxShinglesK(col("toks"), 2).as("shc"))
       .withColumn("sig", DedupExpressions.minHashSig(col("shc"), k))
       .select(col("doc_id"), col("shc"),
         posexplode(DedupExpressions.bandHashes(col("sig"), bands)).as(Seq("pos", "band")))

@@ -3,7 +3,8 @@ package graft.functions.expr
 import graft.functions.TextAnalysis
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, GenericInternalRow, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -237,6 +238,64 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Sparse BM25 postings — codegen twin of the Bm25 operator's HOF
+    * chain `transform(array_intersect(qterms, toks), t =>
+    * struct(t AS term, size(filter(toks, x => x === t)) AS tf))`:
+    * for each query term PRESENT in the document (qterms order; qterms
+    * is already sorted-distinct and null-free), emit (term, count of
+    * equal tokens). The nested interpreted filter made the HOF
+    * O(|matched| × |toks|) per row; this is one O(|toks| + |qterms|)
+    * hash-count pass. Exact-twin notes: `x === t` is null for a null
+    * token, which filter() drops — the kernel skips null tokens the
+    * same way; string equality is binary (UTF8String.equals), the
+    * same comparison === compiles to. */
+  def postings(toks: ArrayData, qterms: ArrayData): ArrayData = {
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long]()
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        counts.merge(toks.getUTF8String(i), java.lang.Long.valueOf(1L),
+          (a: java.lang.Long, b: java.lang.Long) =>
+            java.lang.Long.valueOf(a.longValue() + b.longValue()))
+      }
+      i += 1
+    }
+    val nq = qterms.numElements()
+    val buf = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var q = 0
+    while (q < nq) {
+      val t = qterms.getUTF8String(q)
+      val c = counts.get(t)
+      if (c != null) buf += new GenericInternalRow(Array[Any](t, c.longValue()))
+      q += 1
+    }
+    new GenericArrayData(buf.toArray)
+  }
+
+  /** Per-term token counts aligned to a FIXED term list — codegen twin
+    * of q118's per-term `size(filter(toks, x => x === lit(term)))`
+    * columns (k interpreted ArrayFilter passes per row become one
+    * O(|toks|·k) comparison pass with k tiny; null tokens compare
+    * null and are dropped, exactly like ===). */
+  def termFreqs(toks: ArrayData, terms: Array[UTF8String]): ArrayData = {
+    val out = new Array[Long](terms.length)
+    val n = toks.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toks.isNullAt(i)) {
+        val t = toks.getUTF8String(i)
+        var j = 0
+        while (j < terms.length) {
+          if (terms(j).equals(t)) out(j) += 1L
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Winnowing selection (Schleimer/Wilkerson/Aiken SIGMOD'03) over an
     * already-computed k-gram hash sequence: sliding window of `w`
     * hashes, keep the rightmost minimum of each window, dedupe
@@ -333,6 +392,37 @@ case class UnicodeFoldExpr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class PostingsExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("term", StringType, nullable = true),
+    StructField("tf", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "graft_postings"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    TextKernels.postings(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.expr.TextKernels.postings($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** term_freqs(toks) → array<bigint> aligned to the fixed `terms` list
+  * (constructor reference, not a child expression). */
+case class TermFreqsExpr(child: Expression, terms: Array[UTF8String])
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_term_freqs"
+  override protected def nullSafeEval(a: Any): Any =
+    TextKernels.termFreqs(a.asInstanceOf[ArrayData], terms)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("bmTerms", terms,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.expr.TextKernels.termFreqs($c, $tRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class BigramPairsExpr(child: Expression) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("w1", StringType, nullable = true),
@@ -386,4 +476,10 @@ object TextExpressions {
     ColumnBridge.column(SpanJoinExpr(ColumnBridge.expression(toks), k))
   def chunkJoin(toks: Column, k: Int): Column =
     ColumnBridge.column(ChunkJoinExpr(ColumnBridge.expression(toks), k))
+  def postings(toks: Column, qterms: Column): Column =
+    ColumnBridge.column(PostingsExpr(
+      ColumnBridge.expression(toks), ColumnBridge.expression(qterms)))
+  def termFreqs(toks: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermFreqsExpr(ColumnBridge.expression(toks),
+      terms.map(UTF8String.fromString).toArray))
 }

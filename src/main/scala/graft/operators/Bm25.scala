@@ -57,11 +57,21 @@ object Bm25 {
     val tl = qt.agg(sort_array(collect_set(col("term"))).as("_qterms"))
 
     val toks = split(col("text"), " ")
-    // in-row sparse postings: (term, tf) for present query terms only
-    val postings = transform(array_intersect(col("_qterms"), toks),
-      t => struct(t.as("term"),
-        size(filter(toks, x => x === t)).cast(LongType).as("tf")))
-    val perdoc = corpus.crossJoin(broadcast(tl))
+    // in-row sparse postings: (term, tf) for present query terms only —
+    // codegen-native one-pass hash count (see TextKernels.postings),
+    // exact twin of the transform(array_intersect, struct(t,
+    // size(filter))) HOF whose nested interpreted filter was
+    // O(|matched| × |toks|) per row
+    val postings = graft.functions.expr.TextExpressions.postings(toks, col("_qterms"))
+    // NO round-robin spread here, deliberately (r18, measured): with
+    // the kernel the per-doc postings work is too cheap to amortize an
+    // exchange — a docShingled-rule repartition(32) tripled the steady
+    // state at sf0.1 (1.7 → 4.6 s, hot frames all DiskBlockObjectWriter
+    // / shuffle-commit overhead). At 100 TB the scan has real splits
+    // and needs no spread; the sqCoded precedent applies only when the
+    // spread compute dominates the exchange cost.
+    val perdoc = corpus
+      .crossJoin(broadcast(tl))
       .select(col("doc_id"), size(toks).cast(LongType).as("dl"),
         postings.as("_mt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

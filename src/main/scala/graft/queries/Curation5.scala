@@ -65,13 +65,19 @@ object Curation5 {
        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   }) { (s, dir) =>
     val t = split(col("text"), " ")
-    def tf(term: String): Column =
-      size(filter(t, x => x === lit(term))).cast(LongType).as(s"tf_$term")
     // narrow per-doc signal relation: text dropped immediately; referenced
     // by both the stats aggregate and the scoring pass → persist so the
-    // tokenize+filter row work runs once (Bench/Stress sweeps unpersist).
+    // tokenize+count row work runs once (Bench/Stress sweeps unpersist).
+    // Per-term counts come from ONE codegen termFreqs pass (see
+    // TextKernels.termFreqs) — exact twin of the k per-term
+    // size(filter(t, x === lit(term))) interpreted ArrayFilter columns;
+    // the _tfs alias is referenced k times so the projection boundary
+    // holds and the kernel runs once per row.
     val f = Tables(s, dir).documents
-      .select(col("doc_id") +: size(t).cast(LongType).as("dl") +: BmTerms.map(tf): _*)
+      .select(col("doc_id"), size(t).cast(LongType).as("dl"),
+        graft.functions.expr.TextExpressions.termFreqs(t, BmTerms).as("_tfs"))
+      .select(col("doc_id") +: col("dl") +: BmTerms.zipWithIndex.map { case (tm, i) =>
+        element_at(col("_tfs"), i + 1).as(s"tf_$tm") }: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val stCols = count(lit(1)).as("n_docs") +: sum(col("dl")).as("tot_dl") +:
       BmTerms.map(t => sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))

@@ -93,6 +93,33 @@ class TextKernelParitySpec extends SparkSpecBase {
     }
   }
 
+  private def hofPostings(toks: Column, qterms: Column): Column =
+    transform(array_intersect(qterms, toks),
+      t => struct(t.as("term"),
+        size(filter(toks, x => x === t)).cast("long").as("tf")))
+
+  test("postings == transform(array_intersect, struct(size(filter))) incl. null tokens") {
+    val qterms = Seq("a", "dog", "mat", "zz").sorted
+    val df = (corpus(minLen = 0) ++ Seq(
+      Seq[String]("a", null, "dog", "a"),
+      Seq[String](null, null),
+      Seq.empty[String])).toDF("toks")
+      .withColumn("_q", typedLit(qterms))
+    assertParity(df, TextExpressions.postings(col("toks"), col("_q")),
+      hofPostings(col("toks"), col("_q")))
+  }
+
+  test("termFreqs == per-term size(filter(toks, x === lit(term))) incl. null tokens") {
+    val terms = Seq("join", "dog", "a", "nosuch")
+    val df = (corpus(minLen = 0) ++ Seq(
+      Seq[String]("a", null, "a"),
+      Seq.empty[String])).toDF("toks")
+    val kernel = TextExpressions.termFreqs(col("toks"), terms)
+    val hof = array(terms.map(tm =>
+      size(filter(col("toks"), x => x === lit(tm))).cast("long")): _*)
+    assertParity(df, kernel, hof)
+  }
+
   test("chunkJoin: null tokens skipped by concat_ws; n=0 replicates the HOF's sequence(0,-1)") {
     val withNulls = Seq(
       Seq[String]("a", null, "b", "c", "d"),

@@ -21,6 +21,11 @@ object ProfileMain {
     val spark = SparkSession.builder()
       .appName("graft-profile").master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      // Force the SORT shuffle writer (r18, measured — see Bench.scala
+      // for the rationale); GRAFT_BYPASS_THRESHOLD overrides for A/B
+      // profiling of the writer paths.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -29,6 +29,15 @@ object Verify {
       // Long-document deployments must size it as targetTaskBytes /
       // maxTextBytes (or key the collapse on a hash + equality check).
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // Force the SORT shuffle writer (r18, measured): with R = cpus
+      // reduce partitions the bypass-merge writer creates M x R temp
+      // files per shuffle and NIO-merges them -- profiled as the
+      // dominant frames (copyFileStreamNIO / DiskBlockObjectWriter)
+      // of every shuffle-heavy query on this host (q28 steady state
+      // halved, 3.1 -> 1.6 s). Production clusters run R >> 200 where
+      // bypass never engages, so the sort writer is also the at-scale
+      // code path; this makes the local bench exercise it.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -35,6 +35,9 @@ object ThroughputMain {
       .appName("graft-throughput")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false") // streaming: fixed plan
+      // sort shuffle writer (r18; see Bench.scala): the per-microbatch
+      // wordcount shuffle paid the bypass writer's M x R temp files
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

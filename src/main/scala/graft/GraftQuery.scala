@@ -50,7 +50,13 @@ object QueryDsl {
     * this — not xxhash64 (absent in DuckDB) and not raw integer
     * multiplies — wherever hashed values must match the oracle. */
   def crossHash60(c: Column): Column =
-    conv(substring(md5(c.cast(StringType)), 1, 15), 16, 10).cast(LongType)
+    // codegen kernel (r18): md5 digest bits assembled directly instead
+    // of the conv(substring(md5(...), 1, 15), 16, 10) chain, whose
+    // hex-encode + substring + string-parse dominated per-token hash
+    // sites (q111's 2x ~5M calls at sf0.1). Bit-identical — the kernel
+    // reads the same top 60 bits of the same md5 of the same UTF-8
+    // bytes; GraftExtensionsSpec pins kernel == SQL == Jvm three ways.
+    graft.functions.expr.DedupExpressions.crossHash60One(c.cast(StringType))
 
   /** DuckDB twin of [[crossHash60]] over a SQL expression string. */
   def crossHash60Sql(expr: String): String =

@@ -224,7 +224,7 @@ object DedupKernels {
     * of md5, exactly the Column form's conv(substr(md5, 1, 15), 16, 10)
     * (md5() hashes the string's UTF-8 bytes; hashing them directly
     * avoids the toString round-trip). */
-  private def crossHash60Utf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+  private[expr] def crossHash60Utf8(s: org.apache.spark.unsafe.types.UTF8String): Long = {
     val md = md5Local.get()
     md.reset()
     val d = md.digest(s.getBytes)
@@ -369,6 +369,11 @@ object DedupKernels {
     }
     UnsafeArrayData.fromPrimitiveArray(out)
   }
+
+  /** Scalar [[crossHash60Utf8]] exposed for generated code (the
+    * CrossHash60Expr call target). */
+  def crossHash60One(s: org.apache.spark.unsafe.types.UTF8String): Long =
+    crossHash60Utf8(s)
 
   /** crossHash60 of every element in order — codegen twin of
     * `transform(arr, w => crossHash60(w))` (q30's per-token hash feed
@@ -522,6 +527,21 @@ case class CrossGramsKExpr(child: Expression, k: Int) extends UnaryKernelExpress
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Scalar QueryDsl.crossHash60 — md5 digest bits assembled directly,
+  * skipping the Column form's hex-encode + substring + conv string
+  * parse per call (the dominant per-token cost of q111's bucket hash;
+  * GraftExtensionsSpec pins kernel == SQL == Jvm). The child must
+  * already be cast to string (the QueryDsl helper does). */
+case class CrossHash60Expr(child: Expression) extends UnaryKernelExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_cross_hash60"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.crossHash60One(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.crossHash60One($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class CrossHash60AllExpr(child: Expression) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
   override def prettyName: String = "graft_cross_hash_all"
@@ -562,4 +582,5 @@ object DedupExpressions {
     c(CrossShinglesKExpr(e(toks), k, sorted))
   def crossGramsK(toks: Column, k: Int): Column = c(CrossGramsKExpr(e(toks), k))
   def crossHash60All(arr: Column): Column = c(CrossHash60AllExpr(e(arr)))
+  def crossHash60One(s: Column): Column = c(CrossHash60Expr(e(s)))
 }

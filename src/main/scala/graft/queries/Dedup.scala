@@ -470,19 +470,25 @@ object Dedup {
     val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = d.select(explode(col("shh")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("sh"))
     // persisted: both sides of the candidate self-join reference the
     // prefix relation, and without the persist the explode + df join +
-    // per-doc rank window pipeline would run twice (the d cache alone
-    // only saves the shingling). The relation is prefix-pruned before
-    // it materializes — ~(1-t)·|shingles| rows of four fixed-width
-    // columns.
-    val prefix = d.select(col("doc_id"), size(col("shh")).as("sz"), explode(col("shh")).as("sh"))
+    // per-doc prefix pipeline would run twice (the d cache alone only
+    // saves the shingling). The relation is prefix-pruned before it
+    // materializes — ~(1-t)·|shingles| rows of four fixed-width
+    // columns. The per-doc df rank runs as a hash aggregate + in-row
+    // sort kernel (r19): the former row_number window sorted the WHOLE
+    // exploded stream per partition and emitted every shingle instance
+    // into the rank filter; the kernel sorts each doc's ~|doc| entries
+    // and emits only the prefix (guide §2.3/§2.4 — same single
+    // exchange by doc_id, no partition-wide sort, 40% fewer rows out).
+    val prefix = d.select(col("doc_id"), explode(col("shh")).as("sh"))
       .join(dfreq, Seq("sh"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select(col("sh"), col("doc_id"), col("sz"), col("rk"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("_e"))
+      .select(col("doc_id"), size(col("_e")).as("sz"),
+        posexplode(graft.functions.expr.DedupExpressions.prefixByDf(col("_e"), threshold))
+          .as(Seq("_pos", "sh")))
+      .select(col("sh"), col("doc_id"), col("sz"), (col("_pos") + lit(1)).as("rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Candidate pruning on the collision rows, before the distinct:
     //  - length filter: J ≥ t ⇒ min|x| ≥ t·max|x|;
@@ -523,14 +529,16 @@ object Dedup {
     val d = d0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = d.select(explode(col("shh")).as("sh"))
       .groupBy("sh").agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df"), col("sh"))
-    val prefix = d.select(col("doc_id"), col("side"), size(col("shh")).as("sz"),
-        explode(col("shh")).as("sh"))
+    // per-doc df rank as hash aggregate + in-row prefix kernel — see
+    // the [[allPairsJaccardOn]] note (same r19 window removal).
+    val prefix = d.select(col("doc_id"), col("side"), explode(col("shh")).as("sh"))
       .join(dfreq, Seq("sh"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + lit(1))
-      .select(col("sh"), col("doc_id"), col("side"), col("sz"), col("rk"))
+      .groupBy("doc_id", "side")
+      .agg(collect_list(struct(col("df"), col("sh"))).as("_e"))
+      .select(col("doc_id"), col("side"), size(col("_e")).as("sz"),
+        posexplode(graft.functions.expr.DedupExpressions.prefixByDf(col("_e"), threshold))
+          .as(Seq("_pos", "sh")))
+      .select(col("sh"), col("doc_id"), col("side"), col("sz"), (col("_pos") + lit(1)).as("rk"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val alpha = ceil(lit(threshold / (1 + threshold)) * (col("a_sz") + col("b_sz")))
     val cand = prefix.where(col("side") === 1)

@@ -245,6 +245,33 @@ class BenchSwingSpec extends AnyFunSuite {
     }
   }
 
+  test("last-run per-query artifact (bench_perq_last_c*.json) is driver-parsable on its own") {
+    // r18 VERDICT #2: the driver's 2000-char stdout tail cannot carry a
+    // 206-entry map, so EVERY unfiltered run writes the full map to
+    // bench_perq_last_c<cpus>.json — unconditionally (noise rides
+    // inside as box_factor/noisy, unlike the quiet-gated artifact).
+    // This pins the schema a cross-round/scaling consumer needs: the
+    // headline fields, the window-quality fields, and a per-query map
+    // whose entry count equals n_queries.
+    val written = new java.io.File(".").listFiles()
+      .filter(f => f.getName.matches("bench_perq_last_c\\d+\\.json"))
+    written.foreach { f =>
+      val body = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      assert(body.startsWith("{") && body.endsWith("}"), f.getName)
+      for (field <- Seq("\"metric\":\"total\"", "\"value\":", "\"n_queries\":",
+          "\"box_factor\":", "\"box_factor_end\":", "\"noisy\":", "\"sf\":"))
+        assert(body.contains(field), s"${f.getName} missing $field")
+      val qm = raw""""queries":\{([^}]*)\}""".r.findFirstMatchIn(body)
+      assert(qm.isDefined, s"${f.getName} missing the per-query map")
+      val entries = qm.get.group(1).split(',').filter(_.nonEmpty)
+      val n = raw""""n_queries":(\d+)""".r.findFirstMatchIn(body).get.group(1).toInt
+      assert(entries.length == n,
+        s"${f.getName} queries map has ${entries.length} entries, n_queries=$n")
+      assert(entries.forall(_.matches(""""q\d+[a-z0-9_]*":\d+\.\d+""")),
+        s"${f.getName} queries map must be full-name -> seconds")
+    }
+  }
+
   test("probe -2 marks a regression verdict whose probe budget was exhausted") {
     val exhausted = Bench.swingEntry("q51", 4.2, 4.1, 1.0, -2.0, "regression")
     assert(exhausted.contains("\"probe\":-2.000"), exhausted)

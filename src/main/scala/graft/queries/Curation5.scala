@@ -137,18 +137,18 @@ object Curation5 {
       |           ELSE 0 END) AS q
       |  FROM embeddings CROSS JOIN st)""".stripMargin
 
-  /** SQ8 trainer (Spark side): the 1-row (mins, maxs) stats relation —
-    * one posexplode pass whose per-dim min/max partial-aggregates
-    * map-side (64-row shuffle at any corpus size). Broadcast it. */
+  /** SQ8 trainer (Spark side): the 1-row (mins, maxs) stats relation.
+    * r19: ONE array-fold aggregate ([[graft.functions.DimStats.minMax]],
+    * exact twin of the posexplode → groupBy(dim) min/max →
+    * collect_list/array_sort chain it replaces — parity pinned by
+    * DimStatsParitySpec): no 64× Generate feeding the partial
+    * aggregate, one (mins, maxs) partial per task, no second
+    * exchange+aggregate layer to rebuild the dim-ordered arrays.
+    * Broadcast it. */
   private[queries] def sqStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .select(posexplode(col("embedding")).as(Seq("dim", "x")))
-      .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
-      .agg(
-        transform(array_sort(collect_list(struct(col("dim"), col("mn")))),
-          e => e.getField("mn").cast(DoubleType)).as("mins"),
-        transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
-          e => e.getField("mx").cast(DoubleType)).as("maxs"))
+      .agg(graft.functions.DimStats.minMax(col("embedding")).as("_mm"))
+      .select(col("_mm._1").as("mins"), col("_mm._2").as("maxs"))
 
   /** SQ8 encoder expression over a vector column (float or double —
     * element casts to double are exact either way); expects the

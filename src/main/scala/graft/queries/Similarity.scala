@@ -200,14 +200,19 @@ object Similarity {
     val probes = c.where(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         explode(probeCentroidIds(col("v"), flat, ids, dim, nprobe)).as("cent_id"))
-    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    // r19: the per-query head is the bounded-heap TopK aggregate (same
+    // (cos DESC, cid ASC) order as the row_number window it replaces) —
+    // the probed-list candidate stream is scanned and discarded, never
+    // shuffled into ≤|queries| reducer partitions for a full sort.
     assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"),
         cosineSim(col("qv"), col("v")).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKDouble(5)(col("cid"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("cid"), (col("pos") + 1).as("rk"),
+        round(col("e._2"), 4).as("score"))
       .orderBy("qid", "rk")
   }
 
@@ -452,16 +457,24 @@ object Similarity {
     val adc = codes.crossJoin(broadcast(dts))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), pqAdc(col("codes"), col("dt"), K).as("adc"))
-    val wCand = Window.partitionBy("qid").orderBy(col("adc").asc, col("vec_id"))
-    val cand = adc.withColumn("ck", row_number().over(wCand))
-      .where(col("ck") <= TopCand)
-      .select(col("qid"), col("vec_id"))
-    val wTop = Window.partitionBy("qid").orderBy(col("cos").desc, col("cid"))
+    // r19: both heads ride the bounded-heap TopK aggregate instead of
+    // row_number windows. The shortlist head was the scale-killer: a
+    // |corpus|×|queries| ADC-row shuffle into ≤|queries| reducer
+    // partitions with a full per-query sort; bottomKDouble keeps the
+    // (adc ASC, vec_id ASC) order of the window it replaces and ships
+    // only 256-row partials. Candidate order is immaterial (the set is
+    // re-ranked exactly below).
+    val cand = adc.groupBy("qid")
+      .agg(graft.functions.TopK.bottomKDouble(TopCand)(col("vec_id"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e._1").as("vec_id"))
     cand.join(c, Seq("vec_id")).join(q, Seq("qid"))
       .select(col("qid"), col("vec_id").as("cid"), cosineSim(col("qv"), col("v")).as("cos"))
-      .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), round(col("cos"), 4).as("score"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKDouble(5)(col("cid"), col("cos")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("cid"), (col("pos") + 1).as("rk"),
+        round(col("e._2"), 4).as("score"))
       .orderBy("qid", "rk")
   }
 

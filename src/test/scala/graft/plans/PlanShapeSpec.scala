@@ -138,24 +138,44 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   // q102's encode/ADC stages are codegen kernels (PqEncode/PqAdc): the
-  // corpus side must stay map-only — no Generate (the old posexplode
-  // dataflow built an M·K-row intermediate per vector) and no
-  // aggregation between the scan and the candidate window.
-  test("q102_ann_pq plans no Generate (PQ kernel, not explode dataflow)") {
+  // corpus side must stay map-only — the old posexplode dataflow built
+  // an M·K-row intermediate per vector BELOW the candidate head. r19:
+  // both heads are bounded-heap TopK aggregates (ObjectHashAggregate +
+  // a ≤k-element posexplode ABOVE them — allowed); a row_number Window
+  // reappearing means the |corpus|×|queries| shuffle into ≤|queries|
+  // reducers is back.
+  test("q102_ann_pq: kernel dataflow + bounded-heap heads (no Window, explode only above the heap)") {
     val plan = executed("q102_ann_pq")
-    assert(!plan.contains("Generate"), s"q102 plans a Generate:\n$plan")
+    assert(!plan.contains("Window"), s"q102 plans a Window head:\n$plan")
+    // every Generate must sit above a TopK aggregate (an explode of a
+    // ≤k heap array), never in the encode path: exactly two — the
+    // 256-candidate shortlist explode and the final top-5 posexplode.
+    val gens = plan.linesIterator.count(_.contains("Generate"))
+    assert(gens == 2, s"q102 expected exactly the 2 head explodes, got $gens:\n$plan")
   }
 
   // IVF assignment is a map-only kernel (NearestCentroidId with the
-  // quantizer as driver state): the search plans NO aggregate at all.
-  // A HashAggregate reappearing means the crossJoin(centroids) → max_by
-  // dataflow is back — it re-shuffles every vector NList times with the
-  // embedding on every row (6.5× slower at 10× sf0.1).
-  test("q37/q37b IVF search plans no aggregate (kernel assignment, not max_by)") {
+  // quantizer as driver state): a HashAggregate over the ASSIGNMENT
+  // means the crossJoin(centroids) → max_by dataflow is back — it
+  // re-shuffles every vector NList times with the embedding on every
+  // row (6.5× slower at 10× sf0.1). r19: the per-query head is the
+  // bounded-heap TopK (ObjectHashAggregate) instead of a row_number
+  // Window, so the gate pins: kernel assignment present, no Window, no
+  // Hash/SortAggregate (TopK's ObjectHashAggregate is the one allowed
+  // aggregate).
+  test("q37/q37b IVF search: kernel assignment, bounded-heap head, no window/max_by") {
     for (q <- Seq("q37_ann_ivf", "q37b_ann_ivf_kmeans")) {
       val plan = executed(q)
-      assert(!plan.contains("HashAggregate") && !plan.contains("SortAggregate"),
-        s"$q plans an aggregate (max_by assignment dataflow is back?):\n$plan")
+      assert(plan.contains("graft_nearest_centroid"),
+        s"$q lost the assignment kernel:\n$plan")
+      assert(!plan.contains("Window"), s"$q plans a Window head:\n$plan")
+      val hashOrSortAgg = plan.linesIterator.exists(l =>
+        (l.contains("HashAggregate") && !l.contains("ObjectHashAggregate")) ||
+          l.contains("SortAggregate"))
+      assert(!hashOrSortAgg,
+        s"$q plans a hash/sort aggregate (max_by assignment dataflow is back?):\n$plan")
+      assert(plan.contains("ObjectHashAggregate"),
+        s"$q lost the bounded-heap TopK head:\n$plan")
     }
   }
 

@@ -470,6 +470,42 @@ object DedupKernels {
     while (b < bands) { out(b) = (fp >>> (b * width)) & mask; b += 1 }
     new GenericArrayData(out)
   }
+
+  /** C(n,2) ordered pair structs of a long-id array: (ids[i], ids[j])
+    * for every i < j, emitted in (i, j) order — the in-row intra-group
+    * pair expansion (r19: exact twin of the nested
+    * `flatten(transform(sequence(1, n-1), i -> transform(slice(ids,
+    * i+1, n-i), x -> struct(element_at(ids, i), x))))` interpreted
+    * lambda tree, which evaluated FOUR stacked HOFs per row). Null
+    * elements carry through as null struct fields; n < 2 yields an
+    * empty array (the call site filters to n ≥ 2, where the HOF twin
+    * agrees — its n ≤ 1 degenerate shape is a negative-step `sequence`
+    * artifact no caller may rely on). */
+  def pairStructs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    if (n < 2) return new GenericArrayData(Array.empty[Any])
+    val vals = new Array[Any](n)
+    var v = 0
+    while (v < n) {
+      vals(v) = if (ids.isNullAt(v)) null else java.lang.Long.valueOf(ids.getLong(v))
+      v += 1
+    }
+    val out = new Array[Any](n * (n - 1) / 2)
+    var idx = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = vals(i)
+      var j = i + 1
+      while (j < n) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a, vals(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 abstract class UnaryKernelExpression extends UnaryExpression {
@@ -628,6 +664,28 @@ case class PrefixByDfExpr(child: Expression, threshold: Double) extends UnaryKer
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class PairStructsExpr(child: Expression) extends UnaryKernelExpression {
+  // field nullability mirrors the HOF twin: both fields carry raw array
+  // elements, so they are nullable exactly when the input array's
+  // elements are
+  override def dataType: DataType = {
+    val elNull = child.dataType match {
+      case ArrayType(_, n) => n
+      case _ => true
+    }
+    ArrayType(org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a_id", LongType, nullable = elNull),
+      org.apache.spark.sql.types.StructField("b_id", LongType, nullable = elNull))),
+      containsNull = false)
+  }
+  override def prettyName: String = "graft_pair_structs"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.pairStructs(a.asInstanceOf[ArrayData])
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.pairStructs($c)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FpBandsExpr(child: Expression, bands: Int, width: Int) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fp_bands"
@@ -661,4 +719,5 @@ object DedupExpressions {
   def crossHash60One(s: Column): Column = c(CrossHash60Expr(e(s)))
   def prefixByDf(entries: Column, threshold: Double): Column =
     c(PrefixByDfExpr(e(entries), threshold))
+  def pairStructs(ids: Column): Column = c(PairStructsExpr(e(ids)))
 }

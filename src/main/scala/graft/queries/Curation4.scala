@@ -101,15 +101,14 @@ object Curation4 {
       buildShardBloom(baseSpans, shards, sh, nSpans / shards)).toArray
 
     // Probe: in-row prefilter routed to the span's own shard, then
-    // explode only the candidates.
-    def mightContain(sp: Column): Column =
-      if (shards == 1) bloomMightContainLong(xxhash64(sp), blooms(0))
-      else blooms.zipWithIndex.map { case (bf, sh) =>
-        pmod(xxhash64(sp), lit(shards)) === sh && bloomMightContainLong(xxhash64(sp), bf)
-      }.reduce(_ || _)
+    // explode only the candidates. r19: one codegen kernel call per row
+    // (BloomKernelParitySpec pins it against the interpreted
+    // `filter(_sp, sp -> pmod(xxhash64(sp), S) = sh && might_contain)`
+    // ArrayFilter lambda it replaces).
     val batch = docs.where(col("_slice") === 0)
       .select(col("doc_id"), size(col("_sp")).cast(LongType).as("n_spans"),
-        filter(col("_sp"), sp => mightContain(sp)).as("_cand"))
+        graft.functions.expr.BloomExpressions.bloomFilterSpans(col("_sp"), blooms)
+          .as("_cand"))
     val cand = batch.select(col("doc_id"), explode(col("_cand")).as("span"))
     val candSet = cand.select("span").distinct()
     // Exact confirm: base scan stays map-side (semi vs broadcast set);

@@ -242,11 +242,13 @@ object Dedup {
 
   /** In-row expansion of a sorted id array into its C(n,2) ordered pair
     * structs. Only safe for arrays ≤ [[IntraExplodeCap]] — the pair
-    * array materializes in one row before the explode streams it. */
+    * array materializes in one row before the explode streams it.
+    * r19: single codegen kernel (PairStructsParitySpec pins it against
+    * the nested `flatten(transform(sequence(...), transform(slice(...),
+    * struct(element_at(...)))))` HOF tree it replaces — four stacked
+    * interpreted lambdas per row in the q28/q29/q30 scan stage). */
   private def pairStructs(ids: Column): Column =
-    flatten(transform(sequence(lit(1), size(ids) - 1),
-      i => transform(slice(ids, i + 1, size(ids) - i),
-        x => struct(element_at(ids, i).as("a_id"), x.as("b_id")))))
+    graft.functions.expr.DedupExpressions.pairStructs(ids)
 
   /** Groups above this size route through the salted streaming
     * self-join instead of the in-row pair array: 1024² /2 structs ≈

@@ -52,10 +52,12 @@ object StreamingBloomIngest {
     val bloom = baseSpans.select(xxhash64(col("span")).as("h"))
       .stat.bloomFilter("h", nItems, fpp)
 
+    // r19: in-row kernel probe (same hash/sketch semantics as the batch
+    // twin — see BloomKernelParitySpec), not an interpreted ArrayFilter
     val cand = withSpans(docs.toDF("doc_id", "text"))
       .select(col("doc_id"),
-        explode(filter(col("_sp"), sp => bloomMightContainLong(xxhash64(sp), bloom)))
-          .as("span"))
+        explode(graft.functions.expr.BloomExpressions.bloomFilterSpans(
+          col("_sp"), Array(bloom))).as("span"))
     cand.join(baseSpans, Seq("span")) // stream-static inner: exact confirm
       .select(col("doc_id"), col("span"))
   }

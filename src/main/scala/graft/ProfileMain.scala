@@ -26,7 +26,8 @@ object ProfileMain {
       // profiling of the writer paths.
       .config("spark.shuffle.sort.bypassMergeThreshold",
         sys.env.getOrElse("GRAFT_BYPASS_THRESHOLD", "1"))
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.SessionTuning.objectHashFallbackEntries.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

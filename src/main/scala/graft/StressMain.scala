@@ -155,9 +155,11 @@ object StressMain {
       // (distinctTextToks) each entry holds the full group-key text, so
       // worst-case task memory is 256k x max text length -- ~100 MB at
       // this corpus's ~400 B texts but multi-GB for multi-KB documents.
-      // Long-document deployments must size it as targetTaskBytes /
-      // maxTextBytes (or key the collapse on a hash + equality check).
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "262144")
+      // r19: the targetTaskBytes / maxKeyBytes arithmetic is now the
+      // configuration surface itself — see SessionTuning (env-overridable
+      // byte budget; default derives the same 262144).
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        graft.SessionTuning.objectHashFallbackEntries.toString)
       // Force the SORT shuffle writer (r18, measured): with R = cpus
       // reduce partitions the bypass-merge writer creates M x R temp
       // files per shuffle and NIO-merges them -- profiled as the

@@ -37,19 +37,24 @@ import org.apache.spark.sql.Encoder
 object DimStats {
 
   /** Parallel per-dim extrema; empty until the first non-null row. */
-  final case class MM(var mins: Array[Float], var maxs: Array[Float])
+  final case class MM(var mins: Array[Double], var maxs: Array[Double])
 
-  // Spark's nan-safe orderings for FloatType, specialized to the two
-  // updates: NaN is GREATER than everything (so it never wins a min
-  // slot unless the slot holds NaN, and always wins a max slot).
-  private def minOf(a: Float, b: Float): Float =
-    if (java.lang.Float.isNaN(a)) b
-    else if (java.lang.Float.isNaN(b)) a
+  // Spark's nan-safe orderings, specialized to the two updates: NaN is
+  // GREATER than everything (so it never wins a min slot unless the
+  // slot holds NaN, and always wins a max slot). Computed over DOUBLES:
+  // the input column is cast to ARRAY<DOUBLE> at the call site — exact
+  // for float sources (widening), identity for double sources (the 10x
+  // stress generator's embeddings) — and min/max commute with exact
+  // widening, so the float-source result is bit-identical to the
+  // FloatType min/max chain this replaces.
+  private def minOf(a: Double, b: Double): Double =
+    if (java.lang.Double.isNaN(a)) b
+    else if (java.lang.Double.isNaN(b)) a
     else if (b < a) b else a
 
-  private def maxOf(a: Float, b: Float): Float =
-    if (java.lang.Float.isNaN(a)) a
-    else if (java.lang.Float.isNaN(b)) b
+  private def maxOf(a: Double, b: Double): Double =
+    if (java.lang.Double.isNaN(a)) a
+    else if (java.lang.Double.isNaN(b)) b
     else if (b > a) b else a
 
   private def grow(b: MM, n: Int): Unit = {
@@ -59,9 +64,9 @@ object DimStats {
     }
   }
 
-  private class Agg extends Aggregator[Seq[Float], MM, (Seq[Double], Seq[Double])] {
-    def zero: MM = MM(Array.emptyFloatArray, Array.emptyFloatArray)
-    def reduce(b: MM, arr: Seq[Float]): MM = {
+  private class Agg extends Aggregator[Seq[Double], MM, (Seq[Double], Seq[Double])] {
+    def zero: MM = MM(Array.emptyDoubleArray, Array.emptyDoubleArray)
+    def reduce(b: MM, arr: Seq[Double]): MM = {
       if (arr == null) return b
       val old = b.mins.length
       grow(b, arr.length)
@@ -91,13 +96,14 @@ object DimStats {
       }
       b1
     }
-    def finish(b: MM): (Seq[Double], Seq[Double]) =
-      (b.mins.toSeq.map(_.toDouble), b.maxs.toSeq.map(_.toDouble))
+    def finish(b: MM): (Seq[Double], Seq[Double]) = (b.mins.toSeq, b.maxs.toSeq)
     def bufferEncoder: Encoder[MM] = ExpressionEncoder[MM]()
     def outputEncoder: Encoder[(Seq[Double], Seq[Double])] =
       ExpressionEncoder[(Seq[Double], Seq[Double])]()
   }
 
-  /** struct(_1 = mins: ARRAY<DOUBLE>, _2 = maxs: ARRAY<DOUBLE>). */
-  val minMax: UserDefinedFunction = udaf(new Agg, ExpressionEncoder[Seq[Float]]())
+  /** struct(_1 = mins: ARRAY<DOUBLE>, _2 = maxs: ARRAY<DOUBLE>).
+    * Input must be ARRAY<DOUBLE> — cast the vector column at the call
+    * site (exact for float sources; the 10x stress corpus is double). */
+  val minMax: UserDefinedFunction = udaf(new Agg, ExpressionEncoder[Seq[Double]]())
 }

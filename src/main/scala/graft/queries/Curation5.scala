@@ -147,7 +147,8 @@ object Curation5 {
     * Broadcast it. */
   private[queries] def sqStats(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir).embeddings
-      .agg(graft.functions.DimStats.minMax(col("embedding")).as("_mm"))
+      .agg(graft.functions.DimStats.minMax(
+        col("embedding").cast("array<double>")).as("_mm"))
       .select(col("_mm._1").as("mins"), col("_mm._2").as("maxs"))
 
   /** SQ8 encoder expression over a vector column (float or double —

@@ -24,8 +24,13 @@ class DimStatsParitySpec extends SparkSpecBase {
         transform(array_sort(collect_list(struct(col("dim"), col("mx")))),
           e => e.getField("mx").cast(DoubleType)).as("maxs"))
 
+  /** Production entry (sqStats' exact call shape): the aggregate is
+    * double-typed and the vector column is cast at the call site —
+    * exact widening for float corpora, identity for double corpora
+    * (the 10x stress generator emits ARRAY<DOUBLE> embeddings, which
+    * the float-typed r19 first cut crashed on). */
   private def aggStats(df: DataFrame): DataFrame =
-    df.agg(DimStats.minMax(col("embedding")).as("_mm"))
+    df.agg(DimStats.minMax(col("embedding").cast("array<double>")).as("_mm"))
       .select(col("_mm._1").as("mins"), col("_mm._2").as("maxs"))
 
   /** Element equality with ALL NaNs equal: boxed-Double Seq equality
@@ -87,5 +92,12 @@ class DimStatsParitySpec extends SparkSpecBase {
   test("empty corpus yields empty arrays in both formulations") {
     val df = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
     assertSame(df)
+  }
+
+  test("double-typed corpus (the 10x stress shape) aggregates without a cast error") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, Seq.fill(32)(rng.nextDouble() * 10 - 5)))
+    assertSame(rows.toDF("vec_id", "embedding").repartition(5))
   }
 }

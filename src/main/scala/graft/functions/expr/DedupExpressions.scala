@@ -462,6 +462,41 @@ object DedupKernels {
     }
   }
 
+  /** Content-defined chunks of a token array (q113): a token whose
+    * crossHash60 is ≡ 0 (mod `m`) CLOSES its chunk; each chunk is its
+    * tokens joined by ' ' in position order, emitted in chunk order.
+    * Exact twin of the posexplode → per-doc prefix-count window
+    * (`sum(bnd) rows unbounded preceding to 1 preceding`) →
+    * groupBy(doc, chunk_idx) collect_list/array_sort/array_join chain
+    * it replaces: a token's chunk index there counts boundaries at
+    * strictly earlier positions, i.e. chunks are maximal runs ending
+    * at a boundary token, trailing boundary-less run kept. Null
+    * elements are skipped exactly like array_join skips them (no
+    * separator) and never close a chunk (the window twin's
+    * `when(pmod(h, m) === 0, 1)` is null there ⇒ otherwise-0). */
+  def cdcChunks(tokens: ArrayData, m: Int): ArrayData = {
+    val n = tokens.numElements()
+    val out = new java.util.ArrayList[Any](8)
+    val sb = new java.lang.StringBuilder
+    var open = false
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val w = tokens.getUTF8String(i)
+        if (open) sb.append(' ')
+        sb.append(w.toString)
+        open = true
+        if (crossHash60One(w) % m == 0L) {
+          out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+          sb.setLength(0); open = false
+        }
+      }
+      i += 1
+    }
+    if (open) out.add(org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString))
+    new GenericArrayData(out.toArray)
+  }
+
   /** Split a `bands*width`-bit fingerprint into `bands` bit-chunks. */
   def fpBands(fp: Long, bands: Int, width: Int): ArrayData = {
     val mask = if (width == 64) -1L else (1L << width) - 1
@@ -686,6 +721,19 @@ case class PairStructsExpr(child: Expression) extends UnaryKernelExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunking of a token array — see
+  * [[DedupKernels.cdcChunks]]. */
+case class CdcChunksExpr(child: Expression, m: Int) extends UnaryKernelExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def prettyName: String = "graft_cdc_chunks"
+  override protected def nullSafeEval(a: Any): Any =
+    DedupKernels.cdcChunks(a.asInstanceOf[ArrayData], m)
+  protected def genCall(c: String): String =
+    s"graft.functions.expr.DedupKernels.cdcChunks($c, $m)"
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class FpBandsExpr(child: Expression, bands: Int, width: Int) extends UnaryKernelExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_fp_bands"
@@ -720,4 +768,5 @@ object DedupExpressions {
   def prefixByDf(entries: Column, threshold: Double): Column =
     c(PrefixByDfExpr(e(entries), threshold))
   def pairStructs(ids: Column): Column = c(PairStructsExpr(e(ids)))
+  def cdcChunks(toks: Column, m: Int): Column = c(CdcChunksExpr(e(toks), m))
 }

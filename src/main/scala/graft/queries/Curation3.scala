@@ -231,16 +231,19 @@ object Curation3 {
       |FROM (SELECT DISTINCT chunk, doc_id FROM ch)
       |GROUP BY chunk HAVING COUNT(*) >= 2
       |ORDER BY chunk""".stripMargin) { (s, dir) =>
-    val tok = Tables(s, dir).documents
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
-      .withColumn("bnd", when(pmod(crossHash60(col("w")), lit(16)) === 0, 1L).otherwise(0L))
-    val wCum = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val chunks = tok
-      .withColumn("chunk_idx", coalesce(sum(col("bnd")).over(wCum), lit(0L)))
-      .groupBy("doc_id", "chunk_idx")
-      .agg(array_join(transform(array_sort(collect_list(struct(col("pos"), col("w")))),
-        x => x.getField("w")), " ").as("chunk"))
+    // r19: the whole chunk build is ONE in-row codegen kernel
+    // (DedupKernels.cdcChunks — exact twin of the posexplode →
+    // per-doc prefix-count window → collect_list/array_sort/array_join
+    // chain it replaces; CdcChunksParitySpec pins the equivalence,
+    // boundary-at-end/trailing-run/empty-text edges included). The
+    // token-grain explode, the doc-keyed Exchange+Sort+Window, and the
+    // chunk-reassembly aggregate (whose output projection ran an
+    // interpreted `transform` lambda) all collapse into the scan
+    // projection; only (chunk, doc_id) rows ever shuffle.
+    val chunks = Tables(s, dir).documents
+      .select(col("doc_id"),
+        explode(graft.functions.expr.DedupExpressions.cdcChunks(
+          split(col("text"), " "), 16)).as("chunk"))
     chunks
       .select(col("chunk"), col("doc_id")).distinct()
       .groupBy("chunk")

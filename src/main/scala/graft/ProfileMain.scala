@@ -19,8 +19,13 @@ object ProfileMain {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val reps = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
-      .appName("graft-profile").master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      // GRAFT_PROFILE_CPUS: profile the same query at a different core
+      // count (r19 — adjudicating 8c/32c inversions needs the frame
+      // histogram at BOTH widths, not just the wall times)
+      .appName("graft-profile")
+      .master(s"local[${sys.env.getOrElse("GRAFT_PROFILE_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_PROFILE_CPUS", "32"))
       // Force the SORT shuffle writer (r18, measured — see Bench.scala
       // for the rationale); GRAFT_BYPASS_THRESHOLD overrides for A/B
       // profiling of the writer paths.

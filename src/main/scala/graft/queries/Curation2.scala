@@ -211,7 +211,22 @@ object Curation2 {
         size(split(col("text"), " ")).cast("long").as("n"),
         crossHash60(col("doc_id")).as("h"))
       .withColumn("bucket", pmod(col("h"), lit(B)))
-    val perLang = base.groupBy("lang").agg(sum(col("n")).cast("long").as("lt"))
+    // r19: ONE (lang, bucket) aggregate feeds EVERYTHING lang-grain.
+    // Previously the budget chain (perLang → tot → sq → z → budgets)
+    // re-derived from `base`, and every cross-join re-reference
+    // re-planned the whole corpus scan+split subtree — plan census read
+    // leaves[documents=6]. bucketTotals is langs×32 rows; persisting it
+    // (trivial at any scale) caps the query at TWO corpus scans: this
+    // aggregate and the final windowed pass. perLang is its rollup —
+    // Σ over buckets of per-bucket integer sums is the same Σ(n).
+    // (A doc-grain `base` persist was also tried: interleaved probes
+    // read 1.50/1.59 s vs 1.30/1.34 s on the prior tree — the cache
+    // materialization costs more than the column-pruned re-scans it
+    // saves; the tiny-aggregate persist keeps the scan-count win
+    // without a corpus-sized cache.)
+    val bucketTotals = base.groupBy("lang", "bucket").agg(sum(col("n")).as("bt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perLang = bucketTotals.groupBy("lang").agg(sum(col("bt")).cast("long").as("lt"))
     val tot = perLang.agg(sum(col("lt")).cast("long").as("tot"))
     val sq = perLang.crossJoin(broadcast(tot))
       .withColumn("sq9",
@@ -222,9 +237,6 @@ object Curation2 {
       .select(col("lang"),
         floor(col("sq9").cast("double") / col("z") *
           expr("tot div 2").cast("double")).cast("long").as("budget"))
-    // two-level prefix sum: bucket totals → bucket offsets (window over
-    // the TINY (lang, bucket) aggregate) → within-bucket running sums
-    val bucketTotals = base.groupBy("lang", "bucket").agg(sum(col("n")).as("bt"))
     val wOff = Window.partitionBy("lang").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = bucketTotals

@@ -699,11 +699,20 @@ object Curation16 {
         graft.functions.expr.TextExpressions.langId(col("para")).as("pred"))
       .select(col("doc_id"), col("pred.lang").as("plang"))
     val cnt = perPara.groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
-    val wDoc = Window.partitionBy("doc_id")
-    val dom = cnt
-      .withColumn("rk", row_number().over(wDoc.orderBy(col("c").desc, col("plang"))))
-      .withColumn("n_paras", sum(col("c")).over(wDoc))
-    dom.filter(col("rk") === 1)
+    // r19: dominant-lang argmax as a struct-MIN aggregate, not a
+    // row_number window + a second sum window over the same partition
+    // (the q123 vote-argmax move, adapted to a STRING tie-break):
+    // lexicographic min of (-c, plang) is most paragraphs first, ties
+    // to the SMALLEST lang — exactly the window's ORDER BY c DESC,
+    // plang rk=1 row — and n_paras rides the same hash aggregate with
+    // map-side partials instead of a partition-wide sort + two window
+    // passes. Integers throughout; same single doc-keyed exchange.
+    val dom = cnt.groupBy("doc_id")
+      .agg(min(struct((-col("c")).as("nc"), col("plang"))).as("m"),
+        sum(col("c")).as("n_paras"))
+      .select(col("doc_id"), col("n_paras"),
+        col("m.plang").as("plang"), (-col("m.nc")).as("c"))
+    dom
       .select(col("doc_id"), col("n_paras"),
         col("plang").as("dominant_lang"), col("c").as("n_dominant"),
         (round(col("c").cast(DoubleType) * 10000 / col("n_paras")).cast(LongType)

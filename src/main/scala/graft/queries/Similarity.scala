@@ -587,13 +587,20 @@ object Similarity {
         explode(probeCentroidIds(col("v"), flat, ids, dim, NProbe)).as("cent_id"))
     // codegen-native integer dot — exact twin of the HOF fold it replaces
     val dot = graft.functions.expr.SimilarityExpressions.dotLong(col("qc"), col("q"))
-    val wTop = Window.partitionBy("qid").orderBy(col("dot").desc, col("cid"))
+    // r19: bounded-heap top-5 (TopK.topKLong — the q102/q129 head) in
+    // place of the row_number window: the window hash-shuffled every
+    // scored candidate into ≤|queries| reducers and sorted each
+    // query's full candidate set on one task; the heap ships ≤5-row
+    // partials per task. (dot DESC, cid ASC) ordering is the window's,
+    // pinned by TopKSpec; rk = pos + 1 reproduces row_number exactly.
     assigned.join(broadcast(probes), Seq("cent_id"))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("cid"), dot.as("dot"))
-      .withColumn("rk", row_number().over(wTop))
-      .where(col("rk") <= 5)
-      .select(col("qid"), col("cid"), col("rk"), col("dot"))
+      .groupBy("qid")
+      .agg(graft.functions.TopK.topKLong(5)(col("cid"), col("dot")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("qid"), col("e._1").as("cid"),
+        (col("pos") + 1).cast("int").as("rk"), col("e._2").as("dot"))
       .orderBy("qid", "rk")
   }, Some(
     s"""${Curation5.SqCtes},

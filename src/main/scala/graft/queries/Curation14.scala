@@ -230,10 +230,18 @@ object Curation14 {
     val c = h.select(col("source"), col("l"),
       sum(col("ca")).over(wCum).as("cuma"), sum(col("cb")).over(wCum).as("cumb"),
       sum(col("ca")).over(wAll).as("na"), sum(col("cb")).over(wAll).as("nb"))
+    // r19: dRel is HISTOGRAM-grain (sources × distinct lengths — a few
+    // thousand rows) but referenced twice (the per-source max aggregate
+    // AND the argmin equality join), and column pruning specializes the
+    // two references' subtrees so ReuseExchange cannot serve them (the
+    // r17 lesson) — each re-ran both corpus scans (plan census
+    // leaves[documents=4]). Persisting the tiny relation halves the
+    // corpus scans; values untouched.
     val dRel = c.where(col("na") > 0 && col("nb") > 0)
       .select(col("source"), col("l"), col("na"), col("nb"),
         abs(col("cuma").cast(DoubleType) / col("na") -
           col("cumb").cast(DoubleType) / col("nb")).as("dv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val g = dRel.groupBy("source")
       .agg(max(col("na")).cast(LongType).as("n_a"),
         max(col("nb")).cast(LongType).as("n_b"), max(col("dv")).as("ks"))

@@ -297,9 +297,15 @@ object Curation14 {
         coalesce(col("ltext"), col("text")).as("content"))
     val keep = docs.where(!adoptSet)
       .select(col("doc_id"), col("source"), col("text").as("content"))
+    // r19: f is doc-grain but TEXT-FREE (fp, split — ~40 B/doc), and
+    // both the straddle census and the verdict join consume it; without
+    // the persist each reference re-planned the 3-scan union (leaders +
+    // adopt + keep: census read leaves[documents=6]). One pass builds
+    // the fingerprints, both branches read the cache.
     val f = adopt.unionAll(keep)
       .select(md5(col("content")).as("fp"),
         Curation13.splitCol(col("doc_id"), col("source")).as("split"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gm = f.select("fp", "split").distinct()
       .groupBy("fp").agg(count(lit(1)).as("ns"))
     f.join(gm, Seq("fp"))
